@@ -1,0 +1,3 @@
+from fluvii_spark.io.readers import TABLES, load_table, load_tables
+
+__all__ = ["TABLES", "load_table", "load_tables"]

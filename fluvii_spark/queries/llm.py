@@ -1,0 +1,481 @@
+"""LLM-data-pipeline query inventory (Q30+): similarity search, text
+analysis, the dedup family, and multimodal metadata — each with a duckdb
+oracle built from the SAME deterministic md5-derived hashing so results
+hash-match across engines.
+
+These have no counterpart in the reference (SURVEY.md §2.2 "LLM-data ops");
+implementations live in fluvii_spark.operators.{dedup,similarity,text,
+multimodal}.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluvii_spark.io.readers import load_tables
+from fluvii_spark.operators import dedup as D
+from fluvii_spark.operators import similarity as S
+from fluvii_spark.operators import text as T
+from fluvii_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# shared duckdb SQL fragments (mirror the Spark operators exactly)
+# ---------------------------------------------------------------------------
+
+# word 3-shingles, distinct per doc
+_SH3 = """
+  toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  ),
+  sh AS (
+    SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+    FROM toks a
+    JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  )
+"""
+
+_JACCARD = """
+  card AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  jac AS (
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+    FROM inter
+    JOIN card ca ON ca.doc_id = id_a
+    JOIN card cb ON cb.doc_id = id_b
+  )
+"""
+
+_PERM_VALUES = ",\n      ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(D.MINHASH_PERMS)
+)
+
+_MINHASH = f"""
+  perms(perm, a, b) AS (
+    VALUES
+      {_PERM_VALUES}
+  ),
+  hashed AS (
+    SELECT doc_id, perm,
+           (a * (('0x' || substr(md5(shingle), 1, 8))::BIGINT) + b)
+             % {D.MINHASH_P} AS hv
+    FROM sh, perms
+  ),
+  sig AS (
+    SELECT doc_id, perm, MIN(hv) AS minhash FROM hashed GROUP BY doc_id, perm
+  )
+"""
+
+_SIMHASH = """
+  tc AS (
+    SELECT doc_id, tok, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY doc_id, tok
+  ),
+  th AS (
+    SELECT doc_id, cnt, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tc
+  ),
+  votes AS (
+    SELECT doc_id, j,
+           SUM(cnt * CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+    FROM th, generate_series(0, 31) AS g(j)
+    GROUP BY doc_id, j
+  ),
+  sim AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+  )
+"""
+
+_LSH_BUCKETS = """
+  hp AS (
+    SELECT p.plane, d.dim,
+           ((('0x' || substr(md5('plane_' || p.plane || '_' || d.dim), 1, 8))::BIGINT
+             % 2001) - 1000) / 1000.0 AS w
+    FROM generate_series(0, 7) AS p(plane), generate_series(0, 63) AS d(dim)
+  ),
+  comp AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+  ),
+  dots AS (
+    SELECT vec_id, plane, SUM(x * w) AS dot
+    FROM comp JOIN hp USING (dim) GROUP BY vec_id, plane
+  ),
+  buckets AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END)
+                AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id
+  )
+"""
+
+_STOPWORD_LIST = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q30_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                  CAST(qvec AS DOUBLE[])) AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 5
+    """,
+    "exact top-5 cosine neighbors of vec_id=0 (brute force baseline: "
+    "broadcast query vector, single scan, TakeOrderedAndProject)",
+    ("llm", "similarity"),
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return S.brute_force_topk(t.embeddings, query_id=0, k=5)
+
+
+@register(
+    "q39_ann_lsh_topk",
+    f"""
+    WITH
+    {_LSH_BUCKETS},
+    q AS (
+      SELECT b.bucket AS qbucket, e.embedding AS qvec
+      FROM buckets b JOIN embeddings e USING (vec_id) WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.qvec AS DOUBLE[])) AS cosine
+    FROM embeddings e JOIN buckets b USING (vec_id), q
+    WHERE b.bucket = q.qbucket AND e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 5
+    """,
+    "approximate top-5: random-hyperplane LSH bucket (md5-derived planes) "
+    "prunes candidates to ~1/2^8 of the corpus, exact cosine within bucket",
+    ("llm", "similarity", "ann"),
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return S.lsh_topk(t.embeddings, query_id=0, dims=64, k=5)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q31_text_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           AVG(len(string_split(text, ' '))) AS avg_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    "per-language token/char statistics",
+    ("llm", "text"),
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    n_tok = T.token_count("text")
+    return t.documents.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.avg(n_tok).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "q32_top_bigrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    )
+    SELECT a.tok || ' ' || b.tok AS bigram, COUNT(*) AS n
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY 1 ORDER BY n DESC, bigram LIMIT 10
+    """,
+    "corpus-wide top-10 bigrams with deterministic tie-break",
+    ("llm", "text"),
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.select(F.explode(T.bigrams("text")).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(10)
+    )
+
+
+@register(
+    "q40_lang_id",
+    f"""
+    WITH scores AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text,' '),
+                 t -> t IN ('der','die','das','und','ist'))) AS s_de,
+             len(list_filter(string_split(text,' '),
+                 t -> t IN ('the','a','of','and','is'))) AS s_en,
+             len(list_filter(string_split(text,' '),
+                 t -> t IN ('el','la','de','y','es'))) AS s_es,
+             len(list_filter(string_split(text,' '),
+                 t -> t IN ('le','la','et','de','est'))) AS s_fr,
+             len(list_filter(string_split(text,' '),
+                 t -> t IN ('de','le','shi','he','zai'))) AS s_zh
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN s_de >= GREATEST(s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en >= GREATEST(s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es >= GREATEST(s_fr, s_zh) THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM scores
+    """,
+    "marker-token language-ID heuristic, argmax with alphabetic tie-break "
+    "(mechanism is the deliverable: bounded map-side scoring, no shuffle)",
+    ("llm", "text"),
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.documents.select("doc_id", T.predict_lang("text").alias("pred_lang"))
+
+
+@register(
+    "q41_quality_score",
+    f"""
+    WITH stats AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+             CAST(len(list_filter(string_split(text, ' '),
+                      t -> t IN ({_STOPWORD_LIST}))) AS DOUBLE) AS ns
+      FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           0.4 * LEAST(n / 100.0, 1.0) + 0.3 * (nd / n) + 0.3 * (1.0 - ns / n)
+             AS quality
+    FROM stats
+    """,
+    "document quality heuristic: length + lexical diversity + stopword "
+    "ratio (rational arithmetic only — no libm divergence across engines)",
+    ("llm", "text"),
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "q42_doc_fingerprint",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    sh5 AS (
+      SELECT a.doc_id,
+             a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok || ' ' || e.tok AS s
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      JOIN toks d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+      JOIN toks e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
+    )
+    SELECT doc_id, MIN(('0x' || substr(md5(s), 1, 8))::BIGINT) AS fingerprint
+    FROM sh5 GROUP BY doc_id
+    """,
+    "winnowing-style fingerprint: min md5-hash over word 5-shingles",
+    ("llm", "text", "dedup"),
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id", T.doc_fingerprint("text", 5).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q33_dedup_exact",
+    """
+    SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    "exact dedup: hash-groupBy on content, keep minimum id",
+    ("llm", "dedup"),
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .select(F.md5(F.encode("text", "UTF-8")).alias("text_md5"), "keep_doc_id", "n_copies")
+    )
+
+
+@register(
+    "q34_dedup_ngram_jaccard",
+    f"""
+    WITH
+    {_SH3},
+    {_JACCARD}
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+    "near-dup pairs by exact word-3-gram Jaccard ≥ 0.5; candidates from a "
+    "shared-shingle equi-join (never a crossJoin)",
+    ("llm", "dedup"),
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return D.ngram_jaccard_pairs(t.documents, threshold=0.5)
+
+
+@register(
+    "q35_dedup_minhash_lsh",
+    f"""
+    WITH
+    {_SH3},
+    {_MINHASH},
+    bands AS (
+      SELECT doc_id, perm // 4 AS band,
+             string_agg(perm || ':' || minhash, ',' ORDER BY perm) AS band_sig
+      FROM sig GROUP BY doc_id, perm // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                  AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD}
+    SELECT c.id_a, c.id_b, j.jaccard
+    FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+    WHERE j.jaccard >= 0.5
+    """,
+    "MinHash(16 perms, md5-derived)+LSH(4 bands × 4 rows) candidate pairs, "
+    "verified with exact Jaccard — the 100 TB fuzzy-dedup path",
+    ("llm", "dedup"),
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return D.minhash_lsh_pairs(t.documents, threshold=0.5)
+
+
+@register(
+    "q36_simhash",
+    f"""
+    WITH
+    {_SIMHASH}
+    SELECT doc_id, simhash FROM sim
+    """,
+    "32-bit SimHash fingerprints (token-frequency-weighted bit votes)",
+    ("llm", "dedup"),
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return D.simhash(t.documents)
+
+
+@register(
+    "q37_simhash_pairs",
+    f"""
+    WITH
+    {_SIMHASH},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       AND ((a.simhash >> 16) = (b.simhash >> 16)
+            OR (a.simhash & 65535) = (b.simhash & 65535))
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+    """,
+    "SimHash near-dup pairs (Hamming ≤ 6) via pigeonhole half-matching "
+    "(Manku et al. WWW'07 block scheme)",
+    ("llm", "dedup"),
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    p = D.simhash_pairs(t.documents, max_hamming=6)
+    return p.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "q38_dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+    "embedding near-dup pairs (cosine ≥ 0.4); exact all-pairs here, "
+    "LSH-bucketed candidates at scale (operators.similarity)",
+    ("llm", "dedup", "similarity"),
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return D.embedding_near_dup_pairs(t.embeddings, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q43_multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    "multimodal binary-column plumbing: payload byte length + content "
+    "digest (decode kernels are stubbed; schema/UDF plumbing is real — "
+    "operators.multimodal)",
+    ("llm", "multimodal"),
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.md5(F.encode("text", "UTF-8")).alias("content_md5"),
+    )

@@ -1,0 +1,88 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference (fluvii) has no engine to configure — its throughput knobs are
+Kafka-transaction batch sizes (``fluvii/components/consumer/config.py:26-30``).
+Here the equivalent role is played by Spark conf: AQE, shuffle partitioning,
+Arrow for the Pandas-UDF paths, and broadcast sizing.
+
+Design notes for 100 TB (local[] is only the test harness):
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  replaces hand-tuned ``spark.sql.shuffle.partitions`` at scale.
+- ``autoBroadcastJoinThreshold`` stays enabled so dimension tables
+  (region/nation/customer at TPC-H shapes) broadcast instead of shuffling.
+- Arrow enabled: every Python-side operator in this package uses Arrow-batched
+  Pandas UDFs / mapInPandas, never row-at-a-time Python UDFs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session handed to us (including the
+# driver's): these are safe `spark.conf.set` keys, not builder-only.
+RUNTIME_CONFS: dict[str, str] = {
+    # the testdata events table stores TIMESTAMP(NANOS); Spark refuses it
+    # unless read as long (we convert: ns DIV 1000 → micros, matching duckdb's
+    # truncation semantics).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session.
+
+    Called at the top of every query entry point so the engine behaves the
+    same whether the session was built by :func:`get_session` or handed to us
+    by an external driver.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # non-settable in this deployment → keep going; queries that
+            # depend on a conf guard for it explicitly.
+            pass
+    return spark
+
+
+def get_session(
+    app_name: str = "fluvii-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) for
+    the test harness; on a real cluster pass ``None`` via spark-submit and the
+    cluster manager decides.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: keep result/broadcast sizes sane for 32-thread runs
+        .config("spark.driver.maxResultSize", "4g")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)

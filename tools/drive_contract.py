@@ -1,0 +1,126 @@
+"""Driver-simulation: exercises __spark_entry__.py exactly as the round driver does.
+
+Loads the module by path (not package import), runs entry(spark), then for every
+queries() key runs the Spark DataFrame at sf0.01 and the oracle_sql() in duckdb
+on the same parquet views, canonicalizes (columns sorted by name, floats rounded
+6dp, rows sorted) and compares value hashes.
+"""
+import hashlib
+import importlib.util
+import json
+import math
+import sys
+import time
+import datetime as dt
+from decimal import Decimal
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.appName("drive-contract")
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+)
+
+# 1) entry() smoke
+t0 = time.time()
+df = mod.entry(spark)
+rows = df.collect()
+print(f"entry(): OK rows={len(rows)} schema={[f.name for f in df.schema.fields]} in {time.time()-t0:.1f}s")
+
+# 2) oracle compare
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        v = round(v, 6)
+        return 0.0 if v == 0 else v
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    return out
+
+
+def vhash(cols, rows):
+    c = canon(cols, rows)
+    return hashlib.sha256(json.dumps(c, default=str).encode()).hexdigest()[:16]
+
+
+qs = mod.queries()
+oracles = mod.oracle_sql()
+print(f"queries={len(qs)} oracles={len(oracles)}")
+fails = []
+for name in sorted(qs):
+    if ONLY and name not in ONLY:
+        continue
+    t0 = time.time()
+    try:
+        sdf = qs[name](spark, SF_DIR)
+        s_cols = list(sdf.columns)
+        s_rows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:
+        print(f"  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:200]}")
+        fails.append(name)
+        continue
+    if name not in oracles:
+        print(f"  {name}: rows-only rows={len(s_rows)} ({time.time()-t0:.1f}s)")
+        continue
+    try:
+        cur = con.execute(oracles[name])
+        d_cols = [d[0] for d in cur.description]
+        d_rows = [tuple(r) for r in cur.fetchall()]
+    except Exception as e:
+        print(f"  {name}: DUCK ERROR {type(e).__name__}: {str(e)[:200]}")
+        fails.append(name)
+        continue
+    ok_cols = sorted(s_cols) == sorted(d_cols)
+    ok_rows = len(s_rows) == len(d_rows)
+    sh, dh = vhash(s_cols, s_rows), vhash(d_cols, d_rows)
+    ok = ok_cols and ok_rows and sh == dh
+    status = "OK" if ok else "MISMATCH"
+    print(f"  {name}: {status} rows={len(s_rows)}/{len(d_rows)} hash={'=' if sh==dh else f'{sh}!={dh}'} ({time.time()-t0:.1f}s)")
+    if not ok:
+        fails.append(name)
+        if not ok_cols:
+            print(f"    cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        else:
+            cs, cd = canon(s_cols, s_rows), canon(d_cols, d_rows)
+            for i, (a, b) in enumerate(zip(cs, cd)):
+                if a != b:
+                    print(f"    first diff row {i}:\n      spark={a}\n      duck ={b}")
+                    break
+
+print(f"\nRESULT: {len(fails)} failures" + (f": {fails}" if fails else " — ALL MATCH"))
+sys.exit(1 if fails else 0)
