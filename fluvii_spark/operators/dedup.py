@@ -21,6 +21,7 @@ oracle-checked query variants keep ``max_doc_freq=None`` for exact parity.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -130,21 +131,34 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, perm, minhash) — min over shingles of (a·h(s) + b) mod P.
 
-    h(s) = first 8 md5 hex chars as int (cross-engine deterministic). The
-    perm table is a broadcast literal; min-aggregation is map-side partial,
-    so the only shuffle is the final groupBy(id, perm).
+    Tall form (one row per permutation), derived from the wide form below —
+    kept for tests/inspection; the LSH path uses the wide form directly.
+    """
+    wide = minhash_signatures_wide(df, id_col, text_col, n)
+    stack_args = ", ".join(f"{i}, mh{i}" for i in range(len(MINHASH_PERMS)))
+    return wide.selectExpr(
+        id_col, f"stack({len(MINHASH_PERMS)}, {stack_args}) AS (perm, minhash)"
+    )
+
+
+def minhash_signatures_wide(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, mh0..mh15): all permutation minima in ONE groupBy pass.
+
+    h(s) = first 8 md5 hex chars as int (cross-engine deterministic). Each
+    permutation is its own ``min`` aggregate over the same hashed-shingle
+    rows — map-side partial aggregation, a single key-partitioned shuffle,
+    and no ×n_perms row replication (the naive explode-per-perm plan
+    shuffles 16× the data for the same answer).
     """
     sh = word_shingles(df, id_col, text_col, n)
-    perms = df.sparkSession.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PERMS)], "perm INT, a LONG, b LONG"
-    )
     h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
-    return (
-        sh.withColumn("h", h)
-        .crossJoin(F.broadcast(perms))
-        .groupBy(id_col, "perm")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MINHASH_P).alias("minhash"))
-    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return sh.withColumn("h", h).groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -161,15 +175,21 @@ def minhash_lsh_pairs(
     LSH bucket join). Candidates then verified against exact shingle Jaccard
     so the output is deterministic (bands only prune).
     """
-    sig = minhash_signatures(df, id_col, text_col, n)
-    bands = (
-        sig.withColumn("band", (F.col("perm") / ROWS_PER_BAND).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.concat_ws(",", F.array_sort(F.collect_list(F.format_string("%d:%d", "perm", "minhash")))).alias(
-                "band_sig"
-            )
+    wide = minhash_signatures_wide(df, id_col, text_col, n)
+    # band k = perms [4k, 4k+4); signature string only has to be consistent
+    # within this plan (the bucket join is engine-internal — only the
+    # verified pairs are compared cross-engine)
+    band_exprs = ", ".join(
+        "{k}, concat_ws(',', {cols})".format(
+            k=k,
+            cols=", ".join(
+                f"mh{i}" for i in range(k * ROWS_PER_BAND, (k + 1) * ROWS_PER_BAND)
+            ),
         )
+        for k in range(N_BANDS)
+    )
+    bands = wide.selectExpr(
+        id_col, f"stack({N_BANDS}, {band_exprs}) AS (band, band_sig)"
     )
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
@@ -179,9 +199,33 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    # Exact-Jaccard verification touches ONLY candidate pairs: join the two
+    # texts onto each candidate and shingle them per-pair in an Arrow-batched
+    # pandas UDF. Banding already pruned the corpus to near-dup candidates,
+    # so re-deriving corpus-wide shingle joins here (the naive plan) would
+    # dominate the whole query; per-pair verification is O(|candidates| ·
+    # doc_len) and is the standard verify stage of production LSH dedup.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        def sh_set(t: str) -> set:
+            toks = t.split(" ")
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+        out = []
+        for x, y in zip(ta, tb):
+            sa, sb = sh_set(x), sh_set(y)
+            union = len(sa) + len(sb) - len(sa & sb)
+            out.append(len(sa & sb) / union if union else 0.0)
+        return pd.Series(out)
+
+    docs_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    docs_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
     return (
-        cand.join(exact, ["id_a", "id_b"])
+        cand.join(docs_a, "id_a")
+        .join(docs_b, "id_b")
+        .withColumn("jaccard", pair_jaccard("_ta", "_tb"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -195,36 +239,32 @@ def simhash(
 ) -> DataFrame:
     """(id, simhash): token-frequency-weighted bit votes over md5 hashes.
 
-    Plan shape: tokenize → groupBy(id, token) counts → broadcast-join the
-    0..bits-1 index table → per-(id, bit) vote sum → per-id bit assembly.
-    Two key-partitioned shuffles, no UDFs.
+    Plan shape: tokenize → per-instance hash → ONE groupBy(id) computing all
+    ``bits`` vote sums as separate aggregates → bit assembly in the same
+    projection. Summing ±1 per token *instance* is identical to weighting
+    distinct tokens by count, so the per-token count pass (and any per-bit
+    row replication) is unnecessary — a single key-partitioned shuffle with
+    map-side partial aggregation, no UDFs.
     """
-    spark = df.sparkSession
-    tok_counts = (
-        df.select(F.col(id_col), F.explode(F.split(text_col, " ")).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn(
-            "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
-        )
-    )
-    bit_idx = spark.range(bits).select(F.col("id").cast("int").alias("j"))
-    votes = (
-        tok_counts.crossJoin(F.broadcast(bit_idx))
-        .withColumn(
-            "dir",
-            F.when(F.expr("shiftright(h, j) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        .groupBy(id_col, "j")
-        .agg(F.sum(F.col("cnt") * F.col("dir")).alias("vote"))
-    )
-    return votes.groupBy(id_col).agg(
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(text_col, " ")).alias("tok")
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    votes = [
         F.sum(
-            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
-                F.lit(0)
+            F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), F.lit(1)).otherwise(
+                F.lit(-1)
             )
-        ).alias("simhash")
-    )
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    assemble = sum(
+        (
+            F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(bits)
+        ),
+        F.lit(0),
+    ).cast("long")
+    return toks.groupBy(id_col).agg(*votes).select(id_col, assemble.alias("simhash"))
 
 
 def simhash_pairs(
@@ -269,20 +309,72 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Pairs with cosine similarity ≥ threshold.
+    """Pairs with cosine similarity ≥ threshold — exact all-pairs semantics.
 
-    Exact all-pairs form (the oracle-checked query). At 100 TB the candidate
-    join is replaced by the hyperplane-LSH buckets in operators.similarity
-    (same cosine verification, bucket-join candidates).
+    Physical plan: block-matrix similarity join. Vectors are bucketed into
+    ``n_blocks`` blocks; each row is replicated to every (block-pair) group it
+    participates in, and each group computes its cosine sub-matrix with one
+    BLAS GEMM inside ``applyInPandas``. Compared to a pair-wise theta-join
+    this never materializes O(N²) pair rows carrying vector payloads through
+    a shuffle — shuffle volume is ``n_blocks × data``, and the O(N²) work
+    happens as dense float64 matrix math in Arrow batches.
+
+    At 100 TB exact all-pairs is the wrong tool regardless of constant — the
+    hyperplane-LSH candidates in :mod:`fluvii_spark.operators.similarity`
+    bound the candidate set; this operator is the exact baseline and the
+    within-bucket verifier.
     """
-    from fluvii_spark.operators.similarity import cosine_sql
+    import numpy as np
+    import pandas as pd
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.expr(cosine_sql("va", "vb")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    blocked = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        (F.col(id_col) % n_blocks).cast("int").alias("blk"),
+    ).withColumn("other", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+    pairs = blocked.select(
+        F.least("blk", "other").alias("bi"),
+        F.greatest("blk", "other").alias("bj"),
+        "vid",
+        "vec",
+        "blk",
+    )
+
+    def gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(key[0]), int(key[1])
+        ids = pdf["vid"].to_numpy()
+        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        same = bi == bj
+        if same:
+            a_idx = np.arange(len(ids))
+            b_idx = a_idx
+        else:
+            a_idx = np.flatnonzero(pdf["blk"].to_numpy() == bi)
+            b_idx = np.flatnonzero(pdf["blk"].to_numpy() == bj)
+        if len(a_idx) == 0 or len(b_idx) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        A, B = mat[a_idx], mat[b_idx]
+        sims = (A @ B.T) / np.outer(norms[a_idx], norms[b_idx])
+        ia, ib = np.nonzero(sims >= threshold)
+        id_a, id_b = ids[a_idx][ia], ids[b_idx][ib]
+        if same:
+            # full symmetric matrix: keep each unordered pair once, drop diag
+            keep = id_a < id_b
+            lo, hi = id_a[keep], id_b[keep]
+            cos = sims[ia[keep], ib[keep]]
+        else:
+            # each unordered cross-block pair appears exactly once; emit in
+            # canonical (min, max) order — filtering would lose x > y pairs
+            lo = np.minimum(id_a, id_b)
+            hi = np.maximum(id_a, id_b)
+            cos = sims[ia, ib]
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos})
+
+    return pairs.groupBy("bi", "bj").applyInPandas(
+        gemm, schema="id_a long, id_b long, cosine double"
     )
