@@ -1,0 +1,215 @@
+"""Keyed state tables: the reference's "tabling" feature on Spark state stores.
+
+The reference keeps one SQLite dict per Kafka partition, consistent with a
+compacted changelog topic, and exposes exactly three state verbs on its
+transaction object (all keyed strictly on the current message's key):
+
+- ``read_table_entry()``  — fluvii/apps/transactions/transaction.py:180-184
+- ``update_table_entry(v)`` — transaction.py:186-188
+- ``delete_table_entry()``  — transaction.py:190-192
+
+State values are "anything json.dumps-able" (README.md:599-601, sqlite.py:96).
+Changelog mirroring, offset bookkeeping, rebalance recovery and write caching
+(reference ST4-ST7, ~400 LoC) are subsumed by Spark's checkpointed state
+store: ``applyInPandasWithState`` restores per-key state from the checkpoint
+on restart, so none of that machinery is reimplemented here.
+
+Scale notes (100 TB):
+- state lives in the executor-side state store partitioned by key — no
+  driver involvement, horizontal by ``spark.sql.shuffle.partitions``;
+- the user fold runs over Arrow batches (pandas), not per-row Python calls
+  across the JVM boundary;
+- per-key ordering inside a micro-batch is made explicit via ``order_by``
+  (the reference inherits Kafka per-partition order; a shuffled DataFrame
+  must re-establish it).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from collections.abc import Callable, Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+# The fold closures shipped to executors reference this module's helpers
+# (TableTransaction, _fold_rows). Workers generally can't import fluvii_spark
+# (it is not pip-installed on executors), so have cloudpickle serialize this
+# module's objects BY VALUE — the shipped function becomes self-contained.
+try:  # pragma: no cover - depends on pyspark's vendored cloudpickle version
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:
+    pass
+
+_UNSET = object()
+
+# tombstone marker inside the JSON state envelope; the reference uses the
+# string sentinel '-DELETED-' (transaction.py:191) which we deliberately do
+# NOT port (SURVEY.md §7 "non-standard semantics") — deletes here are real
+# state-store removes.
+
+
+class TableTransaction:
+    """Per-message view handed to the user's ``app_function``.
+
+    Mirrors the surface of fluvii's ``TableTransaction`` (message accessors:
+    transaction.py:61-77; state verbs: :180-192; produce: :86-96) minus
+    Kafka-specific plumbing. ``produce`` may be called 0..n times per message
+    — 0 is a filter, n is a flatMap — exactly the reference's contract
+    (README.md:139-152).
+    """
+
+    def __init__(self, key: Any, message: dict, state_value: Any):
+        self._key = key
+        self._message = message
+        self._state = state_value
+        self._pending: Any = _UNSET
+        self._produced: list[dict] = []
+
+    @property
+    def key(self) -> Any:
+        return self._key
+
+    def value(self) -> dict:
+        """The current message as a dict (reference: ``transaction.value()``)."""
+        return self._message
+
+    # -- state verbs (ST1-ST3) ------------------------------------------------
+    def read_table_entry(self) -> Any:
+        if self._pending is not _UNSET:
+            return self._pending
+        return self._state
+
+    def update_table_entry(self, value: Any) -> None:
+        json.dumps(value)  # enforce the reference's json-able contract early
+        self._pending = value
+
+    def delete_table_entry(self) -> None:
+        self._pending = None
+
+    # -- output ---------------------------------------------------------------
+    def produce(self, value: dict) -> None:
+        self._produced.append(value)
+
+    # internal: fold one message, returning (new_state, produced_rows)
+    def _apply(
+        self, app_function: Callable[["TableTransaction"], None]
+    ) -> tuple[Any, list[dict]]:
+        app_function(self)
+        new_state = self._state if self._pending is _UNSET else self._pending
+        return new_state, self._produced
+
+
+def _fold_rows(
+    key: Any,
+    rows: Iterable[dict],
+    state_value: Any,
+    app_function: Callable[[TableTransaction], None],
+) -> tuple[Any, list[dict]]:
+    out: list[dict] = []
+    st = state_value
+    for message in rows:
+        txn = TableTransaction(key, message, st)
+        st, produced = txn._apply(app_function)
+        out.extend(produced)
+    return st, out
+
+
+def _sorted_records(pdf: pd.DataFrame, order_by: list[str] | None) -> list[dict]:
+    if order_by:
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+    return pdf.to_dict("records")
+
+
+def streaming_keyed_fold(
+    df: DataFrame,
+    key_cols: list[str],
+    app_function: Callable[[TableTransaction], None],
+    output_schema: StructType | str,
+    order_by: list[str] | None = None,
+    initial_state: Any = None,
+) -> DataFrame:
+    """Run ``app_function`` per message with durable per-key state.
+
+    Streaming equivalent of the reference's ``FluviiTableApp`` run loop
+    (fluvii/apps/fluvii_table_app.py + fluvii/apps/fluvii_app.py:53-72):
+    consume → user fold with state verbs → produce, with state persisted in
+    Spark's checkpointed state store instead of SQLite+changelog. Restart
+    recovery (reference ST4, rebalance_manager.py) is the checkpoint itself.
+
+    State envelope: one JSON string per key — the reference's "any json
+    value" contract (sqlite.py:96). ``state.exists`` distinguishes absent
+    keys; explicit deletes remove the entry.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = initial_state
+        k = key[0] if len(key) == 1 else key
+        out_rows: list[dict] = []
+        for pdf in pdfs:
+            st, produced = _fold_rows(
+                k, _sorted_records(pdf, order_by), st, app_function
+            )
+            out_rows.extend(produced)
+        if st is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((json.dumps(st),))
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType="state STRING",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_keyed_fold(
+    df: DataFrame,
+    key_cols: list[str],
+    app_function: Callable[[TableTransaction], None],
+    output_schema: StructType | str,
+    order_by: list[str] | None = None,
+    initial_state: Any = None,
+    emit_state: bool = False,
+    state_schema: StructType | str = "key STRING, state STRING",
+) -> DataFrame:
+    """Batch form of the same fold: whole history per key in one pass.
+
+    Used for oracle parity (same ``app_function``, same per-key order,
+    deterministic) and for backfills — the reference has no batch mode at
+    all; replaying a topic from offset 0 (its ``TopicDumperApp``,
+    kafka_tools/topic_dumper.py) is the closest analogue.
+
+    ``emit_state=True`` returns one row per key with the final JSON state
+    instead of the produced messages (the "table dump" view).
+    """
+
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        k = key[0] if len(key) == 1 else key
+        st, produced = _fold_rows(
+            k, _sorted_records(pdf, order_by), initial_state, app_function
+        )
+        if emit_state:
+            if st is None:
+                return pd.DataFrame({"key": [], "state": []})
+            return pd.DataFrame({"key": [str(k)], "state": [json.dumps(st)]})
+        return pd.DataFrame(produced)
+
+    schema = state_schema if emit_state else output_schema
+    return df.groupBy(*key_cols).applyInPandas(fn, schema=schema)
