@@ -1,0 +1,157 @@
+"""CLI (SURVEY.md §2.1 A7): ``fluvii-spark topics {list,create,alter,delete,
+sync,consume,produce}`` mirroring the reference's click group
+(``fluvii/cli/commands/topics.py:1-111``), plus engine commands the
+reference has no analogue for (``queries``, ``bench``).
+
+Topic commands take ``--topic-config`` / stdin JSON exactly like the
+reference (stdin piping: ``topics.py:100-111``).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import click
+
+
+@click.group()
+def cli() -> None:
+    """fluvii-spark: PySpark-native stream/batch analytics engine."""
+
+
+@cli.group()
+@click.option("--bootstrap-servers", default="localhost:9092", envvar="FLUVII_SPARK_CONSUMER_BOOTSTRAP_SERVERS")
+@click.pass_context
+def topics(ctx: click.Context, bootstrap_servers: str) -> None:
+    """Topic administration (A1-A7)."""
+    ctx.ensure_object(dict)
+    ctx.obj["bootstrap_servers"] = bootstrap_servers
+
+
+def _toolbox(ctx: click.Context):
+    from fluvii_spark.toolbox import Toolbox, confluent_admin
+
+    return Toolbox(confluent_admin(ctx.obj["bootstrap_servers"]))
+
+
+def _read_config(config_json: str | None) -> dict:
+    if config_json is None or config_json == "-":
+        return json.load(sys.stdin)
+    return json.loads(config_json)
+
+
+@topics.command("list")
+@click.option("--include-invalid", is_flag=True)
+@click.pass_context
+def list_cmd(ctx: click.Context, include_invalid: bool) -> None:
+    out = _toolbox(ctx).list_topics(valid_only=not include_invalid)
+    click.echo(json.dumps(out, indent=2, sort_keys=True))
+
+
+@topics.command("create")
+@click.option("--topic-config", default="-", help="JSON dict or - for stdin")
+@click.pass_context
+def create_cmd(ctx: click.Context, topic_config: str) -> None:
+    created = _toolbox(ctx).create_topics(_read_config(topic_config))
+    click.echo(json.dumps({"created": created}))
+
+
+@topics.command("alter")
+@click.option("--topic-config", default="-")
+@click.pass_context
+def alter_cmd(ctx: click.Context, topic_config: str) -> None:
+    altered = _toolbox(ctx).alter_topics(_read_config(topic_config))
+    click.echo(json.dumps({"altered": altered}))
+
+
+@topics.command("delete")
+@click.argument("names", nargs=-1, required=True)
+@click.pass_context
+def delete_cmd(ctx: click.Context, names: tuple[str, ...]) -> None:
+    deleted = _toolbox(ctx).delete_topics(list(names))
+    click.echo(json.dumps({"deleted": deleted}))
+
+
+@topics.command("sync")
+@click.option("--topic-config", default="-")
+@click.pass_context
+def sync_cmd(ctx: click.Context, topic_config: str) -> None:
+    result = _toolbox(ctx).sync_topics(_read_config(topic_config))
+    click.echo(json.dumps(result))
+
+
+@topics.command("consume")
+@click.option("--topics-json", default="-", help='{"topic": {"0": 100}} or - for stdin')
+@click.option("--output", required=True, help="output directory for JSON dump")
+@click.pass_context
+def consume_cmd(ctx: click.Context, topics_json: str, output: str) -> None:
+    """S4: dump whole topics to JSON files."""
+    from fluvii_spark.io.kafka import dump_topics_to_json
+    from fluvii_spark.session import get_session
+
+    dump_topics_to_json(
+        get_session("fluvii-spark-cli"),
+        ctx.obj["bootstrap_servers"],
+        _read_config(topics_json),
+        output,
+    )
+    click.echo(json.dumps({"dumped_to": output}))
+
+
+@topics.command("produce")
+@click.option("--input", "input_path", required=True, help="JSON dump path")
+@click.option("--topic-override", default=None)
+@click.pass_context
+def produce_cmd(ctx: click.Context, input_path: str, topic_override: str | None) -> None:
+    """A6: bulk produce a JSON dump back to Kafka."""
+    from fluvii_spark.io.kafka import produce_from_json
+    from fluvii_spark.session import get_session
+
+    produce_from_json(
+        get_session("fluvii-spark-cli"),
+        ctx.obj["bootstrap_servers"],
+        input_path,
+        topic_override=topic_override,
+    )
+    click.echo(json.dumps({"produced_from": input_path}))
+
+
+@cli.command("queries")
+def queries_cmd() -> None:
+    """List the declared query inventory (SURVEY.md §2.3)."""
+    from fluvii_spark.queries import registry
+
+    for name, q in sorted(registry().items()):
+        click.echo(f"{name}\t{'sql-oracle' if q.oracle else 'rows-only'}\t{q.description[:80]}")
+
+
+@cli.command("run-query")
+@click.argument("name")
+@click.option("--sf-dir", default="/root/testdata/sf0.001", envvar="SPARK_GRAFT_SF_DIR")
+@click.option("--limit", default=20, type=int)
+def run_query_cmd(name: str, sf_dir: str, limit: int) -> None:
+    """Run one inventory query and print rows."""
+    from fluvii_spark.queries import registry
+    from fluvii_spark.session import get_session
+
+    reg = registry()
+    if name not in reg:
+        raise click.ClickException(
+            f"unknown query {name!r}; run `fluvii-spark queries` to list"
+        )
+    spark = get_session("fluvii-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg[name].fn(spark, sf_dir).show(limit, truncate=False)
+
+
+@cli.command("bench")
+def bench_cmd() -> None:
+    """Run the benchmark harness (same as `python bench.py`)."""
+    import bench
+
+    bench.main()
+
+
+if __name__ == "__main__":
+    cli()

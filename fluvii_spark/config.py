@@ -1,0 +1,133 @@
+"""Engine configuration (SURVEY.md §2.1 C1/C2).
+
+Mirrors the reference's pattern — pydantic settings per component with
+env-prefixed fields and precedence **kwarg > env > dotenv > default**
+(``fluvii/config_bases.py:22-27``, ``README.md:210-222``) — without
+requiring the pydantic-settings package: env resolution is explicit, ~30
+lines, and unit-testable.
+
+Env prefixes follow the reference's shape (``FLUVII_CONSUMER_*`` etc.,
+e.g. ``fluvii/components/consumer/config.py:7-55``) with the engine name:
+``FLUVII_SPARK_<COMPONENT>_<FIELD>``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, ClassVar
+
+from pydantic import BaseModel
+
+
+def _load_dotenv(path: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#") or "=" not in line:
+                    continue
+                k, _, v = line.partition("=")
+                out[k.strip()] = v.strip().strip("'\"")
+    except OSError:
+        pass
+    return out
+
+
+class EnvConfigBase(BaseModel):
+    """arg > env > dotenv > default, like the reference's ``KafkaConfigBase``."""
+
+    env_prefix: ClassVar[str] = "FLUVII_SPARK_"
+
+    def __init__(self, **kwargs: Any):
+        dotenv_path = os.environ.get("FLUVII_SPARK_CONFIG_DOTENV")
+        dotenv = _load_dotenv(dotenv_path) if dotenv_path else {}
+        merged: dict[str, Any] = {}
+        for name in self.__class__.model_fields:
+            env_key = f"{self.env_prefix}{name.upper()}"
+            if env_key in os.environ:
+                merged[name] = os.environ[env_key]
+            elif env_key in dotenv:
+                merged[name] = dotenv[env_key]
+        merged.update({k: v for k, v in kwargs.items() if v is not None})
+        super().__init__(**merged)
+
+
+class SparkEngineConfig(EnvConfigBase):
+    """Session-level knobs (the reference's throughput knobs are Kafka batch
+    sizes — consumer/config.py:26-30; ours are Spark conf)."""
+
+    env_prefix: ClassVar[str] = "FLUVII_SPARK_ENGINE_"
+
+    app_name: str = "fluvii-spark"
+    master: str | None = None
+    shuffle_partitions: int | None = None
+    driver_memory: str = "8g"
+    adaptive_enabled: bool = True
+
+
+class ConsumerConfig(EnvConfigBase):
+    """Kafka source knobs (reference consumer/config.py)."""
+
+    env_prefix: ClassVar[str] = "FLUVII_SPARK_CONSUMER_"
+
+    bootstrap_servers: str = "localhost:9092"
+    starting_offsets: str = "earliest"
+    # reference batch_consume_max_count=100 (config.py:26) bounds one Kafka
+    # transaction; maxOffsetsPerTrigger bounds one micro-batch
+    max_offsets_per_trigger: int | None = None
+    fail_on_data_loss: bool = False
+
+
+class ProducerConfig(EnvConfigBase):
+    """Kafka sink knobs (reference producer/config.py)."""
+
+    env_prefix: ClassVar[str] = "FLUVII_SPARK_PRODUCER_"
+
+    bootstrap_servers: str = "localhost:9092"
+    topic: str | None = None
+    idempotence: bool = True  # producer.py:55-67
+    checkpoint_dir: str | None = None
+
+
+class AuthConfig(EnvConfigBase):
+    """SASL auth (reference fluvii/components/auth/config.py:8-50)."""
+
+    env_prefix: ClassVar[str] = "FLUVII_SPARK_AUTH_"
+
+    mechanism: str | None = None  # PLAIN | OAUTHBEARER
+    username: str | None = None
+    password: str | None = None
+    security_protocol: str = "SASL_SSL"
+
+    def as_spark_options(self) -> dict[str, str]:
+        """→ ``kafka.*`` options for Spark's Kafka source/sink (the
+        reference's ``as_client_dict``, auth/config.py:39-50)."""
+        if not self.mechanism:
+            return {}
+        opts = {
+            "kafka.security.protocol": self.security_protocol,
+            "kafka.sasl.mechanism": self.mechanism,
+        }
+        if self.mechanism == "PLAIN":
+            opts["kafka.sasl.jaas.config"] = (
+                "org.apache.kafka.common.security.plain.PlainLoginModule "
+                f'required username="{self.username}" '
+                f'password="{self.password}";'
+            )
+        elif self.mechanism == "OAUTHBEARER":
+            opts["kafka.sasl.login.callback.handler.class"] = (
+                "org.apache.kafka.common.security.oauthbearer."
+                "secured.OAuthBearerLoginCallbackHandler"
+            )
+        return opts
+
+
+class SchemaRegistryConfig(EnvConfigBase):
+    """reference fluvii/components/schema_registry/config.py."""
+
+    env_prefix: ClassVar[str] = "FLUVII_SPARK_SR_"
+
+    url: str = "http://localhost:8081"
+    username: str | None = None
+    password: str | None = None

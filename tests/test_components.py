@@ -1,0 +1,253 @@
+"""Unit tests: serde (wire format, Avro codec, SR client), config
+precedence (mirroring reference tests/unit/test_consumer_config.py),
+toolbox declarative sync, murmur3 parity, metrics gauges."""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import pytest
+
+from fluvii_spark.config import AuthConfig, ConsumerConfig
+from fluvii_spark.io.kafka import murmur3_32, offsets_json
+from fluvii_spark.serde.avro_codec import AvroCodec
+from fluvii_spark.serde.registry import SchemaRegistryClient
+from fluvii_spark.serde.wire import frame_header, parse_frame
+from fluvii_spark.toolbox import Toolbox
+
+# ---------------------------------------------------------------------------
+# wire format
+# ---------------------------------------------------------------------------
+
+
+def test_frame_roundtrip():
+    body = b"\x02\x06foo"
+    framed = frame_header(1234) + body
+    sid, got = parse_frame(framed)
+    assert sid == 1234
+    assert got == body
+    assert framed[0] == 0
+    assert struct.unpack(">I", framed[1:5])[0] == 1234
+
+
+def test_parse_frame_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_frame(b"\x01\x00\x00\x00\x01x")
+    with pytest.raises(ValueError):
+        parse_frame(b"\x00\x00")
+
+
+# ---------------------------------------------------------------------------
+# avro codec
+# ---------------------------------------------------------------------------
+
+
+def test_avro_string_known_bytes():
+    # Avro binary string = zigzag length + utf8: "abc" -> 0x06 'a' 'b' 'c'
+    assert AvroCodec("string").encode("abc") == b"\x06abc"
+    assert AvroCodec("string").decode(b"\x06abc") == "abc"
+
+
+def test_avro_zigzag_longs():
+    c = AvroCodec("long")
+    for v in (0, -1, 1, -2, 2, 63, -64, 64, 2**40, -(2**40)):
+        assert c.decode(c.encode(v)) == v
+    # spec examples: 0->0x00, -1->0x01, 1->0x02, 2->0x04
+    assert c.encode(0) == b"\x00"
+    assert c.encode(-1) == b"\x01"
+    assert c.encode(1) == b"\x02"
+    assert c.encode(2) == b"\x04"
+
+
+def test_avro_record_roundtrip():
+    schema = {
+        "type": "record",
+        "name": "Event",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "tags", "type": {"type": "map", "values": "string"}},
+            {"name": "vals", "type": {"type": "array", "items": "int"}},
+            {"name": "note", "type": ["null", "string"]},
+        ],
+    }
+    c = AvroCodec(schema)
+    rec = {
+        "id": 7,
+        "name": "héllo",
+        "score": 1.5,
+        "tags": {"a": "x", "b": "y"},
+        "vals": [1, -2, 3],
+        "note": None,
+    }
+    assert c.decode(c.encode(rec)) == rec
+    rec["note"] = "set"
+    assert c.decode(c.encode(rec)) == rec
+
+
+def test_avro_record_missing_field_raises():
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "a", "type": "long"}],
+    }
+    with pytest.raises(ValueError, match="missing field"):
+        AvroCodec(schema).encode({})
+
+
+# ---------------------------------------------------------------------------
+# schema registry client (fake transport)
+# ---------------------------------------------------------------------------
+
+
+def test_sr_client_register_and_fetch_cached():
+    calls = []
+
+    def transport(method, path, body=None):
+        calls.append((method, path))
+        if method == "POST":
+            return {"id": 42}
+        return {"schema": json.dumps({"type": "string"})}
+
+    sr = SchemaRegistryClient("http://sr:8081", transport=transport)
+    sid = sr.register("t-value", {"type": "string"})
+    assert sid == 42
+    assert sr.register("t-value", {"type": "string"}) == 42  # cached
+    assert sr.get_schema(42) == {"type": "string"}
+    sr.get_schema(42)  # cached
+    assert calls == [
+        ("POST", "/subjects/t-value/versions"),
+        ("GET", "/schemas/ids/42"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# config precedence (reference tests/unit/test_consumer_config.py:7-40)
+# ---------------------------------------------------------------------------
+
+
+def test_config_defaults():
+    c = ConsumerConfig()
+    assert c.bootstrap_servers == "localhost:9092"
+    assert c.starting_offsets == "earliest"
+
+
+def test_config_env_override(monkeypatch):
+    monkeypatch.setenv("FLUVII_SPARK_CONSUMER_BOOTSTRAP_SERVERS", "k:9093")
+    assert ConsumerConfig().bootstrap_servers == "k:9093"
+
+
+def test_config_arg_beats_env(monkeypatch):
+    monkeypatch.setenv("FLUVII_SPARK_CONSUMER_BOOTSTRAP_SERVERS", "k:9093")
+    assert ConsumerConfig(bootstrap_servers="arg:1").bootstrap_servers == "arg:1"
+
+
+def test_config_dotenv(monkeypatch, tmp_path):
+    p = tmp_path / ".env"
+    p.write_text("FLUVII_SPARK_CONSUMER_STARTING_OFFSETS=latest\n")
+    monkeypatch.setenv("FLUVII_SPARK_CONFIG_DOTENV", str(p))
+    assert ConsumerConfig().starting_offsets == "latest"
+    # env beats dotenv
+    monkeypatch.setenv("FLUVII_SPARK_CONSUMER_STARTING_OFFSETS", "earliest")
+    assert ConsumerConfig().starting_offsets == "earliest"
+
+
+def test_auth_plain_client_options():
+    a = AuthConfig(mechanism="PLAIN", username="u", password="p")
+    opts = a.as_spark_options()
+    assert opts["kafka.sasl.mechanism"] == "PLAIN"
+    assert 'username="u"' in opts["kafka.sasl.jaas.config"]
+    assert AuthConfig(mechanism=None).as_spark_options() == {}
+
+
+# ---------------------------------------------------------------------------
+# offsets / partitioner parity
+# ---------------------------------------------------------------------------
+
+
+def test_offsets_json():
+    s = offsets_json({"t": {0: 100, 2: "earliest", 3: "latest"}})
+    assert json.loads(s) == {"t": {"0": 100, "2": -2, "3": -1}}
+    with pytest.raises(ValueError):
+        offsets_json({"t": "earliest"})
+
+
+def test_murmur3_known_vectors():
+    # published murmur3_x86_32 vectors (seed 0), signed like mmh3.hash
+    assert murmur3_32(b"") == 0
+    assert murmur3_32(b"hello") == 613153351
+    assert murmur3_32(b"a") == 1009084850
+    assert murmur3_32(b"abc") == -1277324294
+    # partitioning is non-negative via python modulo even for negative hashes
+    assert murmur3_32(b"abc") % 12 >= 0
+
+
+# ---------------------------------------------------------------------------
+# toolbox (A1-A5 semantics with a fake admin)
+# ---------------------------------------------------------------------------
+
+
+class FakeAdmin:
+    def __init__(self, topics=None):
+        self.topics = dict(topics or {})
+
+    def list_topics(self):
+        return dict(self.topics)
+
+    def create_topic(self, name, partitions, replication, config):
+        self.topics[name] = {"partitions": partitions, "config": dict(config)}
+
+    def delete_topic(self, name):
+        del self.topics[name]
+
+    def alter_topic_config(self, name, config):
+        self.topics[name]["config"] = dict(config)
+
+
+def test_toolbox_create_skips_existing():
+    admin = FakeAdmin({"a": {"partitions": 1, "config": {}}})
+    tb = Toolbox(admin)
+    created = tb.create_topics({"a": {"partitions": 3}, "b": {"partitions": 2}})
+    assert created == ["b"]
+    assert admin.topics["a"]["partitions"] == 1  # untouched
+    with pytest.raises(ValueError):
+        tb.create_topics({"a": {}}, ignore_existing_topics=False)
+
+
+def test_toolbox_delete_ignores_missing():
+    admin = FakeAdmin({"a": {"partitions": 1, "config": {}}})
+    tb = Toolbox(admin)
+    assert tb.delete_topics(["a", "zz"]) == ["a"]
+    with pytest.raises(ValueError):
+        tb.delete_topics(["zz"], ignore_missing=False)
+
+
+def test_toolbox_alter_retains_configs():
+    admin = FakeAdmin(
+        {"a": {"partitions": 1, "config": {"retention.ms": "1", "x": "y"}}}
+    )
+    tb = Toolbox(admin)
+    tb.alter_topics({"a": {"retention.ms": "9"}})
+    assert admin.topics["a"]["config"] == {"retention.ms": "9", "x": "y"}
+
+
+def test_toolbox_sync_declarative():
+    admin = FakeAdmin(
+        {
+            "keep": {"partitions": 1, "config": {}},
+            "extra": {"partitions": 1, "config": {}},
+        }
+    )
+    tb = Toolbox(admin)
+    result = tb.sync_topics(
+        {"keep": {"cleanup.policy": "compact"}, "new": {"partitions": 2}}
+    )
+    assert result == {
+        "created": ["new"],
+        "deleted": ["extra"],
+        "altered": ["keep"],
+    }
+    assert set(admin.topics) == {"keep", "new"}
+    assert admin.topics["keep"]["config"]["cleanup.policy"] == "compact"
