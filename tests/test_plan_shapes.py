@@ -1,0 +1,102 @@
+"""Physical-plan assertions: the 100 TB discipline, enforced in CI.
+
+Correctness tests prove the answer; these prove the *plan* — that filters
+and projections reach the parquet scan, small dimensions broadcast instead
+of shuffling, aggregates have map-side partial phases, and nothing plans a
+cartesian product. A regression here is a performance bug even when results
+stay right (SURVEY.md §7: "100 TB design discipline").
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fluvii_spark.queries import registry
+
+
+def plan(spark, sf_dir, name: str) -> str:
+    df = registry()[name].fn(spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def explain(spark, sf_dir):
+    def _explain(name: str) -> str:
+        return plan(spark, sf_dir, name)
+
+    return _explain
+
+
+def test_projection_prunes_scan(explain):
+    """q01 selects 2 of 7 lineitem columns — the scan must read only those."""
+    p = explain("q01_scan_project")
+    scan = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert scan, p
+    assert "l_orderkey" in scan[0] and "l_quantity" in scan[0]
+    assert "l_extendedprice" not in scan[0], "scan reads pruned columns"
+
+
+def test_filter_pushdown_reaches_parquet(explain):
+    """q02's range predicates must appear as PushedFilters on the scan."""
+    p = explain("q02_filter")
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed, p
+    line = pushed[0]
+    assert "l_shipdate" in line and "l_discount" in line, line
+    assert "IsNotNull" in line or "GreaterThan" in line, line
+
+
+def test_agg_has_partial_phase(explain):
+    """q03 must plan partial (map-side) + final hash aggregation."""
+    p = explain("q03_agg_pricing_summary")
+    assert "HashAggregate" in p
+    # formatted plans show two HashAggregate nodes per grouping: partial+final
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_broadcast_join_for_dimensions(explain):
+    """q11 pins broadcasts; q07 should also broadcast small dims via AQE/
+    threshold — neither may plan a SortMergeJoin for region/nation."""
+    p11 = explain("q11_join_broadcast")
+    assert "BroadcastHashJoin" in p11, p11
+    p07 = explain("q07_join_multi")
+    assert "BroadcastHashJoin" in p07, p07
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """No inventory query may plan CartesianProduct or BroadcastNestedLoop
+    with an always-true condition (the similarity ops were rewritten to
+    avoid exactly this)."""
+    bad = []
+    for name in registry():
+        p = plan(spark, sf_dir, name)
+        if "CartesianProduct" in p:
+            bad.append((name, "CartesianProduct"))
+    assert not bad, bad
+
+
+def test_topk_plans_take_ordered(explain):
+    """orderBy().limit() must plan TakeOrderedAndProject, not a global sort."""
+    p = explain("q18_topk")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_semi_anti_join_operators(explain):
+    for name, op in [
+        ("q09_join_semi", "LeftSemi"),
+        ("q10_join_anti", "LeftAnti"),
+    ]:
+        p = explain(name)
+        assert op in p, f"{name}: expected {op}\n{p}"
+
+
+def test_whole_stage_codegen_on_hot_paths(explain):
+    """The scan→filter pipeline must run inside whole-stage codegen
+    (formatted plans tag compiled operators with ``[codegen id : N]``).
+    AQE-wrapped plans (anything with an Exchange) only materialize codegen
+    ids at execution, so this asserts on the exchange-free pipeline; the agg
+    partial/final shape is covered separately."""
+    p = explain("q02_filter")
+    assert "codegen id" in p, f"q02_filter lost codegen\n{p}"
