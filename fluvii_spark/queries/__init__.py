@@ -50,6 +50,6 @@ def register(
 
 def registry() -> dict[str, Query]:
     # import side-effect populates _REGISTRY
-    from fluvii_spark.queries import llm, relational  # noqa: F401
+    from fluvii_spark.queries import llm, relational, relational_ext  # noqa: F401
 
     return dict(_REGISTRY)
