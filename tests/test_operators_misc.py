@@ -1,0 +1,217 @@
+"""Tests: multimodal plumbing, approx aggregates (tolerance-bounded),
+Python UDTFs, streaming joins (stream-static and watermarked
+stream-stream)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluvii_spark.io.readers import load_table, load_tables
+from fluvii_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    media_from_documents,
+)
+from fluvii_spark.operators.udtf_ops import register_udtfs
+from fluvii_spark.streaming.joins import stream_static_join, stream_stream_join
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    media = media_from_documents(load_tables(spark, sf_dir).documents)
+    feats = extract_features(media, n_features=8)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == media.count()
+    # fixed width, [0,1) floats, deterministic across runs
+    again = {r["media_id"]: r for r in extract_features(media, 8).collect()}
+    some = next(iter(rows))
+    assert len(rows[some]["features"]) == 8
+    assert all(0.0 <= x < 1.0 for x in rows[some]["features"])
+    assert rows[some]["features"] == again[some]["features"]
+    assert rows[some]["sha256"] == again[some]["sha256"]
+    # byte accounting matches the metadata the plan carries
+    media_meta = {r["media_id"]: r["meta"]["n_bytes"] for r in media.collect()}
+    assert rows[some]["n_bytes"] == media_meta[some]
+
+
+def test_multimodal_decode_gate(spark, sf_dir, monkeypatch):
+    monkeypatch.setenv("FLUVII_SPARK_FAKE_DECODE", "0")
+    from fluvii_spark.operators.multimodal import _decode_features
+
+    with pytest.raises(NotImplementedError, match="codecs"):
+        _decode_features(b"xx", "image")
+
+
+def test_frame_sample_cardinality(spark, sf_dir):
+    media = media_from_documents(
+        load_tables(spark, sf_dir).documents.limit(10), kind="video"
+    )
+    frames = frame_sample(media, every_ms=250)
+    # duration 1000ms, every 250ms -> offsets 0,250,500,750 = 4 per video
+    assert frames.count() == 40
+    offs = sorted(
+        r["frame_ms"]
+        for r in frames.filter(F.col("media_id") == frames.first()["media_id"]).collect()
+    )
+    assert offs == [0, 250, 500, 750]
+
+
+# ---------------------------------------------------------------------------
+# approx aggregates (SURVEY §2.3: tolerance-checked, not hash-matched)
+# ---------------------------------------------------------------------------
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    li = load_tables(spark, sf_dir).lineitem
+    exact = li.select("l_partkey").distinct().count()
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a")
+    ).collect()[0]["a"]
+    assert abs(approx - exact) / exact < 0.06  # 3× the configured rsd
+
+
+def test_approx_percentile_brackets_exact(spark, sf_dir):
+    li = load_tables(spark, sf_dir).lineitem
+    got = li.agg(
+        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("p")
+    ).collect()[0]["p"]
+    exact = li.selectExpr(
+        "percentile(l_quantity, array(0.25, 0.5, 0.75)) AS p"
+    ).collect()[0]["p"]
+    for a, e in zip(got, exact):
+        assert abs(a - e) <= 1.0  # quantity is integral 1..50
+
+
+# ---------------------------------------------------------------------------
+# UDTF
+# ---------------------------------------------------------------------------
+
+
+def test_udtf_split_sentences(spark):
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT s.* FROM VALUES ('One two. Three! Four?') t(txt), "
+        "LATERAL split_sentences(txt) s"
+    ).collect()
+    assert [(r["sentence"], r["n_tokens"]) for r in rows] == [
+        ("One two", 2),
+        ("Three", 1),
+        ("Four", 1),
+    ]
+
+
+def test_udtf_explode_kv(spark):
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT s.* FROM VALUES ('a=1;b=2; c = 3') t(txt), LATERAL explode_kv(txt) s"
+    ).collect()
+    assert {(r["k"], r["v"]) for r in rows} == {("a", "1"), ("b", "2"), ("c", "3")}
+
+
+# ---------------------------------------------------------------------------
+# streaming joins
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def events_stream_dir(spark, sf_dir, tmp_path):
+    d = str(tmp_path / "ev")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev.repartition(2).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _stream(spark, d):
+    schema = spark.read.parquet(d).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+
+
+def test_stream_static_join_enrich(spark, events_stream_dir, tmp_path):
+    spark_dim = spark.createDataFrame(
+        [("click", "ui"), ("purchase", "money"), ("view", "ui")],
+        "event_type STRING, category STRING",
+    )
+    joined = stream_static_join(
+        _stream(spark, events_stream_dir), spark_dim, ["event_type"], "inner"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .outputMode("append")
+        .queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "c1"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT count(*) c FROM ss_join").collect()[0]["c"]
+    expected = (
+        spark.read.parquet(events_stream_dir)
+        .join(spark_dim, "event_type")
+        .count()
+    )
+    assert got == expected > 0
+
+
+def test_stream_stream_join_watermarked(spark, events_stream_dir, tmp_path):
+    """Self-join the stream: even-id events joined to odd-id
+    events of the same user within ±1 hour — the classic correlated-activity
+    join; result must equal the equivalent batch join."""
+    a = _stream(spark, events_stream_dir)
+    b = _stream(spark, events_stream_dir)
+    left = a.filter("event_id % 2 = 0").select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_event"),
+        F.col("ts").alias("l_ts"),
+    )
+    right = b.filter("event_id % 2 = 1").select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event"),
+        F.col("ts").alias("r_ts"),
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+    )
+    # delay must cover the full event-time span here: the staged files are
+    # not time-ordered, so a short watermark would (correctly) drop the
+    # later file's older rows as late — that semantic is exercised by the
+    # dedup/window tests; this test checks join completeness.
+    joined = stream_stream_join(
+        left, "l_ts", "4000 hours", right, "r_ts", "4000 hours", cond
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .outputMode("append")
+        .queryName("ss2_join")
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT count(*) c FROM ss2_join").collect()[0]["c"]
+
+    ev = spark.read.parquet(events_stream_dir)
+    la = ev.filter("event_id % 2 = 0").select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts")
+    )
+    rb = ev.filter("event_id % 2 = 1").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts")
+    )
+    expected = la.join(
+        rb,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+    ).count()
+    assert got == expected > 0
