@@ -162,19 +162,22 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q08_join_left_missing",
     """
-    SELECT c.c_custkey, c.c_name
-    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-    WHERE o.o_orderkey IS NULL
+    SELECT o.o_orderkey, o.o_orderstatus
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_orderkey IS NULL
     """,
-    "left outer join → null-probe filter (customers with zero orders)",
+    "left outer join → null-probe filter (orders with zero lineitems — "
+    "non-empty in the testdata, so the outer path is actually exercised)",
     ("relational", "join"),
 )
 def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return (
-        t.customer.join(t.orders, t.customer.c_custkey == t.orders.o_custkey, "left")
-        .filter(F.col("o_orderkey").isNull())
-        .select("c_custkey", "c_name")
+        t.orders.join(
+            t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey, "left"
+        )
+        .filter(F.col("l_orderkey").isNull())
+        .select("o_orderkey", "o_orderstatus")
     )
 
 
@@ -197,17 +200,17 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q10_join_anti",
     """
-    SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    SELECT o_orderkey, o_orderstatus FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
     """,
-    "left-anti join (NOT EXISTS)",
+    "left-anti join (NOT EXISTS; orders without lineitems — non-empty)",
     ("relational", "join"),
 )
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return t.customer.join(
-        t.orders, t.customer.c_custkey == t.orders.o_custkey, "leftanti"
-    ).select("c_custkey", "c_name")
+    return t.orders.join(
+        t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey, "leftanti"
+    ).select("o_orderkey", "o_orderstatus")
 
 
 @register(

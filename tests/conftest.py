@@ -15,8 +15,19 @@ SF_DIR = os.environ.get("FLUVII_SPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_session("fluvii-spark-tests", master="local[8]", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_session(
+        "fluvii-spark-tests",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": warehouse,
+            "javax.jdo.option.ConnectionURL": (
+                f"jdbc:derby:;databaseName={warehouse}/metastore_db;create=true"
+            ),
+        },
+    )
     yield s
 
 
