@@ -133,6 +133,8 @@ def streaming_keyed_fold(
     output_schema: StructType | str,
     order_by: list[str] | None = None,
     initial_state: Any = None,
+    timeout_ms: int | None = None,
+    on_timeout: Callable[[Any, Any], tuple[Any, list[dict]]] | None = None,
 ) -> DataFrame:
     """Run ``app_function`` per message with durable per-key state.
 
@@ -145,6 +147,13 @@ def streaming_keyed_fold(
     State envelope: one JSON string per key — the reference's "any json
     value" contract (sqlite.py:96). ``state.exists`` distinguishes absent
     keys; explicit deletes remove the entry.
+
+    **State expiry** (no reference counterpart — its SQLite tables grow
+    forever): pass ``timeout_ms`` to arm a processing-time timer per key;
+    when a key sees no input for that long, ``on_timeout(key, state) ->
+    (new_state | None, rows)`` runs at the next trigger — return ``None``
+    state to drop the key (bounded state at 100 TB), and rows to emit a
+    final record (session-close semantics).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -157,16 +166,25 @@ def streaming_keyed_fold(
             st = initial_state
         k = key[0] if len(key) == 1 else key
         out_rows: list[dict] = []
-        for pdf in pdfs:
-            st, produced = _fold_rows(
-                k, _sorted_records(pdf, order_by), st, app_function
+        if timeout_ms is not None and state.hasTimedOut:
+            new_state, rows = (
+                on_timeout(k, st) if on_timeout else (None, [])
             )
-            out_rows.extend(produced)
+            out_rows.extend(rows)
+            st = new_state
+        else:
+            for pdf in pdfs:
+                st, produced = _fold_rows(
+                    k, _sorted_records(pdf, order_by), st, app_function
+                )
+                out_rows.extend(produced)
         if st is None:
             if state.exists:
                 state.remove()
         else:
             state.update((json.dumps(st),))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
         if out_rows:
             yield pd.DataFrame(out_rows)
 
@@ -175,7 +193,11 @@ def streaming_keyed_fold(
         outputStructType=output_schema,
         stateStructType="state STRING",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
