@@ -3,21 +3,29 @@
 Covers the schema subset the reference actually exercises (SURVEY.md §1.2:
 record of primitives, map<string,string>, arrays, unions-with-null — schemas
 are plain dicts passed straight to confluent-kafka, e.g.
-``fluvii/components/producer/producer.py:95-134``). Used on the Python side
-of Arrow-batched UDFs when the spark-avro jar is not deployed, and for
-driver-side produce/dump tooling. No external avro dependency.
+``fluvii/components/producer/producer.py:95-134``) plus the logical types
+from the SURVEY type-mapping table (decimal / date / timestamp-millis /
+timestamp-micros / uuid). Used on the Python side of Arrow-batched UDFs when
+the spark-avro jar is not deployed, and for driver-side produce/dump
+tooling. No external avro dependency.
 
 Spec: Avro 1.11 binary encoding — zigzag-varint longs, length-prefixed
-strings/bytes, block-encoded arrays/maps, union-index prefix.
+strings/bytes, block-encoded arrays/maps, union-index prefix; logical types
+annotate the underlying primitive encoding.
 """
 
 from __future__ import annotations
 
+import datetime as dt
+import decimal
 import io
 import struct
 from typing import Any
 
 _PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+_EPOCH = dt.date(1970, 1, 1)
+_EPOCH_DT = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
 
 
 def _zigzag_encode(n: int) -> bytes:
@@ -67,6 +75,8 @@ class AvroCodec:
             idx = self._union_branch(schema, value)
             buf.write(_zigzag_encode(idx))
             self._write(schema[idx], value, buf)
+        elif "logicalType" in schema and schema["type"] in _PRIMITIVES:
+            self._write_logical(schema, value, buf)
         elif schema["type"] == "record":
             for field in schema["fields"]:
                 try:
@@ -120,6 +130,51 @@ class AvroCodec:
         else:
             raise NotImplementedError(f"unsupported primitive: {t!r}")
 
+    def _write_logical(self, schema: dict, value: Any, buf: io.BytesIO) -> None:
+        lt, base = schema["logicalType"], schema["type"]
+        if lt == "decimal" and base == "bytes":
+            scale = int(schema.get("scale", 0))
+            if not isinstance(value, decimal.Decimal):
+                value = decimal.Decimal(str(value))
+            unscaled = int(
+                value.scaleb(scale).to_integral_value(rounding=decimal.ROUND_HALF_UP)
+            )
+            nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+            raw = unscaled.to_bytes(nbytes, "big", signed=True)
+            self._write_primitive("bytes", raw, buf)
+        elif lt == "date" and base == "int":
+            days = (value - _EPOCH).days if isinstance(value, dt.date) else int(value)
+            self._write_primitive("int", days, buf)
+        elif lt in ("timestamp-millis", "timestamp-micros") and base == "long":
+            if isinstance(value, dt.datetime):
+                if value.tzinfo is None:
+                    value = value.replace(tzinfo=dt.timezone.utc)
+                delta = value - _EPOCH_DT
+                micros = (delta.days * 86_400_000_000
+                          + delta.seconds * 1_000_000 + delta.microseconds)
+                value = micros // 1000 if lt == "timestamp-millis" else micros
+            self._write_primitive("long", int(value), buf)
+        elif lt == "uuid" and base == "string":
+            self._write_primitive("string", str(value), buf)
+        else:
+            # unknown logical type: per Avro spec, fall back to the base type
+            self._write_primitive(base, value, buf)
+
+    def _read_logical(self, schema: dict, buf: io.BytesIO) -> Any:
+        lt, base = schema["logicalType"], schema["type"]
+        raw = self._read_primitive(base, buf)
+        if lt == "decimal" and base == "bytes":
+            scale = int(schema.get("scale", 0))
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return decimal.Decimal(unscaled).scaleb(-scale)
+        if lt == "date" and base == "int":
+            return _EPOCH + dt.timedelta(days=raw)
+        if lt == "timestamp-millis" and base == "long":
+            return _EPOCH_DT + dt.timedelta(milliseconds=raw)
+        if lt == "timestamp-micros" and base == "long":
+            return _EPOCH_DT + dt.timedelta(microseconds=raw)
+        return raw
+
     def _union_branch(self, union: list, value: Any) -> int:
         for i, branch in enumerate(union):
             t = branch if isinstance(branch, str) else branch.get("type")
@@ -159,6 +214,8 @@ class AvroCodec:
         if isinstance(schema, list):
             idx = _zigzag_decode(buf)
             return self._read(schema[idx], buf)
+        if "logicalType" in schema and schema["type"] in _PRIMITIVES:
+            return self._read_logical(schema, buf)
         t = schema["type"]
         if t == "record":
             return {
