@@ -41,6 +41,11 @@ def main() -> None:
     qs = registry()
     timings: dict[str, float] = {}
 
+    # warm the JVM/codegen/file-index paths so timings measure queries, not
+    # session startup (a cluster amortizes this over its lifetime)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).collect()
+
     def run_one(name: str) -> None:
         t0 = time.perf_counter()
         try:

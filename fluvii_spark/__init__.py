@@ -8,13 +8,14 @@ surface (joins/aggs/windows/set-ops/scalar functions) and LLM-data-pipeline
 operators (dedup, similarity search, text analysis, multimodal columns)
 designed for 100 TB scale.
 
-Layout:
-  session      SparkSession factory with scale-tuned defaults
-  io           batch readers/writers (parquet/json/csv + testdata loader)
-  kafka        Confluent wire-format Avro serde, mmh3 partitioner, admin toolbox
-  operators    relational / dedup / similarity / text / multimodal operators
-  streaming    stateful table-app (applyInPandasWithState), windows, watermark
-  queries      the declared query inventory (SURVEY.md §2.3) + duckdb oracles
+Public API (lazy — submodules import only what they need):
+
+    from fluvii_spark import get_session, load_tables
+    from fluvii_spark.streaming import TableApp, MapApp, TableTransaction
+    from fluvii_spark.queries import registry
 """
+
+from fluvii_spark.session import apply_runtime_confs, get_session  # noqa: F401
+from fluvii_spark.io.readers import load_table, load_tables  # noqa: F401
 
 __version__ = "0.1.0"

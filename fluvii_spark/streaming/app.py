@@ -106,6 +106,14 @@ class MapApp(_AppBase):
         return self._transform(self._source)
 
 
+class MultiMessageApp(MapApp):
+    """T2 parity name (reference ``FluviiMultiMessageApp``,
+    fluvii/apps/fluvii_multi_msg_app.py:13-21): the reference collects a
+    batch and calls the app function once with all messages; in Spark the
+    transform already receives whole micro-batches, so this IS ``MapApp`` —
+    the alias exists so reference users find the concept."""
+
+
 class TableApp(_AppBase):
     """Stateful keyed fold (reference ST1-ST7): the "tabling" app.
 
