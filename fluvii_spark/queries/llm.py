@@ -176,6 +176,19 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(t.embeddings, query_id=0, dims=64, k=5)
 
 
+@register(
+    "q57_ann_ivf_topk",
+    None,  # iterative k-means → not SQL-expressible; rows-only driver check,
+    # recall/pruning/determinism asserted in tests/test_ivf.py
+    "IVF ANN: deterministic mini-k-means inverted lists, probe the 4 "
+    "closest of 8 lists, exact cosine within probed lists",
+    ("llm", "similarity", "ann"),
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return S.ivf_topk(t.embeddings, query_id=0, k=5, n_lists=8, n_probe=4)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
