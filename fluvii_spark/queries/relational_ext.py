@@ -305,6 +305,55 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q58_session_windows",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessioned AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS span_s
+    FROM sessioned
+    GROUP BY user_id, session_no
+    """,
+    "session windows (30-min gap) in batch form; Spark uses the native "
+    "session_window operator, the oracle derives identical sessions via "
+    "gaps-and-islands (lag + running sum) — same window semantics, so "
+    "per-session event counts and spans hash-match",
+    ("relational", "window", "session"),
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t.events
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_timestamp(F.max("ts")).alias("_max"),
+            F.unix_timestamp(F.min("ts")).alias("_min"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("session_window.start"))
+    return sess.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("session_no"),
+        "n_events",
+        (F.col("_max") - F.col("_min")).cast("bigint").alias("span_s"),
+    )
+
+
+@register(
     "q56_collect_sorted",
     """
     SELECT n_nationkey,

@@ -1,0 +1,106 @@
+"""Metrics listener against a live streaming query + property-based Avro
+codec roundtrips (hypothesis)."""
+
+from __future__ import annotations
+
+import time
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fluvii_spark.io.readers import load_table
+from fluvii_spark.metrics import GaugeSet, FluviiMetricsListener
+from fluvii_spark.serde.avro_codec import AvroCodec
+
+# ---------------------------------------------------------------------------
+# metrics listener on a real query
+# ---------------------------------------------------------------------------
+
+
+def test_metrics_listener_counts_consumed(spark, sf_dir, tmp_path):
+    gauges = GaugeSet("test-app")
+    listener = FluviiMetricsListener(gauges)
+    spark.streams.addListener(listener)
+    try:
+        d = str(tmp_path / "ev")
+        load_table(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(2).write.parquet(d)
+        schema = spark.read.parquet(d).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        q = (
+            src.writeStream.format("memory")
+            .outputMode("append")
+            .queryName("metrics_probe")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        total = spark.read.parquet(d).count()
+        # listener events are delivered asynchronously
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if gauges.get("messages_consumed") >= total:
+                break
+            time.sleep(0.25)
+        assert gauges.get("messages_consumed") == total
+    finally:
+        spark.streams.removeListener(listener)
+
+
+# ---------------------------------------------------------------------------
+# property-based codec roundtrips
+# ---------------------------------------------------------------------------
+
+RECORD_SCHEMA = {
+    "type": "record",
+    "name": "P",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "i", "type": "long"},
+        {"name": "d", "type": "double"},
+        {"name": "b", "type": "boolean"},
+        {"name": "maybe", "type": ["null", "string"]},
+        {"name": "tags", "type": {"type": "array", "items": "long"}},
+        {"name": "attrs", "type": {"type": "map", "values": "string"}},
+    ],
+}
+
+_text = st.text(max_size=80)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    s=_text,
+    i=st.integers(min_value=-(2**62), max_value=2**62),
+    d=st.floats(allow_nan=False, allow_infinity=False, width=64),
+    b=st.booleans(),
+    maybe=st.none() | _text,
+    tags=st.lists(st.integers(min_value=-(2**31), max_value=2**31), max_size=8),
+    attrs=st.dictionaries(_text.filter(bool), _text, max_size=6),
+)
+def test_avro_record_roundtrip_property(s, i, d, b, maybe, tags, attrs):
+    c = AvroCodec(RECORD_SCHEMA)
+    rec = {
+        "s": s,
+        "i": i,
+        "d": d,
+        "b": b,
+        "maybe": maybe,
+        "tags": tags,
+        "attrs": attrs,
+    }
+    assert c.decode(c.encode(rec)) == rec
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_avro_long_roundtrip_property(v):
+    c = AvroCodec("long")
+    assert c.decode(c.encode(v)) == v
