@@ -55,17 +55,22 @@ N_BANDS = 4
 ROWS_PER_BAND = 4
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles, one row per (doc, shingle)."""
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles, one row per (doc, shingle).
+
+    ``distinct=True`` (set semantics — what Jaccard needs) costs a
+    key-partitioned shuffle; min-aggregations (MinHash) are duplicate-
+    insensitive and skip it.
+    """
     toks = f"split({text_col}, ' ')"
     shingle_arr = (
         f"transform(sequence(0, size({toks}) - {n}),"
         f" i -> concat_ws(' ', slice({toks}, i + 1, {n})))"
     )
-    return (
-        df.select(id_col, F.explode(F.expr(shingle_arr)).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
-    )
+    out = df.select(id_col, F.explode(F.expr(shingle_arr)).alias("shingle"))
+    return out.dropDuplicates([id_col, "shingle"]) if distinct else out
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -152,7 +157,8 @@ def minhash_signatures_wide(
     and no ×n_perms row replication (the naive explode-per-perm plan
     shuffles 16× the data for the same answer).
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    # duplicate shingles can't change a min — skip the distinct shuffle
+    sh = word_shingles(df, id_col, text_col, n, distinct=False)
     h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
