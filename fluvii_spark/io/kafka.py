@@ -343,17 +343,23 @@ def dump_topics_to_json(
     bootstrap_servers: str,
     consume_topics_dict: dict,
     path: str,
+    transform_function=None,
     extra_options: dict[str, str] | None = None,
 ) -> None:
     """S4: bounded read of whole topics → JSON files (CLI ``topics consume``,
-    ``fluvii/cli/commands/topics.py:85-97``)."""
+    ``fluvii/cli/commands/topics.py:85-97``). ``transform_function``
+    (DataFrame → DataFrame) mirrors the reference's optional dump transform
+    (``fluvii_toolbox.py:231-234``)."""
     df = kafka_batch_reader(
         spark,
         bootstrap_servers,
         consume_topics_dict=consume_topics_dict,
         extra_options=extra_options,
     ).load()
-    normalized_messages(df).write.mode("overwrite").json(path)
+    out = normalized_messages(df)
+    if transform_function is not None:
+        out = transform_function(out)
+    out.write.mode("overwrite").json(path)
 
 
 def produce_from_json(

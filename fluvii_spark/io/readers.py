@@ -74,3 +74,10 @@ class Tables:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
     return Tables(spark, sf_dir)
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so users can
+    ``spark.sql(...)`` directly — the SQL front door to the engine."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

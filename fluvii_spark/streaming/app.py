@@ -79,6 +79,34 @@ class _AppBase:
         self._install_signals()
         q.awaitTermination()
 
+    def run_with_retries(
+        self,
+        max_restarts: int = 3,
+        backoff_seconds: float = 2.0,
+        _sleep=None,
+        **start_kwargs: Any,
+    ) -> None:
+        """Reference failure-triage loop (``fluvii_app.py:89-101``): on a
+        retriable failure the reference retries the commit; on Spark the
+        equivalent is restart-from-checkpoint, which replays the failed
+        micro-batch (same at-least-once-then-dedup window the reference
+        documents). Exceeding ``max_restarts`` re-raises — the fatal path."""
+        import time as _time
+
+        sleep = _sleep or _time.sleep
+        attempts = 0
+        self._install_signals()
+        while True:
+            q = self.start(**start_kwargs)
+            try:
+                q.awaitTermination()
+                return  # stopped cleanly (signal or caller)
+            except Exception:
+                attempts += 1
+                if attempts > max_restarts:
+                    raise
+                sleep(backoff_seconds * (2 ** (attempts - 1)))
+
 
 class MapApp(_AppBase):
     """Stateless per-message transform (reference T1/T2).

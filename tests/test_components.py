@@ -251,3 +251,53 @@ def test_toolbox_sync_declarative():
     }
     assert set(admin.topics) == {"keep", "new"}
     assert admin.topics["keep"]["config"]["cleanup.policy"] == "compact"
+
+
+# ---------------------------------------------------------------------------
+# lifecycle retries (L1 triage loop)
+# ---------------------------------------------------------------------------
+
+
+def test_run_with_retries_backoff_then_raise():
+    from fluvii_spark.streaming.app import _AppBase
+
+    class Boom(_AppBase):
+        def __init__(self):
+            super().__init__()
+            self.starts = 0
+
+        def start(self, **kw):
+            self.starts += 1
+
+            class Q:
+                isActive = False
+
+                def awaitTermination(self_inner):
+                    raise RuntimeError("transient")
+
+                def stop(self_inner):
+                    pass
+
+            return Q()
+
+    sleeps = []
+    app = Boom()
+    try:
+        app.run_with_retries(max_restarts=3, backoff_seconds=1.0, _sleep=sleeps.append)
+        raise AssertionError("should raise after retries exhausted")
+    except RuntimeError:
+        pass
+    assert app.starts == 4  # initial + 3 restarts
+    assert sleeps == [1.0, 2.0, 4.0]  # exponential backoff
+
+
+def test_register_temp_views(spark, sf_dir):
+    from fluvii_spark.io.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    n = spark.sql("SELECT count(*) c FROM lineitem").collect()[0]["c"]
+    assert n > 0
+    rev = spark.sql(
+        "SELECT r_name, count(*) n FROM region GROUP BY r_name"
+    ).count()
+    assert rev == 5
