@@ -24,11 +24,20 @@ from __future__ import annotations
 
 import json
 import struct
+import sys
 import uuid
 from typing import Any
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+try:  # ship this module's helpers (murmur3_32) by value to executors
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
 
 # ---------------------------------------------------------------------------
 # murmur3-32 (x86) — byte-parity with the reference's partitioner
@@ -79,7 +88,6 @@ def mmh3_partition_col(key_col: Column | str, num_partitions: int) -> Column:
     Python's ``%`` on a negative hash yields a non-negative partition —
     exactly what ``mmh3.hash(key) % partitions`` does in the reference.
     """
-    import pandas as pd
 
     @F.pandas_udf("int")
     def _part(s: pd.Series) -> pd.Series:

@@ -1,0 +1,130 @@
+"""Kafka message shaping without a broker: sink-side column preparation
+(guid header injection, header inheritance, mmh3 partition parity) and
+source-side normalization of Kafka-schema rows; AQE runtime coalescing."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from fluvii_spark.io.kafka import (
+    mmh3_partition_col,
+    murmur3_32,
+    normalized_messages,
+    prepare_kafka_output,
+)
+
+KAFKA_SCHEMA = StructType(
+    [
+        StructField("key", BinaryType()),
+        StructField("value", BinaryType()),
+        StructField("topic", StringType()),
+        StructField("partition", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField(
+            "headers",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("key", StringType()),
+                        StructField("value", BinaryType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _kafka_rows(spark, n=10):
+    import datetime as dt
+
+    rows = [
+        (
+            f"k{i}".encode(),
+            f"v{i}".encode(),
+            "t1",
+            i % 3,
+            i,
+            dt.datetime(2026, 1, 1, 0, 0, i),
+            [("trace", b"abc"), ("src", f"s{i}".encode())],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, KAFKA_SCHEMA)
+
+
+def test_normalized_messages_header_map(spark):
+    out = normalized_messages(_kafka_rows(spark)).collect()
+    assert len(out) == 10
+    r = next(x for x in out if x["offset"] == 3)
+    assert r["headers"] == {"trace": "abc", "src": "s3"}
+    assert bytes(r["key"]) == b"k3"
+
+
+def test_prepare_kafka_output_guid_and_inheritance(spark):
+    src = _kafka_rows(spark).select(
+        F.col("key").cast("string").alias("k"),
+        F.col("value").alias("v"),
+        F.col("headers").alias("h"),
+    )
+    shaped = prepare_kafka_output(
+        src,
+        value_col="v",
+        key_col="k",
+        headers_col="h",
+        topic="out_topic",
+        num_partitions_for_mmh3=12,
+    )
+    rows = shaped.collect()
+    assert set(shaped.columns) == {"key", "value", "headers", "topic", "partition"}
+    guids = set()
+    for r in rows:
+        hdr = {h["key"]: bytes(h["value"]) for h in r["headers"]}
+        # inherited headers survive (reference K2) + guid injected (K1)
+        assert "trace" in hdr and "src" in hdr and "guid" in hdr
+        guid = hdr["guid"].decode()
+        uuid.UUID(guid)  # parses
+        guids.add(guid)
+        # partition matches the reference's mmh3 partitioner
+        assert r["partition"] == murmur3_32(r["key"].encode("utf-8") if isinstance(r["key"], str) else bytes(r["key"])) % 12
+        assert r["topic"] == "out_topic"
+    assert len(guids) == len(rows)  # one fresh guid per message
+
+
+def test_mmh3_partition_col_matches_python(spark):
+    df = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(50)], "k STRING"
+    ).withColumn("p", mmh3_partition_col("k", 7))
+    for r in df.collect():
+        assert r["p"] == murmur3_32(r["k"].encode()) % 7
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    """After execution, AQE's runtime plan must show coalesced shuffle reads
+    for a small-output aggregation (32 static partitions would be waste)."""
+    from fluvii_spark.io.readers import load_tables
+
+    df = (
+        load_tables(spark, sf_dir)
+        .lineitem.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    df.collect()  # execute so AQE finalizes the plan
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "AQEShuffleRead" in plan, plan
+    assert "coalesced" in plan.lower(), plan
