@@ -1,0 +1,94 @@
+"""Opt-in scale stress (set FLUVII_SPARK_STRESS=1): a 10×-replicated corpus
+through the dedup/similarity pipelines. Catches quadratic candidate blow-ups
+and shuffle explosions that sf0.001 can't — the shapes that break at 100 TB.
+
+Replication: union the documents/embeddings tables K times with shifted ids
+(near-dup structure is preserved per replica, and every replica's text is
+identical to its source → exact-dup groups of size K appear — a harsher
+candidate load than the raw table)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluvii_spark.io.readers import load_tables
+from fluvii_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+
+STRESS = os.environ.get("FLUVII_SPARK_STRESS") == "1"
+pytestmark = pytest.mark.skipif(
+    not STRESS, reason="set FLUVII_SPARK_STRESS=1 to run scale stress"
+)
+
+K = 10
+
+
+def _replicated_docs(spark, sf_dir):
+    d = load_tables(spark, sf_dir).documents
+    n = d.count()
+    reps = [
+        d.select(
+            (F.col("doc_id") + i * n * 10).alias("doc_id"), "text"
+        )
+        for i in range(K)
+    ]
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    return out, n
+
+
+def test_minhash_lsh_scales_linearly_in_candidates(spark, sf_dir):
+    docs, n = _replicated_docs(spark, sf_dir)
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+    # every replica pair of the same source doc is an exact dup → at least
+    # C(K,2) * n_base_near_dup_groups pairs; and it must finish sanely
+    assert n_pairs >= (K * (K - 1) // 2), n_pairs
+    assert wall < 300, f"minhash-LSH blew up: {wall:.0f}s for {docs.count()} docs"
+
+
+def test_exact_dedup_group_sizes(spark, sf_dir):
+    docs, n = _replicated_docs(spark, sf_dir)
+    groups = exact_dedup(docs, ["text"], "doc_id")
+    sizes = groups.groupBy("n_copies").count().collect()
+    by_size = {r["n_copies"]: r["count"] for r in sizes}
+    # every base doc now has >= K exact copies (more if the base had dups)
+    assert all(s >= K for s in by_size)
+
+
+def test_embedding_gemm_bounded_shuffle(spark, sf_dir):
+    e = load_tables(spark, sf_dir).embeddings
+    n = e.count()
+    reps = [
+        e.select((F.col("vec_id") + i * n * 10).alias("vec_id"), "embedding")
+        for i in range(K)
+    ]
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    t0 = time.time()
+    n_pairs = embedding_near_dup_pairs(big, threshold=0.95, n_blocks=16).count()
+    wall = time.time() - t0
+    # identical replicas ⇒ each base vector forms C(K,2) cosine-1.0 pairs
+    assert n_pairs >= n * (K * (K - 1) // 2)
+    assert wall < 300, f"embedding GEMM blew up: {wall:.0f}s"
+
+
+def test_simhash_pairs_complete_under_replication(spark, sf_dir):
+    docs, n = _replicated_docs(spark, sf_dir)
+    t0 = time.time()
+    cnt = simhash_pairs(docs, max_hamming=0).count()
+    wall = time.time() - t0
+    assert cnt >= n * (K * (K - 1) // 2)
+    assert wall < 300, f"simhash blew up: {wall:.0f}s"
