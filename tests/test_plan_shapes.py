@@ -65,15 +65,27 @@ def test_broadcast_join_for_dimensions(explain):
     assert "BroadcastHashJoin" in p07, p07
 
 
+# one-row broadcast joins (query vector / scalar subquery) legitimately plan
+# BroadcastNestedLoopJoin — constant-size build side, intended
+_BNLJ_ALLOWED = {
+    "q30_cosine_topk",
+    "q39_ann_lsh_topk",
+    "q55_subquery_above_avg",
+    "q57_ann_ivf_topk",
+}
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir):
-    """No inventory query may plan CartesianProduct or BroadcastNestedLoop
-    with an always-true condition (the similarity ops were rewritten to
-    avoid exactly this)."""
+    """No inventory query may plan CartesianProduct, and nested-loop joins
+    are allowed only for intended one-row broadcasts (the similarity ops
+    were rewritten to avoid exactly this class of plan)."""
     bad = []
     for name in registry():
         p = plan(spark, sf_dir, name)
         if "CartesianProduct" in p:
             bad.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in p and name not in _BNLJ_ALLOWED:
+            bad.append((name, "BroadcastNestedLoopJoin"))
     assert not bad, bad
 
 
