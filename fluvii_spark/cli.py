@@ -32,7 +32,10 @@ def topics(ctx: click.Context, bootstrap_servers: str) -> None:
 def _toolbox(ctx: click.Context):
     from fluvii_spark.toolbox import Toolbox, confluent_admin
 
-    return Toolbox(confluent_admin(ctx.obj["bootstrap_servers"]))
+    try:
+        return Toolbox(confluent_admin(ctx.obj["bootstrap_servers"]))
+    except RuntimeError as e:
+        raise click.ClickException(str(e)) from e
 
 
 def _read_config(config_json: str | None) -> dict:

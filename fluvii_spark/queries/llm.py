@@ -336,6 +336,52 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q59_tfidf_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df, SUM(tf) AS total_tf FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT term,
+           CAST(df AS BIGINT) AS df,
+           total_tf * (n_docs - df + 0.5) / (df + 0.5) AS score
+    FROM df, n
+    ORDER BY score DESC, term
+    LIMIT 10
+    """,
+    "corpus TF-IDF (BM25-style rational idf — no libm, cross-engine exact): "
+    "distinctive-term extraction for training-data curation",
+    ("llm", "text"),
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    n_docs = t.documents.count()
+    tf = (
+        t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("total_tf")
+    )
+    return (
+        df_.select(
+            "term",
+            F.col("df").cast("bigint").alias("df"),
+            (
+                F.col("total_tf")
+                * (F.lit(n_docs) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "term")
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------

@@ -57,6 +57,7 @@ def get_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state_store: bool = False,
 ) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
@@ -79,6 +80,19 @@ def get_session(
         # local mode: keep result/broadcast sizes sane for 32-thread runs
         .config("spark.driver.maxResultSize", "4g")
     )
+    if rocksdb_state_store:
+        # default (HDFSBackedStateStoreProvider) keeps every key in executor
+        # heap — fine for tests, a ceiling for large keyed state; RocksDB
+        # spills to local disk with changelog checkpointing (the moral
+        # equivalent of the reference's SQLite+changelog, done by the engine)
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ).config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     if extra_conf:

@@ -258,3 +258,32 @@ def test_streaming_dedup_within_watermark(spark, stream_dir, tmp_path):
     # watermark dedup may keep re-occurrences across watermark windows, but
     # every distinct pair must appear and no pair may be lost
     assert n == n_exact
+
+
+def test_rocksdb_state_store_provider(spark, stream_dir, tmp_path):
+    """The scale state backend: same fold, RocksDB provider (disk-backed
+    state + changelog checkpointing) — results identical to default."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = _read_stream(spark, stream_dir, files_per_trigger=2)
+        app = TableApp(
+            src, running_balance, key_cols=["user_id"], output_schema=OUT_SCHEMA
+        )
+        q = app.start(
+            sink_format="memory",
+            checkpoint_dir=str(tmp_path / "rck"),
+            query_name="rocksdb_fold",
+        )
+        q.processAllAvailable()
+        q.stop()
+        n = spark.sql("SELECT count(*) c FROM rocksdb_fold").collect()[0]["c"]
+        assert n == spark.read.parquet(stream_dir).count()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
