@@ -287,3 +287,28 @@ def test_rocksdb_state_store_provider(spark, stream_dir, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_rate_source_smoke(spark, tmp_path):
+    """SURVEY §2.2 'rate source for tests': MapApp over the built-in rate
+    source — the broker-free generator for throughput smoke checks."""
+    src = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+    app = MapApp(src, lambda df: df.filter(F.col("value") % 2 == 0))
+    q = app.start(
+        sink_format="memory",
+        checkpoint_dir=str(tmp_path / "rate_ck"),
+        query_name="rate_smoke",
+    )
+    import time as _t
+
+    deadline = _t.time() + 30
+    n = 0
+    while _t.time() < deadline:
+        n = spark.sql("SELECT count(*) c FROM rate_smoke").collect()[0]["c"]
+        if n >= 100:
+            break
+        _t.sleep(0.5)
+    app.stop()
+    assert n >= 100
+    odd = spark.sql("SELECT count(*) c FROM rate_smoke WHERE value % 2 = 1")
+    assert odd.collect()[0]["c"] == 0
