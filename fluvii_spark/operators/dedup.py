@@ -310,6 +310,62 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(node, cluster): connected components of the near-dup pair graph —
+    the step after pair finding: a dedup pipeline keeps one canonical doc
+    per *cluster*, not per pair (A~B, B~C ⇒ {A,B,C} together even when A,C
+    never matched directly).
+
+    Min-label propagation: every node starts as its own label; each round
+    takes the min label over neighbors (one join + one groupBy per round)
+    until a fixpoint. Rounds ≈ cluster diameter — small for dup clusters.
+    ``localCheckpoint`` truncates lineage each round so plans don't grow
+    unboundedly. At extreme diameters the large-star/small-star rewrite
+    (Kiveris et al., "Connected Components in MapReduce") halves rounds;
+    the join/agg skeleton is identical.
+
+    The cluster id IS the minimum doc id — i.e. the canonical keeper.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .dropDuplicates()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iters):
+        neigh = edges.join(
+            labels, edges.dst == labels.node
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -513,6 +513,58 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_pairs(t.embeddings, threshold=0.4)
 
 
+@register(
+    "q60_dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    {_SH3},
+    {_MINHASH},
+    bands AS (
+      SELECT doc_id, perm // 4 AS band,
+             string_agg(perm || ':' || minhash, ',' ORDER BY perm) AS band_sig
+      FROM sig GROUP BY doc_id, perm // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                  AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD},
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+      WHERE j.jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION SELECT src, src FROM edges
+    ),
+    closure(src, dst) AS (
+      SELECT src, dst FROM reach
+      UNION
+      SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
+    )
+    SELECT src AS node, CAST(MIN(dst) AS BIGINT) AS cluster
+    FROM closure GROUP BY src
+    """,
+    "near-dup clusters: MinHash-LSH pairs → connected components (min-label "
+    "propagation; oracle = recursive-CTE transitive closure). Cluster id = "
+    "canonical (minimum) doc id",
+    ("llm", "dedup", "graph"),
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(t.documents, threshold=0.5)
+    return D.connected_components(pairs).select(
+        "node", F.col("cluster").cast("bigint").alias("cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------

@@ -215,3 +215,62 @@ def test_stream_stream_join_watermarked(spark, events_stream_dir, tmp_path):
         & (F.col("r_ts") <= F.col("l_ts")),
     ).count()
     assert got == expected > 0
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_shapes(spark):
+    from fluvii_spark.operators.dedup import connected_components
+
+    # chain 0-1-2-3, isolated pair 10-11, star 20-(21,22,23)
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (20, 22), (20, 23)],
+        "id_a LONG, id_b LONG",
+    )
+    got = {
+        r["node"]: r["cluster"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        0: 0, 1: 0, 2: 0, 3: 0,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from fluvii_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) if a < b else (b, a) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+
+    # reference: plain union-find
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+    got = {
+        r["node"]: r["cluster"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == expected
