@@ -50,6 +50,11 @@ def register(
 
 def registry() -> dict[str, Query]:
     # import side-effect populates _REGISTRY
-    from fluvii_spark.queries import llm, relational, relational_ext  # noqa: F401
+    from fluvii_spark.queries import (  # noqa: F401
+        llm,
+        relational,
+        relational_ext,
+        relational_ext2,
+    )
 
     return dict(_REGISTRY)
