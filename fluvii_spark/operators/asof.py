@@ -1,0 +1,107 @@
+"""As-of join: for each left row, the latest right row at-or-before its
+timestamp (per key) — the time-series join Spark lacks as a built-in
+(SURVEY.md §2.2 joins row: "as-of via window + last()").
+
+Physical strategy — the union trick, all built-ins:
+
+1. tag both sides, union them (left carries null right-payload columns);
+2. one window per key ordered by (ts, side) — right rows sort before left
+   rows at equal timestamps so ``<=`` semantics hold;
+3. ``last(right_col, ignorenulls=True)`` over the unbounded-preceding frame
+   carries the latest right payload forward;
+4. keep only left rows.
+
+Cost: ONE shuffle on the key (the window), no join at all — compare a naive
+range-join (shuffle both sides + per-key quadratic probe) or per-key
+``merge_asof`` in pandas (loses distribution). Skewed keys behave like any
+window: one key's rows land in one partition — salt upstream if a single
+key dominates.
+
+``tolerance`` (seconds) optionally voids matches older than ``left_ts −
+tolerance`` — same semantics as pandas ``merge_asof(tolerance=...)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str] | None = None,
+    tolerance_s: float | None = None,
+) -> DataFrame:
+    """Left as-of join. Output: every left row + latest right payload
+    columns (null when no right row precedes it / within tolerance).
+
+    Right-side (key, ts) duplicates should be resolved by the caller (e.g.
+    keep max payload per ts) — with duplicates the carried row is the last
+    in (ts, payload-order), deterministic but possibly surprising.
+    """
+    payload = right_payload or [
+        c for c in right.columns if c not in set(key_cols) | {right_ts}
+    ]
+    l_cols = [c for c in left.columns if c not in set(key_cols)]
+
+    lt = left.select(
+        *key_cols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in l_cols if c != left_ts],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
+    )
+    rt = right.select(
+        *key_cols,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c != left_ts],
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+    )
+    unioned = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_ts", "_side", *[f"_r_{c}" for c in payload])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *key_cols,
+        "_ts",
+        "_side",
+        *[F.col(c) for c in l_cols if c != left_ts],
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
+            for c in payload
+        ],
+        F.last(
+            F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True
+        ).over(w).alias("_r_ts"),
+    )
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance_s is not None:
+        within = (
+            F.col("_r_ts").isNotNull()
+            & (
+                F.col("_ts").cast("double") - F.col("_r_ts").cast("double")
+                <= float(tolerance_s)
+            )
+        )
+        out = out.select(
+            *key_cols,
+            "_ts",
+            *[F.col(c) for c in l_cols if c != left_ts],
+            *[
+                F.when(within, F.col(f"_r_{c}")).alias(f"_r_{c}")
+                for c in payload
+            ],
+        )
+    return out.select(
+        *key_cols,
+        F.col("_ts").alias(left_ts),
+        *[F.col(c) for c in l_cols if c != left_ts],
+        *[F.col(f"_r_{c}").alias(f"right_{c}") for c in payload],
+    )

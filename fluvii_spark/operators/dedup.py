@@ -167,6 +167,42 @@ def minhash_signatures_wide(
     return sh.withColumn("h", h).groupBy(id_col).agg(*aggs)
 
 
+def lsh_band_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, band, band_sig): LSH bucket keys — band k = perms [4k, 4k+4),
+    signature = comma-joined minhashes. The bucket identity used by both the
+    batch candidate join and the streaming dedup state."""
+    wide = minhash_signatures_wide(df, id_col, text_col, n)
+    band_exprs = ", ".join(
+        "{k}, concat_ws(',', {cols})".format(
+            k=k,
+            cols=", ".join(
+                f"mh{i}" for i in range(k * ROWS_PER_BAND, (k + 1) * ROWS_PER_BAND)
+            ),
+        )
+        for k in range(N_BANDS)
+    )
+    return wide.selectExpr(
+        id_col, f"stack({N_BANDS}, {band_exprs}) AS (band, band_sig)"
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id_a < id_b) pairs sharing at least one full LSH band."""
+    bands = lsh_band_signatures(df, id_col, text_col, n)
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -181,30 +217,7 @@ def minhash_lsh_pairs(
     LSH bucket join). Candidates then verified against exact shingle Jaccard
     so the output is deterministic (bands only prune).
     """
-    wide = minhash_signatures_wide(df, id_col, text_col, n)
-    # band k = perms [4k, 4k+4); signature string only has to be consistent
-    # within this plan (the bucket join is engine-internal — only the
-    # verified pairs are compared cross-engine)
-    band_exprs = ", ".join(
-        "{k}, concat_ws(',', {cols})".format(
-            k=k,
-            cols=", ".join(
-                f"mh{i}" for i in range(k * ROWS_PER_BAND, (k + 1) * ROWS_PER_BAND)
-            ),
-        )
-        for k in range(N_BANDS)
-    )
-    bands = wide.selectExpr(
-        id_col, f"stack({N_BANDS}, {band_exprs}) AS (band, band_sig)"
-    )
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
-    cand = (
-        a.join(b, ["band", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates()
-    )
+    cand = lsh_candidate_pairs(df, id_col, text_col, n)
     # Exact-Jaccard verification touches ONLY candidate pairs: join the two
     # texts onto each candidate and shingle them per-pair in an Arrow-batched
     # pandas UDF. Banding already pruned the corpus to near-dup candidates,

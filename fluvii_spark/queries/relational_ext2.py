@@ -206,6 +206,39 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q69_asof_join",
+    """
+    WITH l AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+               WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT l.event_id, l.user_id, r.click_id AS right_click_id
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+    "as-of join: each purchase matched to the user's latest click at-or-"
+    "before it (duckdb native ASOF JOIN oracle; Spark side is the one-"
+    "shuffle union+last() window strategy — no range join)",
+    ("relational", "join", "asof"),
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    return asof_join(
+        left, right, ["user_id"], "ts", "ts", right_payload=["click_id"]
+    ).select("event_id", "user_id", "right_click_id")
+
+
+@register(
     "q68_percentiles",
     """
     SELECT l_returnflag,
