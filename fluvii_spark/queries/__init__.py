@@ -55,6 +55,7 @@ def registry() -> dict[str, Query]:
         relational,
         relational_ext,
         relational_ext2,
+        relational_ext3,
     )
 
     return dict(_REGISTRY)

@@ -1,0 +1,287 @@
+"""Extended inventory, batch 3 (q70+): deterministic hash sampling, bucketed
+range join, hopping windows, regex tokenization, k-NN join, correlated
+scalar subqueries, multimodal feature extraction.
+
+Scale rationale per query lives in each docstring — these are the shapes a
+100 TB training-data pipeline hits constantly (reproducible sampling,
+bounded-time self-joins, multi-query ANN) where the naive plan (random(),
+theta-join, per-query scan) falls over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fluvii_spark.io.readers import load_tables, register_temp_views
+from fluvii_spark.queries import register
+
+# Deterministic 32-bit hash from a string — identical in Spark
+# (conv(substring(md5..))) and duckdb (('0x' || substr(md5..))::BIGINT).
+# The engine-portable substitute for rand(seed): same rows sampled on any
+# engine, any partitioning, any rerun — what a training pipeline needs for
+# reproducible held-out splits.
+_H32_DUCK = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+
+def _h32(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+@register(
+    "q70_hash_sample",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE {_H32_DUCK.format(x="CAST(o_orderkey AS VARCHAR)")} % 100 < 5
+    GROUP BY o_orderpriority
+    """,
+    "deterministic 5% hash sample (md5-derived) — reproducible train/held-"
+    "out splits; unlike TABLESAMPLE/rand() the membership is stable across "
+    "engines, reruns, and repartitioning, and the predicate pushes to the "
+    "scan (no materialized sample table)",
+    ("pipeline", "sampling"),
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    keep = (_h32(F.col("o_orderkey").cast("string")) % 100) < 5
+    return (
+        t.orders.filter(keep)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("sum_price"),
+        )
+    )
+
+
+_US_60S = 60_000_000  # exact integer µs — no float boundary drift vs oracle
+
+
+@register(
+    "q71_range_join_bucketed",
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events)
+    SELECT a.user_id, COUNT(*) AS n_pairs
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND b.t >= a.t AND b.t - a.t <= 60000000
+     AND (b.t > a.t OR b.event_id > a.event_id)
+    GROUP BY a.user_id
+    """,
+    "bounded-range self-join (pairs of a user's events ≤60 s apart) via "
+    "time-bucketing: explode the left side into its two candidate 60 s "
+    "buckets and equi-join on (user, bucket) — SortMergeJoin, not the "
+    "O(n²)-per-key theta join duckdb's IEJoin oracle runs; each pair "
+    "matches exactly one bucket key so no dedup pass",
+    ("relational", "join", "range"),
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir).events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    # forward orientation (b at-or-after a, id tie-break) ⇒ b's bucket is a's
+    # bucket or the next one — the ONLY two join keys the left row needs
+    a = ev.select(
+        F.col("event_id").alias("id_a"),
+        "user_id",
+        F.col("t").alias("ta"),
+        F.explode(
+            F.array(
+                F.floor(F.col("t") / _US_60S), F.floor(F.col("t") / _US_60S) + 1
+            )
+        ).alias("bucket"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("id_b"),
+        "user_id",
+        F.col("t").alias("tb"),
+        F.floor(F.col("t") / _US_60S).alias("bucket"),
+    )
+    pairs = a.join(b, ["user_id", "bucket"]).filter(
+        (F.col("tb") >= F.col("ta"))
+        & (F.col("tb") - F.col("ta") <= _US_60S)
+        & ((F.col("tb") > F.col("ta")) | (F.col("id_b") > F.col("id_a")))
+    )
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
+@register(
+    "q72_hopping_window",
+    """
+    WITH e AS (SELECT event_type,
+                      (epoch_us(ts) // 1800000000) * 1800 AS b
+               FROM events),
+         x AS (SELECT event_type, b AS win_start FROM e
+               UNION ALL
+               SELECT event_type, b - 1800 AS win_start FROM e)
+    SELECT win_start, event_type, COUNT(*) AS n_events
+    FROM x GROUP BY win_start, event_type
+    """,
+    "hopping/sliding window (1 h size, 30 min slide): every event lands in "
+    "exactly two epoch-aligned windows; Spark's F.window replicates rows "
+    "then hash-aggregates (oracle: explicit 2-bucket UNION ALL)",
+    ("streaming", "window"),
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.expr("unix_micros(cast(w.start as timestamp)) div 1000000").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+# letters-and-digits runs only: identical semantics in Java regex (Spark)
+# and RE2 (duckdb); deliberately avoids \s / unicode-class divergence
+_TOK_PAT = "[A-Za-z]+|[0-9]+"
+
+
+@register(
+    "q73_regex_tokens",
+    f"""
+    WITH tok AS (SELECT lang,
+                        UNNEST(regexp_extract_all(text, '{_TOK_PAT}')) AS tok
+                 FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT tok) AS n_distinct,
+           CAST(SUM(LENGTH(tok)) AS DOUBLE) / COUNT(*) AS avg_tok_len
+    FROM tok GROUP BY lang
+    """,
+    "BPE-ish regex tokenizer (letter runs | digit runs): per-language token "
+    "counts, vocabulary size, mean token length — the pre-tokenization "
+    "profile pass of a training corpus",
+    ("llm", "text"),
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(
+        "lang",
+        F.explode(F.regexp_extract_all("text", F.lit(_TOK_PAT), F.lit(0))).alias(
+            "tok"
+        ),
+    )
+    return toks.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("tok").alias("n_distinct"),
+        (F.sum(F.length("tok")).cast("double") / F.count("*")).alias("avg_tok_len"),
+    )
+
+
+@register(
+    "q74_knn_join",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+               FROM embeddings WHERE vec_id < 5),
+         s AS (SELECT q.qid, e.vec_id,
+                      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.qvec AS DOUBLE[])) AS cosine
+               FROM embeddings e, q WHERE e.vec_id >= 5),
+         r AS (SELECT qid, vec_id, cosine,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY cosine DESC, vec_id) AS rn
+               FROM s)
+    SELECT qid, vec_id, cosine FROM r WHERE rn <= 3
+    """,
+    "k-NN JOIN (top-3 cosine neighbors for EACH of 5 query vectors): "
+    "broadcast the query set, one scan of the corpus scores all queries "
+    "(queries × corpus work but corpus-scan I/O paid once), per-query "
+    "window top-k — the batch retrieval shape of embedding dedup/eval",
+    ("llm", "similarity"),
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.similarity import cosine_sql
+
+    emb = load_tables(spark, sf_dir).embeddings
+    q = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.filter("vec_id >= 5")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(cosine_sql("embedding", "qvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .select("qid", "vec_id", "cosine")
+    )
+
+
+@register(
+    "q75_correlated_subquery",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_max_orders
+    FROM orders o
+    WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    GROUP BY o_orderpriority
+    """,
+    "correlated scalar subquery (each customer's most-expensive order), "
+    "run through the engine's SQL front door: Catalyst decorrelates to an "
+    "aggregate + join instead of a per-row re-scan",
+    ("relational", "subquery", "sql"),
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_max_orders
+        FROM orders o
+        WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q76_multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha,
+           CAST(CAST(('0x' || substr(sha256('image' || text), 1, 8))::BIGINT
+                     / 4294967296.0 AS REAL) AS DOUBLE) AS feat0
+    FROM documents
+    """,
+    "multimodal decode plumbing end-to-end: binary payload + metadata "
+    "struct through the Arrow-batched mapInPandas feature extractor "
+    "(operators.multimodal; decode kernel is the documented deterministic "
+    "stub) — oracle recomputes the digest arithmetic in SQL",
+    ("llm", "multimodal"),
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    docs = load_tables(spark, sf_dir).documents
+    feats = extract_features(media_from_documents(docs, kind="image"))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.col("sha256").alias("payload_sha"),
+        F.element_at("features", 1).cast("double").alias("feat0"),
+    )
