@@ -1,50 +1,80 @@
-"""Streaming joins (SURVEY.md §2.2 "Streaming: joins" — absent in the
-reference, whose only join-like tool is key-equality state lookup,
-``/root/reference/README.md:596-598``).
+"""Streaming joins: stream-static enrichment and stream-stream interval
+joins with watermark-bounded state.
 
-Two built-in Spark forms, wrapped with the watermark bookkeeping spelled
-out:
+The reference cannot join at all — its README concedes "you can only
+compare your record to the one with the same key on the table"
+(/root/reference/README.md:596-598), i.e. a keyed self-lookup via state.
+These helpers expose Spark's built-in streaming joins as engine surface:
 
-- **stream-static**: enrich a stream against a (periodically reloaded)
-  batch dimension — broadcast by Catalyst when small; no state.
-- **stream-stream**: both sides buffered in the state store; REQUIRES
-  watermarks on both sides plus a time-bound join condition so state can be
-  evicted — unbounded joins are rejected here rather than silently growing
-  state (the 100 TB failure mode).
+- ``stream_static_join``: enrich a stream against a dimension table. The
+  static side is planned per micro-batch; small dims get broadcast (no
+  stream-side shuffle), so at 100 TB/day the stream never repartitions
+  just to pick up dimension attributes.
+- ``stream_stream_interval_join``: correlate two streams on a key within
+  an event-time interval. Both sides MUST carry watermarks — that is what
+  lets Spark evict join state (otherwise both sides buffer forever, which
+  is exactly the unbounded-state failure mode an unconstrained stream join
+  has at scale). State per key ≈ rows within the interval + watermark
+  delay, independent of stream length.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def stream_static_join(
     stream: DataFrame,
-    static_dim: DataFrame,
-    on: list[str] | Column,
+    dim: DataFrame,
+    on: list[str] | str,
     how: str = "inner",
+    broadcast_dim: bool = True,
 ) -> DataFrame:
-    """Enrich a stream with a static dimension (per-micro-batch join)."""
-    return stream.join(static_dim, on, how)
+    """Enrich a stream with a (batch) dimension table.
 
-
-def stream_stream_join(
-    left: DataFrame,
-    left_ts: str,
-    left_delay: str,
-    right: DataFrame,
-    right_ts: str,
-    right_delay: str,
-    condition: Column,
-    how: str = "inner",
-) -> DataFrame:
-    """Watermarked stream-stream join.
-
-    ``condition`` must include the equality keys AND a time bound between
-    ``left_ts`` and ``right_ts`` (e.g. ``r.ts BETWEEN l.ts - INTERVAL 1 HOUR
-    AND l.ts``); without the bound Spark must keep every row forever. Both
-    inputs get their watermark here so callers can't forget one side.
+    ``broadcast_dim=True`` hints the static side so each micro-batch plans a
+    BroadcastHashJoin — the stream side keeps its Kafka partitioning and
+    never shuffles. Set False for dims too large to broadcast; Spark then
+    shuffles BOTH sides per micro-batch (usually the wrong trade — consider
+    pre-bucketing the dim instead).
     """
-    wl = left.withWatermark(left_ts, left_delay)
-    wr = right.withWatermark(right_ts, right_delay)
-    return wl.join(wr, condition, how)
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_s: float,
+    upper_s: float,
+    watermark: str = "2 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Join two streams where ``right_ts - left_ts ∈ [lower_s, upper_s]``.
+
+    Equi-join on ``key_cols`` plus a time-interval condition; both inputs
+    get ``watermark`` of allowed lateness. Spark derives the state-eviction
+    horizon from the interval + watermarks, so join state is bounded.
+
+    Column names must be disjoint apart from ``key_cols`` (rename before
+    calling); ``left_ts``/``right_ts`` must differ.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    key_eq = [lw[k] == rw[k] for k in key_cols]
+    # the bound must stay `ts ± INTERVAL` arithmetic — that's the shape
+    # Spark's streaming planner recognizes to derive the state-eviction
+    # horizon (a cast-to-double comparison would buffer state forever)
+    lo = F.expr(f"INTERVAL {float(lower_s)} SECOND")
+    hi = F.expr(f"INTERVAL {float(upper_s)} SECOND")
+    cond = key_eq + [
+        rw[right_ts] >= lw[left_ts] + lo,
+        rw[right_ts] <= lw[left_ts] + hi,
+    ]
+    joined = lw.join(rw, cond, how)
+    # drop the duplicated key columns from the right side
+    return joined.drop(*[rw[k] for k in key_cols])

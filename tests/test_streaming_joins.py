@@ -1,0 +1,191 @@
+"""Streaming joins: stream-static enrichment and stream-stream interval
+joins must equal their batch equivalents on a file-replayed events table;
+watermarks must actually drop late rows (the state-bounding contract)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluvii_spark.io.readers import load_table, load_tables
+from fluvii_spark.streaming.joins import (
+    stream_static_join,
+    stream_stream_interval_join,
+)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(events_batch, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ev_join_stream"))
+    events_batch.repartition(2).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _read_stream(spark, d, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+
+
+def _run_to_memory(df, name, tmp_path):
+    q = (
+        df.writeStream.format("memory")
+        .outputMode("append")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_stream_static_join_matches_batch(
+    spark, sf_dir, events_batch, events_stream_dir, tmp_path
+):
+    """Enriching the event stream with the customer dim (user_id →
+    c_custkey) must produce exactly the batch join's rows."""
+    dim = load_tables(spark, sf_dir).customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    schema = spark.read.parquet(events_stream_dir).schema
+    src = _read_stream(spark, events_stream_dir, schema)
+    out = stream_static_join(
+        src.select("event_id", "user_id"), dim, on="user_id"
+    )
+    _run_to_memory(out, "ss_join", tmp_path)
+
+    got = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in spark.sql("SELECT event_id, c_mktsegment FROM ss_join").collect()
+    }
+    expected = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in events_batch.select("event_id", "user_id")
+        .join(dim, "user_id")
+        .collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(
+    spark, events_batch, events_stream_dir, tmp_path
+):
+    """purchase←click correlation within [0, 300 s] per user: the streaming
+    interval join (watermarked both sides) equals the batch join."""
+    schema = spark.read.parquet(events_stream_dir).schema
+
+    def split(df):
+        pur = df.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        clk = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        return pur, clk
+
+    pur_s, clk_s = split(_read_stream(spark, events_stream_dir, schema))
+    clk_s = clk_s.withColumnRenamed("c_user", "user_id")
+    out = stream_stream_interval_join(
+        pur_s,
+        clk_s,
+        key_cols=["user_id"],
+        left_ts="p_ts",
+        right_ts="c_ts",
+        lower_s=0,
+        upper_s=300,
+        # wider than the table's whole time span: the part files interleave
+        # event-time, so a tight watermark would (correctly!) drop
+        # cross-batch rows and the result could not equal the batch join.
+        # Eviction semantics are asserted separately below.
+        watermark="3650 days",
+    ).select("p_id", "c_id")
+    _run_to_memory(out, "ssi_join", tmp_path)
+
+    got = {
+        (r["p_id"], r["c_id"])
+        for r in spark.sql("SELECT * FROM ssi_join").collect()
+    }
+    pur_b, clk_b = split(events_batch)
+    expected = {
+        (r["p_id"], r["c_id"])
+        for r in pur_b.join(
+            clk_b,
+            (pur_b["user_id"] == clk_b["c_user"])
+            & (clk_b["c_ts"] >= pur_b["p_ts"])
+            & (clk_b["c_ts"] <= pur_b["p_ts"] + F.expr("INTERVAL 300 SECOND")),
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row older than the watermark must be excluded from the windowed
+    aggregate (append mode) — the semantics that bound state at scale.
+
+    Spark filters late events with the PREVIOUS batch's watermark
+    (`watermarkForLateEvents` lags eviction by one batch), so the drop
+    needs three micro-batches: batch 0 sets max event time 12:00, batch 1
+    promotes 11:50 to the late-event filter, batch 2's 10:01 row is then
+    genuinely late and dropped.
+    """
+    import os
+    import time as _time
+
+    d = tmp_path / "late_src"
+    batches = [
+        [(1, "2024-01-01 10:00:30"), (2, "2024-01-01 12:00:00")],
+        [(4, "2024-01-01 12:01:00")],
+        [(3, "2024-01-01 10:01:00")],  # 2 h late vs watermark 11:50
+    ]
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        bdf = spark.createDataFrame(rows, "id LONG, ts_s STRING").select(
+            "id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+        bdf.coalesce(1).write.mode("append").parquet(str(d))
+        # pin strictly increasing mtimes: the file source orders batches by
+        # (modTime, path) and back-to-back writes can tie on modTime
+        for p in d.iterdir():
+            if p.name.startswith("part-") and p.stat().st_mtime > now - 1:
+                os.utime(p, (now - 60 + i, now - 60 + i))
+
+    schema = spark.read.parquet(str(d)).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("id").alias("id_sum"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .outputMode("append")
+        .queryName("late_agg")
+        .option("checkpointLocation", str(tmp_path / "ck_late"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT id_sum FROM late_agg").collect()
+    id_sums = {r["id_sum"] for r in rows}
+    # id=3's late row must NOT appear anywhere (its window was finalized)
+    assert 3 not in id_sums and 4 not in id_sums
+    # the on-time 10:00 window was finalized once the watermark passed it
+    assert 1 in id_sums
