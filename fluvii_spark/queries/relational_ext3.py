@@ -285,3 +285,151 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sha256").alias("payload_sha"),
         F.element_at("features", 1).cast("double").alias("feat0"),
     )
+
+
+@register(
+    "q77_try_cast",
+    """
+    WITH s AS (SELECT CASE WHEN event_id % 7 = 0
+                           THEN 'x' || CAST(value AS VARCHAR)
+                           ELSE CAST(value AS VARCHAR) END AS raw
+               FROM events)
+    SELECT COUNT(*) AS n_rows,
+           COUNT(TRY_CAST(raw AS DOUBLE)) AS n_parsed,
+           CAST(SUM(CAST(TRY_CAST(raw AS DECIMAL(18,6)) AS DECIMAL(18,6)))
+                AS DOUBLE) AS sum_parsed
+    FROM s
+    """,
+    "malformed-input tolerance: TRY_CAST yields NULL (not a job abort) on "
+    "unparseable rows — the ingest posture for dirty corpora; 1/7 of rows "
+    "are made deterministically invalid",
+    ("pipeline", "functions"),
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    raw = F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.lit("x"), F.col("value").cast("string"))
+    ).otherwise(F.col("value").cast("string"))
+    return t.events.select(raw.alias("raw")).select(
+        F.count("*").alias("n_rows"),
+        F.count(F.expr("TRY_CAST(raw AS DOUBLE)")).alias("n_parsed"),
+        F.expr(
+            "CAST(SUM(TRY_CAST(raw AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("sum_parsed"),
+    )
+
+
+@register(
+    "q78_date_spine",
+    """
+    WITH bounds AS (SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+                           date_trunc('month', MAX(o_orderdate)) AS hi
+                    FROM orders),
+         months AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+                    FROM bounds),
+         prio AS (SELECT DISTINCT o_orderpriority FROM orders),
+         spine AS (SELECT month, o_orderpriority FROM months CROSS JOIN prio),
+         counts AS (SELECT date_trunc('month', o_orderdate) AS month,
+                           o_orderpriority, COUNT(*) AS n
+                    FROM orders GROUP BY 1, 2)
+    SELECT s.month, s.o_orderpriority, COALESCE(c.n, 0) AS n_orders
+    FROM spine s LEFT JOIN counts c
+      ON s.month = c.month AND s.o_orderpriority = c.o_orderpriority
+    """,
+    "date-spine gap fill: dense calendar x dimension scaffold left-joined "
+    "to sparse counts so empty months surface as 0 (time-series backfill; "
+    "the spine is generated, never scanned)",
+    ("relational", "timeseries"),
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    bounds = t.orders.select(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    months = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 MONTH)")).alias("month")
+    )
+    prio = t.orders.select("o_orderpriority").distinct()
+    counts = t.orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"), "o_orderpriority"
+    ).agg(F.count("*").alias("n"))
+    return (
+        months.crossJoin(prio)
+        .join(counts, ["month", "o_orderpriority"], "left")
+        .select(
+            "month",
+            "o_orderpriority",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q79_stratified_split",
+    f"""
+    WITH s AS (SELECT lang,
+                      CASE WHEN {_H32_DUCK.format(x="'split_' || CAST(doc_id AS VARCHAR)")} % 10 < 8
+                           THEN 'train'
+                           WHEN {_H32_DUCK.format(x="'split_' || CAST(doc_id AS VARCHAR)")} % 10 = 8
+                           THEN 'val' ELSE 'test' END AS split
+               FROM documents)
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM s GROUP BY lang, split
+    """,
+    "deterministic stratified 80/10/10 split: membership from a salted "
+    "md5 hash of the id — stable across engines/reruns/repartitioning, "
+    "no shuffled sample materialization; per-language counts verify the "
+    "strata",
+    ("pipeline", "sampling"),
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    h = _h32(F.concat(F.lit("split_"), F.col("doc_id").cast("string"))) % 10
+    split = (
+        F.when(h < 8, "train").when(h == 8, "val").otherwise("test")
+    )
+    return (
+        t.documents.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "q80_sequence_packing",
+    """
+    WITH RECURSIVE d AS (
+        SELECT lang, doc_id, len(string_split(text, ' ')) AS n_toks,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents),
+    rec AS (
+        SELECT lang, doc_id, rn, n_toks,
+               CAST(0 AS BIGINT) AS bin, n_toks AS fill
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.lang, d.doc_id, d.rn, d.n_toks,
+               CASE WHEN rec.fill + d.n_toks > 512
+                    THEN rec.bin + 1 ELSE rec.bin END,
+               CASE WHEN rec.fill + d.n_toks > 512
+                    THEN d.n_toks ELSE rec.fill + d.n_toks END
+        FROM rec JOIN d ON d.lang = rec.lang AND d.rn = rec.rn + 1)
+    SELECT lang, doc_id, n_toks, bin FROM rec
+    """,
+    "LLM sequence packing: greedy first-fit of documents into 512-token "
+    "bins per language (order-dependent fold -> applyInPandas per group; "
+    "oracle: recursive CTE). operators.packing adds the sharded variant "
+    "for scale.",
+    ("pipeline", "packing"),
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.packing import pack_sequences
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_toks")
+    )
+    return pack_sequences(
+        docs, group_cols=["lang"], order_col="doc_id", size_col="n_toks",
+        capacity=512,
+    )
