@@ -72,6 +72,9 @@ _BNLJ_ALLOWED = {
     "q39_ann_lsh_topk",
     "q55_subquery_above_avg",
     "q57_ann_ivf_topk",
+    "q74_knn_join",  # 5-row query-vector set, broadcast by design
+    "q75_correlated_subquery",  # decorrelated scalar agg, 1-row broadcast
+    "q78_date_spine",  # generated month spine × 5 priorities scaffold
 }
 
 
@@ -112,3 +115,42 @@ def test_whole_stage_codegen_on_hot_paths(explain):
     partial/final shape is covered separately."""
     p = explain("q02_filter")
     assert "codegen id" in p, f"q02_filter lost codegen\n{p}"
+
+
+def test_range_join_is_equi_join(explain):
+    """q71's bounded-range self-join must plan a hash/merge EQUI-join on
+    (user, bucket) — the whole point of bucketing; a theta join would be
+    BNLJ/cartesian and quadratic per key."""
+    p = explain("q71_range_join_bucketed")
+    # at test SF the dims fit a broadcast hash join; at scale the same equi
+    # keys plan SMJ/SHJ — either way it must be a HASH/MERGE join, never a
+    # nested-loop probe
+    assert (
+        "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    ), p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_asof_join_plans_no_join(explain):
+    """q69's as-of strategy is union + window: there must be NO join
+    operator at all — one shuffle on the key, not a range-join probe."""
+    p = explain("q69_asof_join")
+    assert "Join" not in p, p
+    assert "Window" in p, p
+
+
+def test_hash_sample_scan_prunes_columns(explain):
+    """q70 aggregates 2 columns after a hash predicate: the scan must not
+    read the rest of the orders table."""
+    p = explain("q70_hash_sample")
+    scan = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert scan, p
+    assert "o_orderkey" in scan[0] and "o_totalprice" in scan[0], scan[0]
+    assert "o_comment" not in scan[0] and "o_clerk" not in scan[0], scan[0]
+
+
+def test_knn_join_broadcasts_query_set(explain):
+    """q74 must broadcast the 5-vector query side (BNLJ on a constant-size
+    build is the intended plan; a shuffle of the corpus is not)."""
+    p = explain("q74_knn_join")
+    assert "Broadcast" in p, p
