@@ -67,6 +67,32 @@ def salted_join(
     return out.drop("_salt")
 
 
+def salted_count_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    distinct_col: str,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Exact COUNT(DISTINCT x) per group, two-phase: result ≡
+    ``groupBy(group).agg(count_distinct(x))``.
+
+    Phase 1 groups by (group, ``hash(x) % n_buckets``) — the buckets
+    PARTITION the value space, so per-bucket distinct counts sum exactly.
+    A hot group's distinct-state (the hash set Spark keeps per group) is
+    thereby split over ``n_buckets`` reducers instead of one; phase 2
+    merges bucket counts with a plain sum (tiny: groups × n_buckets rows).
+    This is the scale path when ONE group holds most of a high-cardinality
+    column — the case where Spark's own count-distinct expansion still
+    lands the whole group on one reducer.
+    """
+    bucket = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(n_buckets))
+    partial = (
+        df.groupBy(*group_cols, bucket.alias("_bucket"))
+        .agg(F.count_distinct(F.col(distinct_col)).alias("_nd"))
+    )
+    return partial.groupBy(*group_cols).agg(F.sum("_nd").alias("n_distinct"))
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

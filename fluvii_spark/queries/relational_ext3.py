@@ -433,3 +433,115 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, group_cols=["lang"], order_col="doc_id", size_col="n_toks",
         capacity=512,
     )
+
+
+@register(
+    "q81_map_funcs",
+    """
+    WITH b AS (SELECT event_type,
+                      CAST(FLOOR(value / 500) AS BIGINT) AS bucket
+               FROM events WHERE value >= 0),
+         c AS (SELECT event_type, bucket, COUNT(*) AS n
+               FROM b GROUP BY event_type, bucket)
+    SELECT event_type,
+           list(bucket ORDER BY bucket) AS buckets,
+           list(n ORDER BY bucket) AS counts
+    FROM c GROUP BY event_type
+    """,
+    "map-typed histogram per event_type: counts assembled into a "
+    "map<bucket,count> via map_from_entries, surfaced as parallel sorted "
+    "key/value arrays (map columns don't hash-compare across engines; "
+    "their entry arrays do)",
+    ("relational", "map"),
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = (
+        t.events.filter("value >= 0")
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / 500).cast("long").alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    m = c.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("bucket", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "event_type",
+        F.map_keys("m").alias("buckets"),
+        F.map_values("m").alias("counts"),
+    )
+
+
+@register(
+    "q82_salted_distinct",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+    "exact count-distinct under group skew, two-phase: phase 1 splits each "
+    "group's distinct-state over 16 value-hash buckets (buckets partition "
+    "the value space, so bucket counts sum exactly), phase 2 is a tiny "
+    "merge — the pattern for one-hot-group × high-cardinality columns "
+    "(operators.skew.salted_count_distinct)",
+    ("relational", "skew", "agg"),
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.skew import salted_count_distinct
+
+    t = load_tables(spark, sf_dir)
+    return salted_count_distinct(
+        t.events, group_cols=["event_type"], distinct_col="user_id"
+    )
+
+
+@register(
+    "q83_window_ignore_nulls",
+    """
+    WITH e AS (SELECT user_id, ts, event_id,
+                      CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+               FROM events),
+         w AS (SELECT user_id,
+                      last_value(v IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS last_v,
+                      row_number()
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+               FROM e)
+    SELECT user_id, last_v FROM w WHERE rn = 1
+    """,
+    "IGNORE NULLS window navigation: per user, the value of their latest "
+    "non-null reading (1/3 of rows deterministically nulled) — the "
+    "last-known-good lookup of sensor/state pipelines",
+    ("relational", "window"),
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    full = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    latest = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.select(
+            "user_id",
+            F.last("v", ignorenulls=True).over(full).alias("last_v"),
+            F.row_number().over(latest).alias("rn"),
+        )
+        .filter("rn = 1")
+        .select("user_id", "last_v")
+    )

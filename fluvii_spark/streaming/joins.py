@@ -43,6 +43,31 @@ def stream_static_join(
     return stream.join(d, on, how)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    left_ts: str,
+    left_delay: str,
+    right: DataFrame,
+    right_ts: str,
+    right_delay: str,
+    condition,
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join with a caller-supplied condition.
+
+    ``condition`` must include the equality keys AND a time bound between
+    ``left_ts`` and ``right_ts`` (e.g. ``r.ts BETWEEN l.ts - INTERVAL 1 HOUR
+    AND l.ts``); without the bound Spark must keep every row forever. Both
+    inputs get their watermark here so callers can't forget one side. For
+    the common key + [lower, upper]-seconds shape, prefer
+    :func:`stream_stream_interval_join`, which builds the condition in the
+    planner-recognized form itself.
+    """
+    wl = left.withWatermark(left_ts, left_delay)
+    wr = right.withWatermark(right_ts, right_delay)
+    return wl.join(wr, condition, how)
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

