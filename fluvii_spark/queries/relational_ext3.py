@@ -545,3 +545,198 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rn = 1")
         .select("user_id", "last_v")
     )
+
+
+@register(
+    "q84_lateral_topn",
+    """
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) c
+    """,
+    "LATERAL correlated subquery (top-2 customers per nation): Catalyst "
+    "plans the decorrelated window form, not 25 correlated re-scans",
+    ("relational", "subquery", "sql"),
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM nation n, LATERAL (
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) c
+        """
+    )
+
+
+@register(
+    "q85_bitwise_aggs",
+    """
+    SELECT o_orderpriority,
+           bit_and(o_orderkey) AS k_and,
+           bit_or(o_orderkey)  AS k_or,
+           bit_xor(o_orderkey) AS k_xor
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "bitwise aggregates (and/or/xor fold over int64 keys) — set-membership "
+    "sketches and checksum-style folds",
+    ("relational", "agg"),
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.bit_and("o_orderkey").alias("k_and"),
+        F.bit_or("o_orderkey").alias("k_or"),
+        F.bit_xor("o_orderkey").alias("k_xor"),
+    )
+
+
+@register(
+    "q86_regex_backref",
+    r"""
+    SELECT p_partkey,
+           regexp_replace(p_name, '^(\w+) (\w+)', '\2 \1') AS swapped
+    FROM part
+    """,
+    "regexp_replace with capture-group backreferences (swap first two "
+    "words) — engine syntax differs ($2 $1 vs \\2 \\1) but semantics are "
+    "identical, which is exactly what the oracle checks",
+    ("relational", "string"),
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.part.select(
+        "p_partkey",
+        F.regexp_replace("p_name", r"^(\w+) (\w+)", r"$2 $1").alias("swapped"),
+    )
+
+
+@register(
+    "q87_exists_subquery",
+    """
+    SELECT s.s_nationkey, COUNT(*) AS n_suppliers
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_nationkey = s.s_nationkey
+                    AND c.c_acctbal > 9900)
+      AND NOT EXISTS (SELECT 1 FROM customer c2
+                      WHERE c2.c_nationkey = s.s_nationkey
+                        AND c2.c_acctbal < -990)
+    GROUP BY s.s_nationkey
+    """,
+    "correlated EXISTS / NOT EXISTS through the SQL front door — Catalyst "
+    "decorrelates to semi + anti joins (q09/q10 are the DataFrame forms)",
+    ("relational", "subquery", "sql"),
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.s_nationkey, COUNT(*) AS n_suppliers
+        FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_nationkey = s.s_nationkey
+                        AND c.c_acctbal > 9900)
+          AND NOT EXISTS (SELECT 1 FROM customer c2
+                          WHERE c2.c_nationkey = s.s_nationkey
+                            AND c2.c_acctbal < -990)
+        GROUP BY s.s_nationkey
+        """
+    )
+
+
+@register(
+    "q88_pipeline_e2e",
+    f"""
+    WITH RECURSIVE
+    qual AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_toks,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                  ' +', ' ', 'g')) AS norm_text
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 20),
+    dedup AS (
+      SELECT * FROM (
+        SELECT doc_id, lang, n_toks, norm_text,
+               row_number() OVER (PARTITION BY norm_text ORDER BY doc_id) AS rn
+        FROM qual) WHERE rn = 1),
+    split AS (
+      SELECT doc_id, lang, n_toks,
+             CASE WHEN {_H32_DUCK.format(x="'split_' || CAST(doc_id AS VARCHAR)")} % 10 < 8
+                  THEN 'train'
+                  WHEN {_H32_DUCK.format(x="'split_' || CAST(doc_id AS VARCHAR)")} % 10 = 8
+                  THEN 'val' ELSE 'test' END AS split
+      FROM dedup),
+    d AS (
+      SELECT lang, split, doc_id, n_toks,
+             row_number() OVER (PARTITION BY lang, split ORDER BY doc_id) AS rn
+      FROM split),
+    rec AS (
+      SELECT lang, split, doc_id, rn, n_toks,
+             CAST(0 AS BIGINT) AS bin, n_toks AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.lang, d.split, d.doc_id, d.rn, d.n_toks,
+             CASE WHEN rec.fill + d.n_toks > 512 THEN rec.bin + 1 ELSE rec.bin END,
+             CASE WHEN rec.fill + d.n_toks > 512 THEN d.n_toks
+                  ELSE rec.fill + d.n_toks END
+      FROM rec JOIN d ON d.lang = rec.lang AND d.split = rec.split
+                     AND d.rn = rec.rn + 1)
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT bin) AS n_bins,
+           SUM(n_toks) AS total_toks
+    FROM rec GROUP BY lang, split
+    """,
+    "the training-data pipeline END-TO-END in one plan: quality gate "
+    "(>=20 tokens) -> normalize + exact dedup keep-first -> deterministic "
+    "stratified 80/10/10 split -> greedy 512-token sequence packing per "
+    "(lang, split) -> corpus stats. Every stage is one of the inventory "
+    "operators composed; the oracle replays the whole chain in SQL "
+    "(recursive CTE for the packing fold).",
+    ("pipeline", "e2e"),
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.packing import pack_sequences
+
+    t = load_tables(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    qual = t.documents.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+        norm.alias("norm_text"),
+    ).filter("n_toks >= 20")
+    keep = Window.partitionBy("norm_text").orderBy("doc_id")
+    dedup = (
+        qual.withColumn("rn", F.row_number().over(keep))
+        .filter("rn = 1")
+        .drop("rn", "norm_text")
+    )
+    h = _h32(F.concat(F.lit("split_"), F.col("doc_id").cast("string"))) % 10
+    split = dedup.withColumn(
+        "split", F.when(h < 8, "train").when(h == 8, "val").otherwise("test")
+    )
+    packed = pack_sequences(
+        split,
+        group_cols=["lang", "split"],
+        order_col="doc_id",
+        size_col="n_toks",
+        capacity=512,
+    )
+    return packed.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("bin").alias("n_bins"),
+        F.sum("n_toks").alias("total_toks"),
+    )
