@@ -1,5 +1,5 @@
 """Batch file sources & sinks (SURVEY.md §2.2 "Scans/Sinks" engine surface:
-Parquet/JSON/CSV — all new relative to the reference, whose only file I/O is
+Parquet/ORC/JSON/CSV — all new relative to the reference, whose only file I/O is
 the JSON topic dump, ``fluvii/kafka_tools/fluvii_toolbox.py:231-234``).
 
 Thin, pushdown-preserving wrappers: no caching, no materialization — the
@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-_FORMATS = ("parquet", "json", "csv")
+_FORMATS = ("parquet", "orc", "json", "csv")
 
 
 def read_files(

@@ -16,7 +16,7 @@ def test_roundtrip_all_formats(spark, sf_dir, tmp_path):
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     n = src.count()
-    for fmt in ("parquet", "json", "csv"):
+    for fmt in ("parquet", "orc", "json", "csv"):
         p = str(tmp_path / fmt)
         write_files(src, p, fmt)
         back = read_files(spark, p, fmt, schema=src.schema)
