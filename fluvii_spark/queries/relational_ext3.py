@@ -740,3 +740,136 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("bin").alias("n_bins"),
         F.sum("n_toks").alias("total_toks"),
     )
+
+
+@register(
+    "q89_funnel",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+    v AS (SELECT user_id, MIN(t) AS tv FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(t) AS tc FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND t > tv GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(t) AS tp FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND t > tc GROUP BY e.user_id)
+    SELECT 'view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL SELECT 'view>click', COUNT(*) FROM c
+    UNION ALL SELECT 'view>click>purchase', COUNT(*) FROM p
+    """,
+    "ordered funnel (view -> later click -> later purchase): stage user "
+    "counts via chained first-occurrence aggregates — each stage joins the "
+    "(small) survivor set back to events, so the event table is scanned, "
+    "never self-joined row x row",
+    ("relational", "funnel"),
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir).events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    v = (
+        e.filter("event_type = 'view'")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tv"))
+    )
+    c = (
+        e.filter("event_type = 'click'")
+        .join(v, "user_id")
+        .filter("t > tv")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tc"))
+    )
+    p = (
+        e.filter("event_type = 'purchase'")
+        .join(c, "user_id")
+        .filter("t > tc")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tp"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_users")).select(F.lit("view").alias("stage"), "n_users")
+        .unionByName(
+            c.agg(F.count("*").alias("n_users")).select(
+                F.lit("view>click").alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count("*").alias("n_users")).select(
+                F.lit("view>click>purchase").alias("stage"), "n_users"
+            )
+        )
+    )
+
+
+_US_WEEK = 604_800_000_000  # 7 * 86400 * 1e6 — epoch-aligned integer weeks
+
+
+@register(
+    "q90_cohort_retention",
+    f"""
+    WITH s AS (SELECT user_id, MIN(epoch_us(ts)) // {_US_WEEK} AS cw
+               FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         a AS (SELECT user_id, epoch_us(ts) // {_US_WEEK} AS aw FROM events)
+    SELECT s.cw AS cohort_week, a.aw - s.cw AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM a JOIN s USING (user_id)
+    WHERE a.aw >= s.cw
+    GROUP BY 1, 2
+    """,
+    "cohort retention matrix: users bucketed by signup week, counted in "
+    "each later activity week — the cohort dimension joins as a per-user "
+    "attribute (one small build side), the activity scan stays single-pass",
+    ("relational", "cohort"),
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir).events.select(
+        "user_id",
+        "event_type",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_WEEK}").alias("w"),
+    )
+    s = (
+        e.filter("event_type = 'signup'")
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cw"))
+    )
+    return (
+        e.join(s, "user_id")
+        .filter("w >= cw")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("w") - F.col("cw")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "q91_median_abs_dev",
+    """
+    WITH med AS (SELECT event_type,
+                        percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+                 FROM events GROUP BY event_type)
+    SELECT e.event_type, ANY_VALUE(m.med) AS med,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(e.value - m.med)) AS mad
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+    "robust dispersion: median absolute deviation per group — two exact "
+    "interpolated-percentile passes, group medians joined back as a "
+    "broadcast attribute",
+    ("relational", "stats"),
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    med = t.events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    return (
+        t.events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("any_value(med)").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
