@@ -81,12 +81,20 @@ def streaming_minhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    bucket_ttl_ms: int | None = None,
 ) -> DataFrame:
     """(id_new, id_prior) candidate pairs, emitted as documents arrive.
 
     A pair appears when the new document lands in a bucket some prior
     document already occupies (possibly emitted once per shared band —
     consumers dedup, exactly like the batch candidate dropDuplicates).
+
+    ``bucket_ttl_ms`` bounds state for UNbounded ingest: a bucket idle that
+    long forgets its members (processing-time timeout), trading "near-dup
+    of anything EVER seen" for "near-dup of anything seen recently" — the
+    standard memory/recall dial; without it, state is the full inverted
+    index (≈4 rows per distinct document), which is the exact-recall mode
+    for bounded backfills.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -112,6 +120,9 @@ def streaming_minhash_candidates(
     def bucket_fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if bucket_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         seen: list[int] = json.loads(state.get[0]) if state.exists else []
         new_a, prior_b = [], []
         for pdf in pdfs:
@@ -123,6 +134,8 @@ def streaming_minhash_candidates(
                     prior_b.append(prior)
                 seen.append(doc_id)
         state.update((json.dumps(seen),))
+        if bucket_ttl_ms is not None:
+            state.setTimeoutDuration(bucket_ttl_ms)
         if new_a:
             yield pd.DataFrame({"id_new": new_a, "id_prior": prior_b})
 
@@ -131,5 +144,9 @@ def streaming_minhash_candidates(
         outputStructType="id_new LONG, id_prior LONG",
         stateStructType="state STRING",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if bucket_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -65,3 +65,120 @@ def test_streaming_candidates_match_batch(spark, sf_dir, tmp_path):
     assert len(got) > 0
     # cross-batch pairs exist (even id with odd id)
     assert any((a + b) % 2 == 1 for a, b in got)
+
+
+def test_streaming_candidates_with_ttl_still_run(spark, sf_dir, tmp_path):
+    """TTL mode: same candidates on a fast replay (nothing idles long
+    enough to evict) — exercises the timeout wiring end-to-end.
+
+    ProcessingTimeTimeout makes the engine spin no-data micro-batches to
+    evaluate timers, so ``processAllAvailable`` never settles — poll the
+    sink for the expected pair set instead, then stop.
+    """
+    import time
+
+    docs = load_tables(spark, sf_dir).documents.limit(100)
+    d = str(tmp_path / "docs_ttl")
+    docs.coalesce(1).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    cands = streaming_minhash_candidates(src, bucket_ttl_ms=3_600_000)
+    q = (
+        cands.writeStream.format("memory")
+        .outputMode("append")
+        .queryName("lsh_ttl")
+        .option("checkpointLocation", str(tmp_path / "ck_ttl"))
+        .start()
+    )
+    expected = {
+        (r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(docs).collect()
+    }
+    deadline = time.time() + 120
+    got: set = set()
+    try:
+        while time.time() < deadline and got != expected:
+            time.sleep(2)
+            got = {
+                (min(r["id_new"], r["id_prior"]), max(r["id_new"], r["id_prior"]))
+                for r in spark.sql("SELECT * FROM lsh_ttl").collect()
+            }
+    finally:
+        q.stop()
+    assert got == expected
+
+
+def test_chained_windowed_aggregations(spark, sf_dir, tmp_path):
+    """Two stateful window aggregations chained in ONE streaming query
+    (Spark 3.4+ multi-stateful append): 10-min counts rolled up to hourly
+    maxima; result must equal the same two-level batch aggregation over the
+    finalized windows."""
+    from pyspark.sql import functions as F
+
+    ev = load_tables(spark, sf_dir).events.select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    d = str(tmp_path / "ev_chain")
+    ev.coalesce(1).write.parquet(d)
+    # advance the watermark far past every window so ALL windows finalize:
+    # one late-epoch row, in a second batch
+    tail = spark.createDataFrame(
+        [("2030-01-01 00:00:00", "view")], "ts_s STRING, event_type STRING"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    tail.coalesce(1).write.mode("append").parquet(d)
+
+    schema = spark.read.parquet(d).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    ten_min = (
+        src.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "10 minutes").alias("w10"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    hourly = (
+        ten_min.groupBy(F.window("w10", "1 hour").alias("w60"), "event_type")
+        .agg(F.max("n").alias("max_10min_count"))
+        .select(
+            F.col("w60.start").alias("hour_start"),
+            "event_type",
+            "max_10min_count",
+        )
+    )
+    q = (
+        hourly.writeStream.format("memory")
+        .outputMode("append")
+        .queryName("chained_agg")
+        .option("checkpointLocation", str(tmp_path / "ck_chain"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["hour_start"], r["event_type"], r["max_10min_count"])
+        for r in spark.sql("SELECT * FROM chained_agg").collect()
+    }
+    batch = (
+        spark.read.parquet(d)
+        .groupBy(F.window("ts", "10 minutes").alias("w10"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .groupBy(F.window("w10", "1 hour").alias("w60"), "event_type")
+        .agg(F.max("n").alias("max_10min_count"))
+        .select(F.col("w60.start").alias("hour_start"), "event_type", "max_10min_count")
+    )
+    expected_all = {
+        (r["hour_start"], r["event_type"], r["max_10min_count"])
+        for r in batch.collect()
+    }
+    # every hour strictly before the 2030 sentinel must have been emitted
+    sentinel_hours = {h for (h, t, n) in expected_all if h.year >= 2030}
+    assert got == expected_all - {
+        (h, t, n) for (h, t, n) in expected_all if h in sentinel_hours
+    }
+    assert len(got) > 100
