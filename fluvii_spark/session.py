@@ -32,13 +32,23 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # 64 MB broadcast ceiling (default 10 MB): TPC-H-shaped dimensions
-    # (customer at sf≤1, all of nation/region/part) broadcast instead of
-    # shuffling the fact side. On 100 TB clusters executors hold multi-GB
-    # heaps — a 64 MB build side is cheap, and AQE only converts when the
-    # RUNTIME size clears the bar, so mis-estimates don't OOM. Measured:
-    # q07 5-way star −15% wall at sf0.1.
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+# Performance defaults, applied ONLY when the session still carries Spark's
+# stock value — an explicit caller override (e.g. "-1" to force the bucketed
+# 100 TB plan shape in tests) must survive apply_runtime_confs.
+#
+# 64 MB broadcast ceiling (stock 10 MB): TPC-H-shaped dimensions (customer
+# at sf≤1, all of nation/region/part) broadcast instead of shuffling the
+# fact side. On 100 TB clusters executors hold multi-GB heaps — a 64 MB
+# build side is cheap, and AQE only converts when the RUNTIME size clears
+# the bar, so mis-estimates don't OOM. Measured: q07 5-way star −15% wall
+# at sf0.1.
+PERF_CONFS: dict[str, tuple[str, frozenset[str]]] = {
+    "spark.sql.autoBroadcastJoinThreshold": (
+        str(64 * 1024 * 1024),
+        frozenset({"10485760", "10485760b", "10MB"}),
+    ),
 }
 
 
@@ -55,6 +65,13 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # non-settable in this deployment → keep going; queries that
             # depend on a conf guard for it explicitly.
+            pass
+    for k, (v, stock_values) in PERF_CONFS.items():
+        try:
+            current = spark.conf.get(k, None)
+            if current is None or current in stock_values:
+                spark.conf.set(k, v)
+        except Exception:
             pass
     return spark
 
@@ -101,6 +118,8 @@ def get_session(
             "true",
         )
     for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, (v, _stock) in PERF_CONFS.items():
         builder = builder.config(k, v)
     if extra_conf:
         for k, v in extra_conf.items():
