@@ -897,3 +897,62 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.groupBy((F.col("k") % 10).alias("k_mod")).agg(
         F.count("*").alias("n"), F.sum("k").alias("k_sum")
     )
+
+
+@register(
+    "q93_gaps_islands",
+    """
+    WITH d AS (SELECT DISTINCT user_id,
+                               epoch_us(ts) // 86400000000 AS day
+               FROM events),
+         g AS (SELECT user_id, day,
+                      day - row_number() OVER (PARTITION BY user_id
+                                               ORDER BY day) AS grp
+               FROM d),
+         s AS (SELECT user_id, COUNT(*) AS streak
+               FROM g GROUP BY user_id, grp)
+    SELECT user_id, MAX(streak) AS longest_streak
+    FROM s GROUP BY user_id
+    """,
+    "gaps-and-islands: longest run of consecutive active days per user — "
+    "the day-minus-row_number island key turns streak detection into two "
+    "hash aggregates, no self-join",
+    ("relational", "window", "islands"),
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir).events.select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = e.withColumn("grp", F.col("day") - F.row_number().over(w))
+    s = g.groupBy("user_id", "grp").agg(F.count("*").alias("streak"))
+    return s.groupBy("user_id").agg(F.max("streak").alias("longest_streak"))
+
+
+@register(
+    "q94_percent_of_total",
+    """
+    WITH r AS (SELECT o_orderpriority,
+                      SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+               FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev / SUM(rev) OVER () AS DOUBLE) AS share
+    FROM r
+    """,
+    "percent-of-total: global-frame window over a pre-aggregated (tiny) "
+    "relation — the share is computed on 5 rows, never on the fact table",
+    ("relational", "window"),
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    r = t.orders.groupBy("o_orderpriority").agg(
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").alias("rev")
+    )
+    w = Window.partitionBy()
+    return r.select(
+        "o_orderpriority",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev") / F.sum("rev").over(w)).cast("double").alias("share"),
+    )
