@@ -956,3 +956,46 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         (F.col("rev") / F.sum("rev").over(w)).cast("double").alias("share"),
     )
+
+
+@register(
+    "q95_full_outer_join",
+    """
+    WITH o AS (SELECT o_custkey, COUNT(*) AS n_orders
+               FROM orders WHERE o_orderpriority = '1-URGENT'
+               GROUP BY o_custkey),
+         c AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0),
+         j AS (SELECT c.c_custkey, o.o_custkey, o.n_orders
+               FROM c FULL OUTER JOIN o
+                 ON c.c_custkey = o.o_custkey)
+    SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+                WHEN o_custkey IS NULL THEN 'customer_only'
+                ELSE 'both' END AS side,
+           COUNT(*) AS n,
+           COALESCE(SUM(n_orders), 0) AS total_orders
+    FROM j GROUP BY 1
+    """,
+    "FULL OUTER join (the one join type q06-q12 didn't cover): a customer "
+    "subset x urgent-order counts, classified matched / left-only / "
+    "right-only — the reconciliation-report shape (subsets chosen so all "
+    "three classes are non-empty)",
+    ("relational", "join"),
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = (
+        t.orders.filter("o_orderpriority = '1-URGENT'")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    c = t.customer.select("c_custkey").filter("c_custkey % 3 <> 0")
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    side = (
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_custkey").isNull(), "customer_only")
+        .otherwise("both")
+    )
+    return j.groupBy(side.alias("side")).agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("n_orders"), F.lit(0)).alias("total_orders"),
+    )
