@@ -48,6 +48,20 @@ def register(
     return deco
 
 
+# Queries that already have a green driver-correctness row (CORRECTNESS_r01):
+# the round-1 harness recorded exactly the first 50 dict entries, so ordering
+# matters — registry() lists not-yet-driver-proven queries FIRST so a capped
+# harness proves new ground each round, while a full run still covers all.
+_R1_PROVEN = {
+    *(f"q{i:02d}" for i in range(1, 48)),  # q01..q47
+    "q57", "q59", "q60",
+}
+
+
+def _prefix(name: str) -> str:
+    return name.split("_", 1)[0]
+
+
 def registry() -> dict[str, Query]:
     # import side-effect populates _REGISTRY
     from fluvii_spark.queries import (  # noqa: F401
@@ -58,4 +72,8 @@ def registry() -> dict[str, Query]:
         relational_ext3,
     )
 
-    return dict(_REGISTRY)
+    items = sorted(
+        _REGISTRY.items(),
+        key=lambda kv: (_prefix(kv[0]) in _R1_PROVEN, kv[0]),
+    )
+    return dict(items)

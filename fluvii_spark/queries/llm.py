@@ -358,7 +358,9 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    n_docs = t.documents.count()
+    # n_docs stays inside the lazy plan: 1-row aggregate broadcast-crossed
+    # onto the per-term frame (same trick as q55) — no eager count(), one job.
+    n = t.documents.agg(F.count("*").alias("n_docs"))
     tf = (
         t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
@@ -368,12 +370,13 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("df"), F.sum("tf").alias("total_tf")
     )
     return (
-        df_.select(
+        df_.crossJoin(F.broadcast(n))
+        .select(
             "term",
             F.col("df").cast("bigint").alias("df"),
             (
                 F.col("total_tf")
-                * (F.lit(n_docs) - F.col("df") + 0.5)
+                * (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5)
             ).alias("score"),
         )
@@ -536,7 +539,7 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
       WHERE j.jaccard >= 0.5
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION SELECT id_b, id_a FROM pairs
     ),

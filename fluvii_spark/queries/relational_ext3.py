@@ -399,7 +399,7 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q80_sequence_packing",
     """
-    WITH RECURSIVE d AS (
+    WITH RECURSIVE d AS MATERIALIZED (
         SELECT lang, doc_id, len(string_split(text, ' ')) AS n_toks,
                row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
         FROM documents),
@@ -674,7 +674,7 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN {_H32_DUCK.format(x="'split_' || CAST(doc_id AS VARCHAR)")} % 10 = 8
                   THEN 'val' ELSE 'test' END AS split
       FROM dedup),
-    d AS (
+    d AS MATERIALIZED (
       SELECT lang, split, doc_id, n_toks,
              row_number() OVER (PARTITION BY lang, split ORDER BY doc_id) AS rn
       FROM split),

@@ -82,6 +82,7 @@ qs = mod.queries()
 oracles = mod.oracle_sql()
 print(f"queries={len(qs)} oracles={len(oracles)}")
 fails = []
+timings = {}  # name -> (spark_s, duck_s)
 for name in sorted(qs):
     if ONLY and name not in ONLY:
         continue
@@ -94,9 +95,12 @@ for name in sorted(qs):
         print(f"  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:200]}")
         fails.append(name)
         continue
+    t_spark = time.time() - t0
     if name not in oracles:
-        print(f"  {name}: rows-only rows={len(s_rows)} ({time.time()-t0:.1f}s)")
+        timings[name] = (t_spark, 0.0)
+        print(f"  {name}: rows-only rows={len(s_rows)} (spark {t_spark:.1f}s)")
         continue
+    t1 = time.time()
     try:
         cur = con.execute(oracles[name])
         d_cols = [d[0] for d in cur.description]
@@ -105,12 +109,14 @@ for name in sorted(qs):
         print(f"  {name}: DUCK ERROR {type(e).__name__}: {str(e)[:200]}")
         fails.append(name)
         continue
+    t_duck = time.time() - t1
+    timings[name] = (t_spark, t_duck)
     ok_cols = sorted(s_cols) == sorted(d_cols)
     ok_rows = len(s_rows) == len(d_rows)
     sh, dh = vhash(s_cols, s_rows), vhash(d_cols, d_rows)
     ok = ok_cols and ok_rows and sh == dh
     status = "OK" if ok else "MISMATCH"
-    print(f"  {name}: {status} rows={len(s_rows)}/{len(d_rows)} hash={'=' if sh==dh else f'{sh}!={dh}'} ({time.time()-t0:.1f}s)")
+    print(f"  {name}: {status} rows={len(s_rows)}/{len(d_rows)} hash={'=' if sh==dh else f'{sh}!={dh}'} (spark {t_spark:.1f}s duck {t_duck:.1f}s)")
     if not ok:
         fails.append(name)
         if not ok_cols:
@@ -122,5 +128,11 @@ for name in sorted(qs):
                     print(f"    first diff row {i}:\n      spark={a}\n      duck ={b}")
                     break
 
+tot_s = sum(t[0] for t in timings.values())
+tot_d = sum(t[1] for t in timings.values())
+print(f"\nTIMING: spark total {tot_s:.1f}s, duckdb total {tot_d:.1f}s")
+print("slowest (spark+duck):")
+for name, (ts, td) in sorted(timings.items(), key=lambda kv: -(kv[1][0] + kv[1][1]))[:15]:
+    print(f"  {name}: {ts + td:.1f}s (spark {ts:.1f} + duck {td:.1f})")
 print(f"\nRESULT: {len(fails)} failures" + (f": {fails}" if fails else " — ALL MATCH"))
 sys.exit(1 if fails else 0)
