@@ -48,10 +48,13 @@ except Exception:
 
 _UNSET = object()
 
-# tombstone marker inside the JSON state envelope; the reference uses the
-# string sentinel '-DELETED-' (transaction.py:191) which we deliberately do
-# NOT port (SURVEY.md §7 "non-standard semantics") — deletes here are real
-# state-store removes.
+# Distinct delete tombstone: the reference stores the string sentinel
+# '-DELETED-' (transaction.py:191) which we deliberately do NOT port
+# (SURVEY.md §7 "non-standard semantics") — deletes here are real state-store
+# removes. The tombstone is an internal marker only, so ``None`` remains a
+# legitimately storable state value ("anything json.dumps-able" includes
+# JSON null, README.md:599-601).
+_DELETED = object()
 
 
 class TableTransaction:
@@ -81,6 +84,8 @@ class TableTransaction:
 
     # -- state verbs (ST1-ST3) ------------------------------------------------
     def read_table_entry(self) -> Any:
+        if self._pending is _DELETED:
+            return None
         if self._pending is not _UNSET:
             return self._pending
         return self._state
@@ -90,19 +95,20 @@ class TableTransaction:
         self._pending = value
 
     def delete_table_entry(self) -> None:
-        self._pending = None
+        self._pending = _DELETED
 
     # -- output ---------------------------------------------------------------
     def produce(self, value: dict) -> None:
         self._produced.append(value)
 
-    # internal: fold one message, returning (new_state, produced_rows)
+    # internal: fold one message, returning (new_state, produced_rows, dirty)
     def _apply(
         self, app_function: Callable[["TableTransaction"], None]
-    ) -> tuple[Any, list[dict]]:
+    ) -> tuple[Any, list[dict], bool]:
         app_function(self)
+        dirty = self._pending is not _UNSET
         new_state = self._state if self._pending is _UNSET else self._pending
-        return new_state, self._produced
+        return new_state, self._produced, dirty
 
 
 def _fold_rows(
@@ -110,14 +116,25 @@ def _fold_rows(
     rows: Iterable[dict],
     state_value: Any,
     app_function: Callable[[TableTransaction], None],
-) -> tuple[Any, list[dict]]:
+    initial_state: Any = None,
+) -> tuple[Any, list[dict], bool]:
+    """Fold messages through ``app_function``; returns (state, rows, dirty).
+
+    ``state`` may be the ``_DELETED`` tombstone (the last verb was a delete);
+    a message arriving after a delete in the same fold reads
+    ``initial_state``, exactly what it would read in the next micro-batch
+    after the store remove.
+    """
     out: list[dict] = []
     st = state_value
+    dirty = False
     for message in rows:
-        txn = TableTransaction(key, message, st)
-        st, produced = txn._apply(app_function)
+        view = initial_state if st is _DELETED else st
+        txn = TableTransaction(key, message, view)
+        st, produced, d = txn._apply(app_function)
+        dirty = dirty or d
         out.extend(produced)
-    return st, out
+    return st, out, dirty
 
 
 def _sorted_records(pdf: pd.DataFrame, order_by: list[str] | None) -> list[dict]:
@@ -166,22 +183,36 @@ def streaming_keyed_fold(
             st = initial_state
         k = key[0] if len(key) == 1 else key
         out_rows: list[dict] = []
+        dirty = False
         if timeout_ms is not None and state.hasTimedOut:
             new_state, rows = (
                 on_timeout(k, st) if on_timeout else (None, [])
             )
             out_rows.extend(rows)
-            st = new_state
+            # on_timeout's documented contract: None state drops the key
+            st = _DELETED if new_state is None else new_state
+            dirty = True
         else:
-            for pdf in pdfs:
-                st, produced = _fold_rows(
-                    k, _sorted_records(pdf, order_by), st, app_function
+            # A key's rows arrive as an ITERATOR of Arrow chunks (split at
+            # spark.sql.execution.arrow.maxRecordsPerBatch); sorting chunks
+            # independently is not a total order per key. Materialize the
+            # key's batch and sort ONCE — correctness requires it, and the
+            # memory bound is per (key, micro-batch), not per partition.
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if chunks:
+                records = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+                st, produced, dirty = _fold_rows(
+                    k, _sorted_records(records, order_by), st, app_function,
+                    initial_state,
                 )
                 out_rows.extend(produced)
-        if st is None:
+        if st is _DELETED:
             if state.exists:
                 state.remove()
-        else:
+        elif dirty or state.exists or st is not None:
+            # untouched absent keys with a None initial state store nothing
+            # (no state-store growth for stateless usage); an explicit
+            # update_table_entry(None) IS stored — JSON null is a value.
             state.update((json.dumps(st),))
             if timeout_ms is not None:
                 state.setTimeoutDuration(timeout_ms)
@@ -224,11 +255,12 @@ def batch_keyed_fold(
 
     def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         k = key[0] if len(key) == 1 else key
-        st, produced = _fold_rows(
-            k, _sorted_records(pdf, order_by), initial_state, app_function
+        st, produced, dirty = _fold_rows(
+            k, _sorted_records(pdf, order_by), initial_state, app_function,
+            initial_state,
         )
         if emit_state:
-            if st is None:
+            if st is _DELETED or (st is None and not dirty):
                 return pd.DataFrame({"key": [], "state": []})
             return pd.DataFrame({"key": [str(k)], "state": [json.dumps(st)]})
         return pd.DataFrame(produced)

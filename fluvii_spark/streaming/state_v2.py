@@ -29,7 +29,7 @@ from pyspark.sql.streaming.stateful_processor import (
 )
 from pyspark.sql.types import StringType, StructField, StructType
 
-from fluvii_spark.streaming.state import _fold_rows, _sorted_records
+from fluvii_spark.streaming.state import _DELETED, _fold_rows, _sorted_records
 
 try:  # ship by value — executors lack the package (see state.py)
     from pyspark import cloudpickle as _cp
@@ -67,14 +67,26 @@ class _FoldProcessor(StatefulProcessor):
             st = self._initial_state
         k = key[0] if isinstance(key, tuple) and len(key) == 1 else key
         out: list[dict] = []
-        for pdf in rows:
-            st, produced = _fold_rows(
-                k, _sorted_records(pdf, self._order_by), st, self._app_function
+        dirty = False
+        # materialize + sort ONCE per key: the rows iterator yields Arrow
+        # chunks, and sorting each chunk independently is not a total order
+        # (see streaming_keyed_fold)
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if chunks:
+            records = (
+                pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            )
+            st, produced, dirty = _fold_rows(
+                k,
+                _sorted_records(records, self._order_by),
+                st,
+                self._app_function,
+                self._initial_state,
             )
             out.extend(produced)
-        if st is None:
+        if st is _DELETED:
             self._state.clear()
-        else:
+        elif dirty or self._state.exists() or st is not None:
             self._state.update((json.dumps(st),))
         if out:
             yield pd.DataFrame(out)

@@ -312,3 +312,127 @@ def test_rate_source_smoke(spark, tmp_path):
     assert n >= 100
     odd = spark.sql("SELECT count(*) c FROM rate_smoke WHERE value % 2 = 1")
     assert odd.collect()[0]["c"] == 0
+
+
+def _make_order_probe():
+    def order_probe(txn):
+        # asserts the per-key order_by contract: each message's seq must be
+        # exactly last+1; any chunk-local (non-total) sort shows up as bad>0
+        msg = txn.value()
+        st = txn.read_table_entry() or {"last": -1, "bad": 0}
+        bad = st["bad"] + (0 if msg["seq"] == st["last"] + 1 else 1)
+        txn.update_table_entry({"last": msg["seq"], "bad": bad})
+        txn.produce({"k": msg["k"], "seq": msg["seq"], "bad": bad})
+
+    return order_probe
+
+
+def test_order_by_is_total_across_arrow_chunks(spark, tmp_path):
+    """A key with more rows per micro-batch than the Arrow batch size arrives
+    as MULTIPLE pandas chunks; order_by must still be a total order per key
+    (regression: chunks used to be sorted independently)."""
+    import random
+
+    src_dir = str(tmp_path / "src")
+    rows = [(1, s) for s in range(500)]
+    random.Random(7).shuffle(rows)
+    spark.createDataFrame(rows, "k INT, seq INT").coalesce(1).write.parquet(src_dir)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        schema = spark.read.parquet(src_dir).schema
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        app = TableApp(
+            src,
+            _make_order_probe(),
+            key_cols=["k"],
+            output_schema="k INT, seq INT, bad INT",
+            order_by=["seq"],
+        )
+        q = app.start(
+            sink_format="memory",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            query_name="order_probe",
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    out = spark.sql("SELECT * FROM order_probe")
+    assert out.count() == 500
+    assert out.agg(F.max("bad")).collect()[0][0] == 0
+
+
+def _make_null_prober():
+    def null_prober(txn):
+        msg = txn.value()
+        txn.produce(
+            {"k": msg["k"], "seq": msg["seq"], "saw": json.dumps(txn.read_table_entry())}
+        )
+        if msg["op"] == "store_none":
+            txn.update_table_entry(None)
+        elif msg["op"] == "delete":
+            txn.delete_table_entry()
+        elif msg["op"] == "set":
+            txn.update_table_entry({"v": msg["seq"]})
+
+    return null_prober
+
+
+def test_none_state_is_storable_and_distinct_from_delete(spark, tmp_path):
+    """update_table_entry(None) stores JSON null (reads back as None);
+    delete_table_entry() removes the key (reads back as initial_state)."""
+    import time
+
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    phases = [
+        [(1, 0, "set"), (2, 0, "set")],
+        [(1, 1, "store_none"), (2, 1, "delete")],
+        [(1, 2, "noop"), (2, 2, "noop")],
+    ]
+    build = str(tmp_path / "build")
+    for i, ph in enumerate(phases):
+        d = os.path.join(build, str(i))
+        spark.createDataFrame(ph, "k INT, seq INT, op STRING").coalesce(1).write.parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        dst = os.path.join(staged, f"{i:02d}.parquet")
+        shutil.copy(os.path.join(d, part), dst)
+        # FileStreamSource orders by (modTime, path): pin distinct mtimes
+        t = time.time() - 300 + i * 10
+        os.utime(dst, (t, t))
+
+    schema = spark.read.parquet(staged).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    app = TableApp(
+        src,
+        _make_null_prober(),
+        key_cols=["k"],
+        output_schema="k INT, seq INT, saw STRING",
+        order_by=["seq"],
+        initial_state={"init": True},
+    )
+    q = app.start(
+        sink_format="memory",
+        checkpoint_dir=str(tmp_path / "ckpt_null"),
+        query_name="null_probe",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    saw = {
+        (r["k"], r["seq"]): json.loads(r["saw"])
+        for r in spark.sql("SELECT * FROM null_probe").collect()
+    }
+    assert saw[(1, 0)] == {"init": True} and saw[(2, 0)] == {"init": True}
+    assert saw[(1, 1)] == {"v": 0} and saw[(2, 1)] == {"v": 0}
+    # stored None reads back as None — NOT the initial state
+    assert saw[(1, 2)] is None
+    # deleted key reads back as the initial state
+    assert saw[(2, 2)] == {"init": True}
