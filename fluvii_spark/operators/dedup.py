@@ -331,60 +331,156 @@ def simhash_pairs(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node links its strictly-larger neighbors to
+    the minimum of its closed neighborhood. One groupBy + one key-join."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least("mn", F.col("u")).alias("m")
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .dropDuplicates()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: direct each edge large→small; every node links its
+    not-larger neighborhood (and itself) to the neighborhood minimum."""
+    d = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    leaf = (
+        d.join(m, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    center = m.select("u", F.col("m").alias("v"))
+    return leaf.unionByName(center).dropDuplicates()
+
+
+# Above this many edges, connected_components switches from min-label
+# propagation (fewest stages/round — wins when every Spark job is
+# latency-bound) to large/small-star contraction (O(log n) rounds — wins when
+# rounds are shuffle-bound and diameter is unknowable). ~5M edges ≈ the point
+# where one extra round costs more than the per-round stage overhead.
+STAR_EDGE_THRESHOLD = 5_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    stats: dict | None = None,
+    algorithm: str = "auto",
+    star_threshold: int = STAR_EDGE_THRESHOLD,
 ) -> DataFrame:
     """(node, cluster): connected components of the near-dup pair graph —
     the step after pair finding: a dedup pipeline keeps one canonical doc
     per *cluster*, not per pair (A~B, B~C ⇒ {A,B,C} together even when A,C
     never matched directly).
 
-    Min-label propagation: every node starts as its own label; each round
-    takes the min label over neighbors (one join + one groupBy per round)
-    until a fixpoint. Rounds ≈ cluster diameter — small for dup clusters.
-    ``localCheckpoint`` truncates lineage each round so plans don't grow
-    unboundedly. At extreme diameters the large-star/small-star rewrite
-    (Kiveris et al., "Connected Components in MapReduce") halves rounds;
-    the join/agg skeleton is identical.
+    Two physical strategies, picked by ``algorithm``:
 
+    - ``"star"`` — alternating large-star / small-star contraction (Kiveris
+      et al., "Connected Components in MapReduce and Beyond", SoCC'14): each
+      round is two (groupBy + equi-join) stages and the edge set converges to
+      a star forest — every node pointing at its component minimum — in
+      O(log n) rounds *independent of diameter* (propagation needs ~diameter
+      rounds: a chain of 10⁶ near-identical docs would take 10⁶ shuffles).
+      Convergence is detected by an (edge-count, hash-sum) fingerprint — one
+      tiny aggregate per round, no edge-set anti-join.
+    - ``"propagation"`` — min-label propagation: one join + one groupBy per
+      round, rounds ≈ cluster diameter. Fewer stages per round, so it wins
+      on small graphs where each job is scheduler-latency-bound and dup
+      clusters have tiny diameters.
+    - ``"auto"`` (default) — propagation below ``star_threshold`` edges,
+      star contraction above: small inputs stay latency-optimal, 100 TB
+      inputs get the diameter-independent bound.
+
+    ``localCheckpoint`` truncates lineage each round in both strategies.
     The cluster id IS the minimum doc id — i.e. the canonical keeper.
+    Pass ``stats={}`` to receive ``{"rounds": k, "algorithm": ...}`` back
+    (tests assert the O(log n) bound on a chain graph).
     """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .dropDuplicates()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
+    if algorithm == "auto":
+        algorithm = "star" if edges.count() > star_threshold else "propagation"
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
         .dropDuplicates()
-        .withColumn("label", F.col("node"))
     )
-    for _ in range(max_iters):
-        neigh = edges.join(
-            labels, edges.dst == labels.node
-        ).select(F.col("src").alias("node"), "label")
-        new_labels = (
-            labels.unionByName(neigh)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select("node", F.col("label").alias("cluster"))
+    rounds = 0
+
+    if algorithm == "star":
+        def fingerprint(e: DataFrame) -> tuple:
+            row = e.agg(
+                F.count("*").alias("n"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            ).collect()[0]
+            return (row["n"], row["h"])
+
+        prev = None
+        for _ in range(max_iters):
+            edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+            rounds += 1
+            fp = fingerprint(edges)
+            if fp == prev:
+                break
+            prev = fp
+        # converged star forest: each non-root points at its root; roots
+        # appear only on the v side — label them with themselves
+        lab = edges.groupBy("u").agg(F.min("v").alias("cluster"))
+        out = nodes.join(
+            lab.select(F.col("u").alias("node"), "cluster"), "node", "left"
+        ).select("node", F.coalesce("cluster", "node").alias("cluster"))
+    else:
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).localCheckpoint(eager=False)
+        labels = nodes.withColumn("label", F.col("node"))
+        for _ in range(max_iters):
+            neigh = sym.join(
+                labels, sym.v == labels.node
+            ).select(F.col("u").alias("node"), "label")
+            new_labels = (
+                labels.unionByName(neigh)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            rounds += 1
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        out = labels.select("node", F.col("label").alias("cluster"))
+
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["algorithm"] = algorithm
+    return out
 
 
 def embedding_near_dup_pairs(

@@ -276,6 +276,48 @@ def test_connected_components_matches_union_find(spark):
     assert got == expected
 
 
+def test_connected_components_chain_olog_rounds(spark):
+    """Star contraction converges in O(log n) rounds on a diameter-n chain —
+    the case where plain min-label propagation needs ~n rounds."""
+    from fluvii_spark.operators.dedup import connected_components
+
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a LONG, id_b LONG"
+    )
+    stats: dict = {}
+    got = {
+        r["node"]: r["cluster"]
+        for r in connected_components(
+            pairs, stats=stats, max_iters=30, algorithm="star"
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+    # log2(257) ≈ 8; propagation would need ~256 rounds
+    assert stats["rounds"] <= 12, stats
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """Both physical strategies produce identical clusterings."""
+    import random
+
+    from fluvii_spark.operators.dedup import connected_components
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    by_star = {
+        r["node"]: r["cluster"]
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    by_prop = {
+        r["node"]: r["cluster"]
+        for r in connected_components(pairs, algorithm="propagation").collect()
+    }
+    assert by_star == by_prop
+
+
 def test_asof_join_tolerance_and_nulls(spark):
     """Tolerance voids too-old matches; keys with no prior right row get
     NULL payload; equal timestamps match (<= semantics)."""
