@@ -483,46 +483,30 @@ def connected_components(
     return out
 
 
-def embedding_near_dup_pairs(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.4,
-    n_blocks: int = 8,
+# Above this many vectors, embedding_near_dup_pairs(exact=None) routes to
+# LSH-bucketed candidates: the exact block-GEMM holds ~2·N/n_blocks vectors
+# in one pandas group, which stops fitting executor memory long before the
+# O(N²) flops stop fitting the cluster.
+EXACT_EMBED_MAX_ROWS = 200_000
+
+
+def _gemm_pairs(
+    pairs: DataFrame, group_cols: list[str], threshold: float
 ) -> DataFrame:
-    """Pairs with cosine similarity ≥ threshold — exact all-pairs semantics.
+    """Shared GEMM verify: per group, one dense cosine sub-matrix.
 
-    Physical plan: block-matrix similarity join. Vectors are bucketed into
-    ``n_blocks`` blocks; each row is replicated to every (block-pair) group it
-    participates in, and each group computes its cosine sub-matrix with one
-    BLAS GEMM inside ``applyInPandas``. Compared to a pair-wise theta-join
-    this never materializes O(N²) pair rows carrying vector payloads through
-    a shuffle — shuffle volume is ``n_blocks × data``, and the O(N²) work
-    happens as dense float64 matrix math in Arrow batches.
-
-    At 100 TB exact all-pairs is the wrong tool regardless of constant — the
-    hyperplane-LSH candidates in :mod:`fluvii_spark.operators.similarity`
-    bound the candidate set; this operator is the exact baseline and the
-    within-bucket verifier.
-    """
+    ``pairs`` carries (group_cols..., bi, bj, vid, vec, blk); each group is
+    one (block-pair) within one candidate scope (the whole corpus for the
+    exact path, one LSH bucket for the bucketed path)."""
     import numpy as np
     import pandas as pd
 
-    blocked = df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        (F.col(id_col) % n_blocks).cast("int").alias("blk"),
-    ).withColumn("other", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
-    pairs = blocked.select(
-        F.least("blk", "other").alias("bi"),
-        F.greatest("blk", "other").alias("bj"),
-        "vid",
-        "vec",
-        "blk",
-    )
+    # bi/bj positions inside the group key depend on the caller's scope cols
+    bi_pos = group_cols.index("bi")
+    bj_pos = group_cols.index("bj")
 
     def gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        bi, bj = int(key[0]), int(key[1])
+        bi, bj = int(key[bi_pos]), int(key[bj_pos])
         ids = pdf["vid"].to_numpy()
         mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1)
@@ -554,6 +538,96 @@ def embedding_near_dup_pairs(
             cos = sims[ia, ib]
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos})
 
-    return pairs.groupBy("bi", "bj").applyInPandas(
+    return pairs.groupBy(*group_cols).applyInPandas(
         gemm, schema="id_a long, id_b long, cosine double"
     )
+
+
+def _block_pairs(df: DataFrame, id_col: str, vec_col: str, n_blocks: int,
+                 scope_cols: list[str] | None = None) -> DataFrame:
+    """Replicate each row to every (block-pair) group it participates in."""
+    scope_cols = scope_cols or []
+    blocked = df.select(
+        *scope_cols,
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        (F.col(id_col) % n_blocks).cast("int").alias("blk"),
+    ).withColumn("other", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+    return blocked.select(
+        *scope_cols,
+        F.least("blk", "other").alias("bi"),
+        F.greatest("blk", "other").alias("bj"),
+        "vid",
+        "vec",
+        "blk",
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_blocks: int = 8,
+    exact: bool | None = None,
+    exact_max_rows: int = EXACT_EMBED_MAX_ROWS,
+    planes: int = 8,
+    n_tables: int | None = None,
+    target_recall: float = 0.9,
+) -> DataFrame:
+    """Pairs with cosine similarity ≥ threshold.
+
+    Two physical strategies:
+
+    - **exact** — block-matrix all-pairs: vectors bucket into ``n_blocks``
+      blocks, each row replicates to its block-pair groups, each group runs
+      one BLAS GEMM inside ``applyInPandas``. Never materializes O(N²) pair
+      rows through a shuffle (shuffle volume is ``n_blocks × data``) — but
+      one group still holds ~2·N/n_blocks vectors, so it is a small-corpus /
+      within-bucket tool, not a 100 TB plan.
+    - **bucketed** — multi-table hyperplane-LSH candidates first
+      (:func:`fluvii_spark.operators.similarity.lsh_bucket_tables` —
+      deterministic md5-derived planes, ``n_tables`` amplification), then
+      the SAME block-GEMM verify *within each (table, bucket)*: group size
+      is bounded by the bucket, shuffle by ``n_tables × n_blocks × data``.
+      Approximate (a pair split by a hyperplane in every table is missed;
+      recall = 1-(1-p^planes)^n_tables with p = 1-θ/π); this is the 100 TB
+      default.
+
+    ``n_tables=None`` solves that recall formula for ``target_recall`` AT
+    the threshold: high thresholds (true near-dups, the production regime)
+    need a handful of tables; low thresholds are honestly expensive — the
+    replication factor is the cost of asking LSH for far-apart pairs.
+
+    ``exact=None`` routes by corpus size: exact up to ``exact_max_rows``
+    rows (the oracle-checked regime), bucketed beyond. Callers wanting exact
+    all-pairs semantics at any size opt in with ``exact=True``.
+    """
+    if exact is None:
+        exact = df.count() <= exact_max_rows
+    if exact:
+        pairs = _block_pairs(df, id_col, vec_col, n_blocks)
+        return _gemm_pairs(pairs, ["bi", "bj"], threshold)
+
+    import math
+
+    from fluvii_spark.operators.similarity import lsh_bucket_tables
+
+    if n_tables is None:
+        p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+        p_table = p**planes  # P(one table co-buckets a threshold-cosine pair)
+        n_tables = (
+            1
+            if p_table >= target_recall
+            else min(128, math.ceil(math.log(1 - target_recall) / math.log(1 - p_table)))
+        )
+
+    dims = len(df.select(vec_col).head()[0])
+    buckets = lsh_bucket_tables(df, dims, id_col, vec_col, planes, n_tables)
+    in_bucket = df.join(buckets, id_col)
+    pairs = _block_pairs(in_bucket, id_col, vec_col, n_blocks,
+                         scope_cols=["table", "bucket"])
+    found = _gemm_pairs(pairs, ["table", "bucket", "bi", "bj"], threshold)
+    # a pair co-bucketed in several tables is verified in each — same vectors,
+    # same float path, identical cosine; keep one
+    return found.dropDuplicates(["id_a", "id_b"])

@@ -121,6 +121,46 @@ def lsh_buckets(
     )
 
 
+def lsh_bucket_tables(
+    df: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = N_PLANES,
+    n_tables: int = 4,
+) -> DataFrame:
+    """(id, table, bucket): ``n_tables`` independent sign-pattern buckets.
+
+    Standard LSH amplification — a near pair missed by one table (split by
+    some hyperplane) is caught by another; candidate recall is
+    1-(1-p^planes)^n_tables for per-plane agreement p. All n_tables×planes
+    hyperplane dot products come out of ONE corpus scan (posexplode →
+    broadcast weight join → one grouped aggregation), so extra tables cost
+    compute, not extra passes."""
+    total = planes * n_tables
+    hp = hyperplane_table(df.sparkSession, dims, total)
+    comp = df.select(
+        id_col, F.posexplode(vec_col).alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    dots = (
+        comp.join(F.broadcast(hp), "dim")
+        .groupBy(id_col, "plane")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+    )
+    return (
+        dots.withColumn("table", (F.col("plane") / planes).cast("int"))
+        .groupBy(id_col, "table")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dot") > 0,
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), plane % {planes})"),
+                ).otherwise(F.lit(0))
+            ).alias("bucket")
+        )
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_id: int,

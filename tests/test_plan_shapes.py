@@ -154,3 +154,55 @@ def test_knn_join_broadcasts_query_set(explain):
     build is the intended plan; a shuffle of the corpus is not)."""
     p = explain("q74_knn_join")
     assert "Broadcast" in p, p
+
+
+def test_embedding_dedup_bucketed_groups_bounded(spark, sf_dir):
+    """The bucketed (100 TB default-at-scale) path of embedding_near_dup_pairs
+    must never hand a pandas group ~N/blocks of the whole corpus: every GEMM
+    group is scoped to one (table, bucket), so its size is bounded by the
+    largest LSH bucket — not by N."""
+    from pyspark.sql import functions as F
+
+    from fluvii_spark.io.readers import load_table
+    from fluvii_spark.operators.dedup import _block_pairs
+    from fluvii_spark.operators.similarity import lsh_bucket_tables
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    buckets = lsh_bucket_tables(emb, dims=64)
+    in_bucket = emb.join(buckets, "vec_id")
+    pairs = _block_pairs(in_bucket, "vec_id", "embedding", 8,
+                         scope_cols=["table", "bucket"])
+    sizes = pairs.groupBy("table", "bucket", "bi", "bj").count()
+    max_group = sizes.agg(F.max("count")).collect()[0][0]
+    max_bucket = (
+        in_bucket.groupBy("table", "bucket").count().agg(F.max("count")).collect()[0][0]
+    )
+    # block-pair groups can only shrink a bucket (each holds <= 2/8 of it)
+    assert max_group <= max_bucket
+    assert max_group < n  # never the whole corpus in one group
+
+
+def test_embedding_dedup_auto_routes_and_bucketed_is_subset(spark, sf_dir):
+    """exact=None routes by corpus size; the bucketed result is a subset of
+    the exact result (LSH only prunes, the GEMM verify is the same)."""
+    from fluvii_spark.io.readers import load_table
+    from fluvii_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    # force the at-scale route on the small corpus
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.4, exact_max_rows=1
+        ).collect()
+    }
+    assert set(bucketed) <= set(exact)
+    for k, v in bucketed.items():
+        assert v == pytest.approx(exact[k], abs=1e-12)
+    # amplified multi-table LSH keeps usable recall on the near-dup corpus
+    assert len(bucketed) >= 0.5 * len(exact), (len(bucketed), len(exact))
