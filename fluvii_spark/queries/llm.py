@@ -178,10 +178,65 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q57_ann_ivf_topk",
-    None,  # iterative k-means → not SQL-expressible; rows-only driver check,
-    # recall/pruning/determinism asserted in tests/test_ivf.py
-    "IVF ANN: deterministic mini-k-means inverted lists, probe the 4 "
-    "closest of 8 lists, exact cosine within probed lists",
+    """
+    WITH
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (
+      SELECT list_id, v FROM (
+        SELECT vec_id, v,
+               row_number() OVER (
+                 ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                          vec_id) - 1 AS list_id
+        FROM base) WHERE list_id < 8),
+    a1 AS (
+      SELECT vec_id, list_id FROM (
+        SELECT b.vec_id, s.list_id,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY list_cosine_similarity(b.v, s.v) DESC, s.list_id) AS rn
+        FROM base b, seeds s) WHERE rn = 1),
+    m1 AS (
+      SELECT list_id, dim, AVG(x) AS mx FROM (
+        SELECT a1.list_id, generate_subscripts(b.v, 1) AS dim, unnest(b.v) AS x
+        FROM a1 JOIN base b USING (vec_id)) GROUP BY list_id, dim),
+    c1 AS (
+      SELECT s.list_id, coalesce(u.c, s.v) AS v
+      FROM seeds s LEFT JOIN (
+        SELECT list_id, list(mx ORDER BY dim) AS c FROM m1 GROUP BY list_id) u
+      USING (list_id)),
+    a2 AS (
+      SELECT vec_id, list_id FROM (
+        SELECT b.vec_id, c.list_id,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY list_cosine_similarity(b.v, c.v) DESC, c.list_id) AS rn
+        FROM base b, c1 c) WHERE rn = 1),
+    m2 AS (
+      SELECT list_id, dim, AVG(x) AS mx FROM (
+        SELECT a2.list_id, generate_subscripts(b.v, 1) AS dim, unnest(b.v) AS x
+        FROM a2 JOIN base b USING (vec_id)) GROUP BY list_id, dim),
+    c2 AS (
+      SELECT c1.list_id, coalesce(u.c, c1.v) AS v
+      FROM c1 LEFT JOIN (
+        SELECT list_id, list(mx ORDER BY dim) AS c FROM m2 GROUP BY list_id) u
+      USING (list_id)),
+    q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+    probe AS (
+      SELECT list_id FROM (
+        SELECT c2.list_id,
+               row_number() OVER (
+                 ORDER BY list_cosine_similarity(c2.v, q.qv) DESC, c2.list_id) AS rn
+        FROM c2, q) WHERE rn <= 4)
+    SELECT b.vec_id, list_cosine_similarity(b.v, q.qv) AS cosine
+    FROM base b JOIN a2 USING (vec_id) JOIN probe USING (list_id), q
+    WHERE b.vec_id <> 0
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT 5
+    """,
+    "IVF ANN: deterministic mini-k-means inverted lists (seeds = 8 smallest "
+    "md5(vec_id); 2 Lloyd rounds: cosine argmax assignment with first-index "
+    "ties, per-dim mean update, empty lists keep their previous centroid), "
+    "probe the 4 closest of 8 lists, exact cosine within probed lists. The "
+    "fixed-seed fixed-round schedule makes the whole index SQL-expressible "
+    "— the oracle replays both Lloyd rounds as CTEs.",
     ("llm", "similarity", "ann"),
 )
 def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
