@@ -91,36 +91,77 @@ class ProducerConfig(EnvConfigBase):
 
 
 class AuthConfig(EnvConfigBase):
-    """SASL auth (reference fluvii/components/auth/config.py:8-50)."""
+    """SASL auth (reference fluvii/components/auth/config.py:8-50).
+
+    The reference's rule (auth/config.py:13,20-23): ``oauth_url`` set ⇒
+    OAUTHBEARER, else PLAIN; its ``oauth_cb`` fetches a client-credentials
+    token with (username, password) basic auth + ``scope``
+    (auth/config.py:25-37). Spark's Kafka clients run in the JVM, so the
+    token fetch maps to Kafka's built-in OAuth login handler (KIP-768):
+    token endpoint url + clientId/clientSecret/scope in the JAAS config —
+    same grant, no Python callback."""
 
     env_prefix: ClassVar[str] = "FLUVII_SPARK_AUTH_"
 
-    mechanism: str | None = None  # PLAIN | OAUTHBEARER
+    mechanism: str | None = None  # PLAIN | OAUTHBEARER (None → from oauth_url)
     username: str | None = None
     password: str | None = None
+    oauth_url: str | None = None
+    oauth_scope: str | None = None
     security_protocol: str = "SASL_SSL"
+
+    def resolved_mechanism(self) -> str | None:
+        if self.mechanism:
+            return self.mechanism
+        if self.oauth_url:
+            return "OAUTHBEARER"
+        return "PLAIN" if self.username else None
 
     def as_spark_options(self) -> dict[str, str]:
         """→ ``kafka.*`` options for Spark's Kafka source/sink (the
         reference's ``as_client_dict``, auth/config.py:39-50)."""
-        if not self.mechanism:
+        mech = self.resolved_mechanism()
+        if not mech:
             return {}
         opts = {
             "kafka.security.protocol": self.security_protocol,
-            "kafka.sasl.mechanism": self.mechanism,
+            "kafka.sasl.mechanism": mech,
         }
-        if self.mechanism == "PLAIN":
+        if mech == "PLAIN":
             opts["kafka.sasl.jaas.config"] = (
                 "org.apache.kafka.common.security.plain.PlainLoginModule "
                 f'required username="{self.username}" '
                 f'password="{self.password}";'
             )
-        elif self.mechanism == "OAUTHBEARER":
+        elif mech == "OAUTHBEARER":
             opts["kafka.sasl.login.callback.handler.class"] = (
                 "org.apache.kafka.common.security.oauthbearer."
                 "secured.OAuthBearerLoginCallbackHandler"
             )
+            if self.oauth_url:
+                opts["kafka.sasl.oauthbearer.token.endpoint.url"] = self.oauth_url
+                scope = f' scope="{self.oauth_scope}"' if self.oauth_scope else ""
+                opts["kafka.sasl.jaas.config"] = (
+                    "org.apache.kafka.common.security.oauthbearer."
+                    "OAuthBearerLoginModule required "
+                    f'clientId="{self.username}" '
+                    f'clientSecret="{self.password}"{scope};'
+                )
         return opts
+
+
+class MetricsPusherConfig(EnvConfigBase):
+    """Pushgateway loop settings (reference
+    fluvii/components/metrics/pusher/config.py:5-13: hostname + a k8s
+    headless service resolving to redundant pushgateways, 10 s default)."""
+
+    env_prefix: ClassVar[str] = "FLUVII_SPARK_METRICS_PUSHER_"
+
+    hostname: str = "fluvii-spark"
+    service_name: str | None = None  # k8s headless service → gateway IPs
+    service_port: int = 9091
+    pod_app_port: int = 9091
+    push_rate_seconds: float = 10.0
 
 
 class SchemaRegistryConfig(EnvConfigBase):

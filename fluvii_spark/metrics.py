@@ -97,6 +97,89 @@ class FluviiMetricsListener(StreamingQueryListener):
         self.gauges.set("seconds_behind", 0.0)
 
 
+class MetricsPusher:
+    """Periodic pushgateway loop (reference
+    ``fluvii/components/metrics/pusher/metrics_pusher.py:44-66``): a daemon
+    thread that, every ``config.push_rate_seconds`` (reference default 10 s,
+    pusher/config.py:10), resolves the metrics service to its (possibly
+    several, redundant) gateway addresses and pushes the registry to each;
+    a failed push triggers re-resolution, matching the reference's recovery.
+
+    Differences from the reference, on purpose: ``stop()`` actually stops
+    (threading.Event — the reference calls a nonexistent ``Thread.stop``),
+    and the transport is injectable (``resolve_fn``/``push_fn``) so the loop
+    is testable without prometheus_client or a cluster DNS.
+    """
+
+    def __init__(
+        self,
+        registry: Any,
+        config,
+        resolve_fn=None,
+        push_fn=None,
+        auto_start: bool = False,
+    ):
+        self._config = config
+        self.registry = registry
+        self._resolve_fn = resolve_fn or self._resolve_dns
+        self._push_fn = push_fn or self._push_prometheus
+        self._stop = threading.Event()
+        self.push_thread: threading.Thread | None = None
+        self.metrics_pod_ips: set[str] = set()
+        if auto_start:
+            self.start()
+
+    # -- default transports (gated on optional deps) --------------------------
+    def _resolve_dns(self) -> set[str]:
+        import socket
+
+        if not self._config.service_name:
+            return set()
+        infos = socket.getaddrinfo(
+            self._config.service_name, self._config.service_port
+        )
+        return {f"{i[-1][0]}:{self._config.pod_app_port}" for i in infos}
+
+    def _push_prometheus(self, gateway: str) -> None:  # pragma: no cover
+        from prometheus_client import push_to_gateway
+
+        push_to_gateway(
+            gateway, job=self._config.hostname, registry=self.registry, timeout=15
+        )
+
+    # -- loop ------------------------------------------------------------------
+    def _set_metrics_pod_ips(self) -> None:
+        try:
+            self.metrics_pod_ips = set(self._resolve_fn())
+        except Exception:
+            pass  # keep the previous addresses; retry next cycle
+
+    def _push_metrics(self) -> None:
+        for gateway in sorted(self.metrics_pod_ips):
+            try:
+                self._push_fn(gateway)
+            except Exception:
+                self._set_metrics_pod_ips()
+
+    def _loop(self) -> None:
+        self._set_metrics_pod_ips()
+        while not self._stop.wait(self._config.push_rate_seconds):
+            self._push_metrics()
+            self._set_metrics_pod_ips()
+
+    def start(self) -> None:
+        if self.push_thread and self.push_thread.is_alive():
+            return
+        self._stop.clear()
+        self.push_thread = threading.Thread(target=self._loop, daemon=True)
+        self.push_thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self.push_thread:
+            self.push_thread.join(timeout=5)
+
+
 def install_metrics(spark, app_name: str) -> GaugeSet:
     """Attach a listener to the session; returns the live gauge set."""
     gauges = GaugeSet(app_name)

@@ -162,6 +162,38 @@ def test_auth_plain_client_options():
     assert AuthConfig(mechanism=None).as_spark_options() == {}
 
 
+def test_auth_oauth_client_credentials_options():
+    """Reference rule (auth/config.py:13,20-37): oauth_url set => OAUTHBEARER,
+    client-credentials grant with (username, password) + scope. Spark-side
+    that's KIP-768: token endpoint url + clientId/clientSecret/scope jaas."""
+    a = AuthConfig(
+        username="cid",
+        password="csec",
+        oauth_url="https://idp.example/token",
+        oauth_scope="kafka",
+    )
+    assert a.resolved_mechanism() == "OAUTHBEARER"
+    opts = a.as_spark_options()
+    assert opts["kafka.sasl.mechanism"] == "OAUTHBEARER"
+    assert (
+        opts["kafka.sasl.oauthbearer.token.endpoint.url"]
+        == "https://idp.example/token"
+    )
+    jaas = opts["kafka.sasl.jaas.config"]
+    assert "OAuthBearerLoginModule" in jaas
+    assert 'clientId="cid"' in jaas
+    assert 'clientSecret="csec"' in jaas
+    assert 'scope="kafka"' in jaas
+    assert "LoginCallbackHandler" in opts["kafka.sasl.login.callback.handler.class"]
+
+    # scope optional; no oauth_url + username => PLAIN (reference default)
+    no_scope = AuthConfig(
+        username="cid", password="csec", oauth_url="https://idp.example/token"
+    ).as_spark_options()
+    assert "scope=" not in no_scope["kafka.sasl.jaas.config"]
+    assert AuthConfig(username="u", password="p").resolved_mechanism() == "PLAIN"
+
+
 # ---------------------------------------------------------------------------
 # offsets / partitioner parity
 # ---------------------------------------------------------------------------

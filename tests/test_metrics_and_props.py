@@ -104,3 +104,70 @@ def test_avro_record_roundtrip_property(s, i, d, b, maybe, tags, attrs):
 def test_avro_long_roundtrip_property(v):
     c = AvroCodec("long")
     assert c.decode(c.encode(v)) == v
+
+
+# ---------------------------------------------------------------------------
+# metrics pushgateway loop (reference metrics_pusher.py:44-66)
+# ---------------------------------------------------------------------------
+
+
+def test_metrics_pusher_pushes_to_all_gateways_and_stops():
+    import time
+
+    from fluvii_spark.config import MetricsPusherConfig
+    from fluvii_spark.metrics import MetricsPusher
+
+    cfg = MetricsPusherConfig(hostname="app-1", push_rate_seconds=0.02)
+    pushed = []
+    pusher = MetricsPusher(
+        registry=object(),
+        config=cfg,
+        resolve_fn=lambda: {"10.0.0.1:9091", "10.0.0.2:9091"},
+        push_fn=lambda gw: pushed.append(gw),
+    )
+    pusher.start()
+    deadline = time.time() + 2
+    while time.time() < deadline and pushed.count("10.0.0.1:9091") < 2:
+        time.sleep(0.01)
+    pusher.stop()
+    assert pushed.count("10.0.0.1:9091") >= 2
+    assert pushed.count("10.0.0.2:9091") >= 2
+    n = len(pushed)
+    time.sleep(0.1)
+    assert len(pushed) == n  # stop() actually stops the loop
+
+
+def test_metrics_pusher_failed_push_triggers_reresolve():
+    from fluvii_spark.config import MetricsPusherConfig
+    from fluvii_spark.metrics import MetricsPusher
+
+    cfg = MetricsPusherConfig(push_rate_seconds=999)
+    resolutions = []
+
+    def resolve():
+        resolutions.append(1)
+        return {"gw-a:9091", "gw-b:9091"}
+
+    ok = []
+
+    def push(gw):
+        if gw == "gw-a:9091":
+            raise ConnectionError("down")
+        ok.append(gw)
+
+    pusher = MetricsPusher(registry=object(), config=cfg, resolve_fn=resolve, push_fn=push)
+    pusher._set_metrics_pod_ips()
+    n0 = len(resolutions)
+    pusher._push_metrics()
+    assert ok == ["gw-b:9091"]
+    assert len(resolutions) > n0  # failure re-resolved the service
+
+
+def test_metrics_pusher_config_env(monkeypatch):
+    from fluvii_spark.config import MetricsPusherConfig
+
+    monkeypatch.setenv("FLUVII_SPARK_METRICS_PUSHER_HOSTNAME", "pod-7")
+    monkeypatch.setenv("FLUVII_SPARK_METRICS_PUSHER_PUSH_RATE_SECONDS", "3")
+    cfg = MetricsPusherConfig()
+    assert cfg.hostname == "pod-7"
+    assert cfg.push_rate_seconds == 3.0
