@@ -231,6 +231,9 @@ def normalized_messages(kafka_df: DataFrame) -> DataFrame:
 # sinks (K1-K3)
 # ---------------------------------------------------------------------------
 
+# typed empty header list — plain array() is array<string> and breaks concat
+_EMPTY_HEADERS = "cast(array() as array<struct<key:string,value:binary>>)"
+
 
 def prepare_kafka_output(
     df: DataFrame,
@@ -243,9 +246,13 @@ def prepare_kafka_output(
     """Shape a DataFrame for the Kafka sink with reference K1/K2 semantics:
 
     - key/headers pass through from the consumed message unless overridden
-      (``producer.py:151-175``);
+      (``producer.py:151-175``); a NULL headers value contributes an empty
+      array (concat with NULL would otherwise null out the whole list);
     - a fresh ``guid`` header is injected per row (``producer.py:160-161``,
-      uuid per message for tracing/idempotence);
+      uuid per message for tracing) — note uuid() re-seeds when a restarted
+      query re-analyzes the plan, so this guid is NOT replay-stable; the EOS
+      sink (:func:`eos_kafka_sink_writer`) replaces it with a deterministic
+      one;
     - optional explicit mmh3 partition column for co-partitioning parity
       (otherwise Kafka's default partitioner applies).
     """
@@ -254,7 +261,10 @@ def prepare_kafka_output(
         F.expr("array(struct('guid' as key, cast(uuid() as binary) as value))"),
     )
     headers = (
-        F.concat(F.col(headers_col), F.col("_guid_hdr"))
+        F.concat(
+            F.coalesce(F.col(headers_col), F.expr(_EMPTY_HEADERS)),
+            F.col("_guid_hdr"),
+        )
         if headers_col
         else F.col("_guid_hdr")
     )
@@ -295,6 +305,58 @@ def kafka_writer(
     return w
 
 
+def stamp_eos_headers(batch_df: DataFrame, batch_id: int) -> DataFrame:
+    """Stamp replay-stable (guid, batch_id) headers onto one micro-batch.
+
+    guid = sha2(batch_id | key | value | occurrence) — a function of batch
+    CONTENT, so a crash-replayed batch regenerates identical guids (the EOS
+    dedup contract); the occurrence index keeps legitimately-duplicate
+    (key, value) rows distinct as a multiset. Any upstream tracing guid
+    (``prepare_kafka_output``'s uuid) is replaced; NULL or absent headers
+    columns contribute an empty list instead of nulling the result.
+    """
+    from pyspark.sql import Window
+
+    if "headers" not in batch_df.columns:
+        batch_df = batch_df.withColumn("headers", F.expr(_EMPTY_HEADERS))
+    occ = F.row_number().over(
+        Window.partitionBy("key", "value").orderBy(F.lit(1))
+    )
+    guid = F.sha2(
+        F.concat_ws(
+            "|",
+            F.lit(str(batch_id)),
+            F.coalesce(F.base64("key"), F.lit("")),
+            F.base64("value"),
+            F.col("_occ").cast("string"),
+        ),
+        256,
+    )
+    return (
+        batch_df.withColumn("_occ", occ)
+        .withColumn(
+            "headers",
+            F.concat(
+                F.expr(
+                    "filter(coalesce(headers, " + _EMPTY_HEADERS + "), "
+                    "h -> h.key != 'guid')"
+                ),
+                F.array(
+                    F.struct(
+                        F.lit("guid").alias("key"),
+                        guid.cast("binary").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("batch_id").alias("key"),
+                        F.lit(str(batch_id)).cast("binary").alias("value"),
+                    ),
+                ),
+            ),
+        )
+        .drop("_occ")
+    )
+
+
 def eos_kafka_sink_writer(
     df: DataFrame,
     bootstrap_servers: str,
@@ -308,25 +370,24 @@ def eos_kafka_sink_writer(
     exactly-once *state*; Kafka output is made effectively-once by stamping
     every row with (batchId, row-guid) headers so replayed batches produce
     byte-identical messages that downstream ``read_committed`` consumers
-    dedup on guid — the same contract the reference documents for its abort
-    window. A broker-transactional variant would use a confluent-kafka
-    producer inside ``foreachBatch`` (one transaction per batch); that path
-    needs the confluent client deployed and is intentionally not the
-    default.
-    """
+    dedup on guid.
 
+    The guid is **deterministic**: sha2 over (batch_id, key, value,
+    within-batch occurrence index). A crash-replayed batch — the EOS window
+    itself — regenerates the exact same guids (a plan-seeded ``uuid()``
+    would not: it re-seeds on restart, silently breaking the dedup; any
+    tracing guid stamped upstream by :func:`prepare_kafka_output` is
+    replaced here). The occurrence index (row_number over identical
+    (key, value) pairs) keeps legitimately-duplicate messages distinct as a
+    multiset while staying replay-stable.
+
+    A broker-transactional variant would use a confluent-kafka producer
+    inside ``foreachBatch`` (one transaction per batch); that path needs the
+    confluent client deployed and is intentionally not the default.
+    """
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
-            batch_df.withColumn(
-                "headers",
-                F.concat(
-                    F.col("headers"),
-                    F.expr(
-                        f"array(struct('batch_id' as key, "
-                        f"cast('{batch_id}' as binary) as value))"
-                    ),
-                ),
-            )
+            stamp_eos_headers(batch_df, batch_id)
             .write.format("kafka")
             .option("kafka.bootstrap.servers", bootstrap_servers)
             .option("kafka.enable.idempotence", "true")

@@ -124,15 +124,20 @@ def streaming_minhash_candidates(
             state.remove()
             return
         seen: list[int] = json.loads(state.get[0]) if state.exists else []
+        # membership via a set: hot buckets are exactly where LSH skews
+        # (near-dup clusters share band signatures), and a list `in` scan
+        # would make each arrival O(len(bucket)). The ordered list is kept
+        # as the stored/emission order — determinism unchanged.
+        seen_set = set(seen)
         new_a, prior_b = [], []
         for pdf in pdfs:
             for doc_id in sorted(int(x) for x in pdf["doc_id"]):
-                if doc_id in seen:
+                if doc_id in seen_set:
                     continue
-                for prior in seen:
-                    new_a.append(doc_id)
-                    prior_b.append(prior)
+                new_a.extend([doc_id] * len(seen))
+                prior_b.extend(seen)
                 seen.append(doc_id)
+                seen_set.add(doc_id)
         state.update((json.dumps(seen),))
         if bucket_ttl_ms is not None:
             state.setTimeoutDuration(bucket_ttl_ms)
