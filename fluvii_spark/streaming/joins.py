@@ -103,3 +103,38 @@ def stream_stream_interval_join(
     joined = lw.join(rw, cond, how)
     # drop the duplicated key columns from the right side
     return joined.drop(*[rw[k] for k in key_cols])
+
+
+def foreach_batch_join_writer(
+    other_path: str,
+    on: list[str] | str,
+    sink_path: str,
+    how: str = "inner",
+    other_format: str = "parquet",
+    broadcast_other: bool = False,
+):
+    """Stream↔stream correlation via ``foreachBatch`` against the other
+    stream's materialized sink — the escape hatch when the built-in
+    stream-stream join's constraints don't fit: unbounded lookback, non-equi
+    or re-read-the-past semantics, or correlating with a stream some other
+    query is already materializing.
+
+    Each micro-batch re-reads ``other_path`` (so the other stream's rows
+    that arrived since the last trigger are visible — per-batch snapshot
+    isolation, no shared state store) and writes through the idempotent
+    batch writer, so replays stay exactly-once. The cost model to respect at
+    100 TB: the other side is re-scanned per trigger — keep it partitioned
+    so the batch join prunes (or pass ``broadcast_other=True`` when it is a
+    small keyed snapshot), and compact it periodically.
+    """
+    from fluvii_spark.io.sinks import idempotent_batch_writer
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        other = spark.read.format(other_format).load(other_path)
+        if broadcast_other:
+            other = F.broadcast(other)
+        joined = batch_df.join(other, on, how)
+        idempotent_batch_writer(sink_path)(joined, batch_id)
+
+    return write_batch

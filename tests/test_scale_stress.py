@@ -151,3 +151,56 @@ def test_sequence_packing_sharded_parallelism(spark, sf_dir):
     bad = fills.filter("fill > 512 AND n_docs > 1").count()
     assert bad == 0
     assert packed.count() == K * n
+
+
+def test_ngram_df_cut_bounds_candidates(spark, sf_dir):
+    """The max_doc_freq df-cut must hold the candidate join's mass down on a
+    hot-shingle corpus: Σ df² (the shared-shingle join's pair mass) shrinks
+    by orders of magnitude, while exact-dup replica pairs — which share ALL
+    their shingles, including rare ones — are still found."""
+    from fluvii_spark.operators.dedup import ngram_jaccard_pairs, word_shingles
+
+    docs, n = _replicated_docs(spark, sf_dir)
+    cap = 3 * K  # replicas alone give every shingle df >= K
+
+    # real corpora have boilerplate (headers/footers/licenses) on a large
+    # fraction of documents — the exact hot-key case the df-cut exists for.
+    # Append it by doc parity (stable across replicas, so replica copies
+    # stay exact duplicates of each other).
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " standard boilerplate footer shared across this entire corpus"
+                ),
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    mass = dfc.agg(
+        F.max("df").alias("max_df"),
+        F.sum(F.col("df") * F.col("df")).alias("all_mass"),
+        F.sum(
+            F.when(F.col("df") <= cap, F.col("df") * F.col("df")).otherwise(0)
+        ).alias("cut_mass"),
+    ).collect()[0]
+    # the corpus DOES have hot shingles (the quadratic risk is the hottest
+    # join key, not total mass): the cut bounds per-shingle fan-out from
+    # max_df² pair candidates down to ≤ cap², and removes real mass
+    assert mass["max_df"] > 10 * cap, dict(mass.asDict())
+    assert mass["cut_mass"] < mass["all_mass"], dict(mass.asDict())
+    hottest_uncut = mass["max_df"] ** 2
+    assert cap**2 < hottest_uncut / 100  # ≥100× smaller hottest key
+
+    t0 = time.time()
+    pairs = ngram_jaccard_pairs(docs, threshold=0.95, max_doc_freq=cap)
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+    # replica copies of each base doc are exact dups (jaccard 1.0)
+    assert n_pairs >= (K * (K - 1) // 2), n_pairs
+    assert wall < 300, f"df-cut jaccard blew up: {wall:.0f}s"

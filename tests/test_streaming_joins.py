@@ -189,3 +189,117 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert 3 not in id_sums and 4 not in id_sums
     # the on-time 10:00 window was finalized once the watermark passed it
     assert 1 in id_sums
+
+
+def test_foreach_batch_join_against_materialized_stream(
+    spark, events_batch, events_stream_dir, tmp_path
+):
+    """The foreachBatch stream↔stream pattern: stream B materializes to a
+    parquet sink; stream A's micro-batches join against that sink and write
+    through the idempotent batch writer. Result == the batch join."""
+    from fluvii_spark.streaming.joins import foreach_batch_join_writer
+
+    schema = events_batch.schema
+    b_out = str(tmp_path / "b_out")
+    a_out = str(tmp_path / "a_out")
+
+    # stream B: per-user click counts, materialized as the "other side"
+    b = (
+        _read_stream(spark, events_stream_dir, schema)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "event_id")
+    )
+    qb = (
+        b.writeStream.format("parquet")
+        .option("path", b_out)
+        .option("checkpointLocation", str(tmp_path / "ck_b"))
+        .start()
+    )
+    qb.processAllAvailable()
+    qb.stop()
+
+    # stream A: purchases, joined per micro-batch against B's full sink
+    a = (
+        _read_stream(spark, events_stream_dir, schema)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"))
+    )
+    qa = (
+        a.writeStream.foreachBatch(
+            foreach_batch_join_writer(
+                b_out, on="user_id", sink_path=a_out, how="inner",
+                broadcast_other=True,
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck_a"))
+        .start()
+    )
+    qa.processAllAvailable()
+    qa.stop()
+
+    got = spark.read.parquet(a_out).select("user_id", "purchase_id", "event_id")
+    clicks = events_batch.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id"
+    )
+    purchases = events_batch.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id")
+    )
+    expected = purchases.join(clicks, "user_id")
+    assert got.count() == expected.count()
+    assert (
+        got.exceptAll(expected).count() == 0
+        and expected.exceptAll(got).count() == 0
+    )
+
+
+def test_streaming_dedup_within_watermark_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark parity: duplicates arriving within the
+    watermark horizon collapse to one row per key, matching the batch
+    dropDuplicates on the same data."""
+    import datetime as dt
+    import os
+    import time
+
+    from fluvii_spark.streaming.windows import streaming_dedup
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows1 = [(i, base + dt.timedelta(seconds=i)) for i in range(20)]
+    # batch 2 repeats ids 0..9 at the same ts (dup within watermark) + new
+    rows2 = [(i, base + dt.timedelta(seconds=i)) for i in range(10)] + [
+        (100 + i, base + dt.timedelta(seconds=30 + i)) for i in range(5)
+    ]
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    for i, rows in enumerate([rows1, rows2]):
+        d = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, "event_id LONG, ts TIMESTAMP").coalesce(
+            1
+        ).write.parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        dst = os.path.join(staged, f"{i:02d}.parquet")
+        os.rename(os.path.join(d, part), dst)
+        t = time.time() - 120 + i * 10
+        os.utime(dst, (t, t))
+
+    schema = spark.read.parquet(staged).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    out = streaming_dedup(src, ["event_id"], ts_col="ts", within="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .outputMode("append")
+        .queryName("dedup_wm")
+        .option("checkpointLocation", str(tmp_path / "ck_wm"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got_ids = sorted(
+        r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_wm").collect()
+    )
+    expected_ids = sorted(set(i for i, _ in rows1) | set(i for i, _ in rows2))
+    assert got_ids == expected_ids  # each key exactly once
