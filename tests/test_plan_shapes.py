@@ -72,6 +72,7 @@ _BNLJ_ALLOWED = {
     "q39_ann_lsh_topk",
     "q55_subquery_above_avg",
     "q57_ann_ivf_topk",
+    "q59_tfidf_terms",  # n_docs as a 1-row broadcast aggregate (no eager count)
     "q74_knn_join",  # 5-row query-vector set, broadcast by design
     "q75_correlated_subquery",  # decorrelated scalar agg, 1-row broadcast
     "q78_date_spine",  # generated month spine × 5 priorities scaffold
