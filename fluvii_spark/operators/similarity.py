@@ -238,19 +238,16 @@ def ivf_assignments(
     assigned = None
     for _ in range(max(1, n_iters)):
         assigned = df.withColumn("list_id", assign_fn(centroids)(F.col(vec_col)))
-        dim_means = (
+        # one Arrow transfer of the (n_lists × dims) means frame — the only
+        # driver-bound data per round; vectorized scatter into the matrix
+        pdf = (
             assigned.select("list_id", F.posexplode(vec_col).alias("dim", "x"))
             .groupBy("list_id", "dim")
             .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .collect()
+            .toPandas()
         )
         new = centroids.copy()
-        by_list: dict[int, dict[int, float]] = {}
-        for r in dim_means:
-            by_list.setdefault(r["list_id"], {})[r["dim"]] = r["m"]
-        for lid, dims_map in by_list.items():
-            for d, m in dims_map.items():
-                new[lid, d] = m
+        new[pdf["list_id"].to_numpy(), pdf["dim"].to_numpy()] = pdf["m"].to_numpy()
         centroids = new
     return assigned, centroids
 

@@ -23,14 +23,19 @@ from pyspark.sql import functions as F
 def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
     """Per-key share of rows — the diagnosis step before salting.
 
-    Returns the ``top_n`` heaviest keys with absolute and relative counts;
-    one aggregation, safe at any scale (output is top_n rows).
+    Returns the ``top_n`` heaviest keys with absolute and relative counts.
+    One lazy plan, one scan: the denominator is a 1-row sum over the per-key
+    aggregate, broadcast-crossed back on (the q55/q59 pattern) — no separate
+    ``df.count()`` job, and both branches reuse the same groupBy exchange.
+    An empty-window sum would work too but single-partitions the distinct
+    keys; the broadcast aggregate keeps top-n as TakeOrderedAndProject.
     """
-    total = df.count()
+    per_key = df.groupBy(key).agg(F.count("*").alias("n_rows"))
+    tot = per_key.agg(F.sum("n_rows").alias("_total"))
     return (
-        df.groupBy(key)
-        .agg(F.count("*").alias("n_rows"))
-        .withColumn("share", F.col("n_rows") / F.lit(float(total)))
+        per_key.crossJoin(F.broadcast(tot))
+        .withColumn("share", F.col("n_rows") / F.col("_total"))
+        .drop("_total")
         .orderBy(F.col("n_rows").desc(), key)
         .limit(top_n)
     )
