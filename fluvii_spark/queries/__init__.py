@@ -66,6 +66,7 @@ def registry() -> dict[str, Query]:
     # import side-effect populates _REGISTRY
     from fluvii_spark.queries import (  # noqa: F401
         llm,
+        llm2,
         relational,
         relational_ext,
         relational_ext2,
