@@ -436,3 +436,40 @@ def test_none_state_is_storable_and_distinct_from_delete(spark, tmp_path):
     assert saw[(1, 2)] is None
     # deleted key reads back as the initial state
     assert saw[(2, 2)] == {"init": True}
+
+
+def test_streaming_session_window_matches_batch(spark, stream_dir, tmp_path):
+    """Session windows over the stream == same sessionization over the batch
+    read (30-min gap merge per user)."""
+    from fluvii_spark.streaming.windows import session
+
+    src = _read_stream(spark, stream_dir, files_per_trigger=2)
+    aggs = {"n": "count(*)", "sum_value": "sum(value)"}
+    win = session(
+        src.withWatermark("ts", "1 hour"), "ts", "30 minutes",
+        group_cols=["user_id"], aggs=aggs,
+    )
+    q = (
+        win.writeStream.format("memory")
+        .outputMode("complete")
+        .queryName("sess_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["window_start"], r["window_end"], r["user_id"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    batch = session(
+        spark.read.parquet(stream_dir), "ts", "30 minutes",
+        group_cols=["user_id"], aggs=aggs,
+    )
+    want = {
+        (r["window_start"], r["window_end"], r["user_id"]): (r["n"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) > 0
