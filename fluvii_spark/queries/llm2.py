@@ -328,9 +328,10 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("llm", "dedup", "pipeline"),
 )
 def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.queries.llm import doc_dedup_clusters
+
     t = load_tables(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(t.documents, threshold=0.5)
-    clusters = D.connected_components(pairs)
+    clusters = doc_dedup_clusters(spark, sf_dir)
     ranked = clusters.join(
         t.documents.select(F.col("doc_id").alias("node"), "n_chars"), "node"
     ).withColumn(
