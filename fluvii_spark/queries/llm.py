@@ -508,8 +508,7 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("llm", "dedup"),
 )
 def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    return D.minhash_lsh_pairs(t.documents, threshold=0.5)
+    return doc_dedup_pairs(spark, sf_dir)
 
 
 @register(
@@ -571,11 +570,26 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_pairs(t.embeddings, threshold=0.4)
 
 
-# Near-dup clusters are the shared upstream of q60 (cluster listing) and
-# q100 (keep-best policy): within one SparkSession, compute the
-# LSH→verify→components chain once and persist the (tiny) result — the
-# cross-query analogue of a materialized intermediate in a warehouse run.
+# The MinHash-LSH chain (shingle → 16-perm minhash → band join → Arrow
+# verify) is the shared upstream of q35 (pair listing), q60 (clusters) and
+# q100 (keep-best policy). Within one SparkSession compute it once and
+# persist the (tiny) results — the cross-query analogue of a materialized
+# intermediate in a warehouse run. One live (session, sf_dir) entry each so
+# stale sessions' storage is never pinned.
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def doc_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    t = load_tables(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(t.documents, threshold=0.5).persist()
+    _PAIRS_CACHE.clear()
+    _PAIRS_CACHE[key] = pairs
+    return pairs
 
 
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -583,14 +597,13 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _CLUSTERS_CACHE.get(key)
     if cached is not None:
         return cached
-    t = load_tables(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(t.documents, threshold=0.5)
+    pairs = doc_dedup_pairs(spark, sf_dir)
     clusters = (
         D.connected_components(pairs)
         .select("node", F.col("cluster").cast("bigint").alias("cluster"))
         .persist()
     )
-    _CLUSTERS_CACHE.clear()  # one live entry: don't pin stale sessions' data
+    _CLUSTERS_CACHE.clear()
     _CLUSTERS_CACHE[key] = clusters
     return clusters
 
