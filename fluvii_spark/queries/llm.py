@@ -10,6 +10,8 @@ multimodal}.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -578,34 +580,45 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stale sessions' storage is never pinned.
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Harnesses run queries from a thread pool: without a lock, q35/q60/q100 all
+# miss the memo simultaneously and each computes the whole chain (and the
+# iterative components loops then starve behind each other's jobs). One
+# builder, everyone else waits for the persisted result.
+_DEDUP_LOCK = threading.Lock()
 
 
 def doc_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _PAIRS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    t = load_tables(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(t.documents, threshold=0.5).persist()
-    _PAIRS_CACHE.clear()
-    _PAIRS_CACHE[key] = pairs
-    return pairs
+    with _DEDUP_LOCK:
+        cached = _PAIRS_CACHE.get(key)
+        if cached is not None:
+            return cached
+        t = load_tables(spark, sf_dir)
+        pairs = D.minhash_lsh_pairs(t.documents, threshold=0.5).persist()
+        _PAIRS_CACHE.clear()
+        _PAIRS_CACHE[key] = pairs
+        return pairs
 
 
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _CLUSTERS_CACHE.get(key)
-    if cached is not None:
-        return cached
+    with _DEDUP_LOCK:
+        cached = _CLUSTERS_CACHE.get(key)
+        if cached is not None:
+            return cached
     pairs = doc_dedup_pairs(spark, sf_dir)
-    clusters = (
-        D.connected_components(pairs)
-        .select("node", F.col("cluster").cast("bigint").alias("cluster"))
-        .persist()
-    )
-    _CLUSTERS_CACHE.clear()
-    _CLUSTERS_CACHE[key] = clusters
-    return clusters
+    with _DEDUP_LOCK:
+        cached = _CLUSTERS_CACHE.get(key)
+        if cached is not None:
+            return cached
+        clusters = (
+            D.connected_components(pairs)
+            .select("node", F.col("cluster").cast("bigint").alias("cluster"))
+            .persist()
+        )
+        _CLUSTERS_CACHE.clear()
+        _CLUSTERS_CACHE[key] = clusters
+        return clusters
 
 
 @register(
