@@ -24,12 +24,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from fluvii_spark.queries import registry  # noqa: E402
 from fluvii_spark.session import get_session  # noqa: E402
 
-# Queries run concurrently (Spark's FAIR-ish scheduling over local[32]):
-# a cluster overlaps independent queries, and most inventory entries are
-# small jobs dominated by fixed scheduling latency when run serially.
-# `value` is the wall-clock for the WHOLE inventory; per-query numbers are
-# individual wall times under that concurrency (informative, not additive).
-CONCURRENCY = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "8"))
+# Queries run concurrently: a cluster overlaps independent queries, and most
+# inventory entries are small jobs dominated by fixed scheduling latency when
+# run serially. `value` is the wall-clock for the WHOLE inventory; per-query
+# numbers are individual wall times under that concurrency (not additive —
+# they include scheduler queueing and, for the shared dedup chain, waiting
+# on the one builder). 16 measured best on local[32] (8→29.6s, 16→19.0s,
+# 24→30.3s at sf0.1): enough jobs to fill 32 threads while small stages
+# drain, before oversubscription thrashes the scheduler.
+CONCURRENCY = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "16"))
 
 
 def main() -> None:

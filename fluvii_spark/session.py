@@ -103,6 +103,10 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # local mode: keep result/broadcast sizes sane for 32-thread runs
         .config("spark.driver.maxResultSize", "4g")
+        # concurrent queries (bench, notebook users) round-robin task slots
+        # instead of FIFO-starving behind the first big stage; single-query
+        # workloads are unaffected (one job ≈ one pool entry)
+        .config("spark.scheduler.mode", "FAIR")
     )
     if rocksdb_state_store:
         # default (HDFSBackedStateStoreProvider) keeps every key in executor
