@@ -82,13 +82,21 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+# ngram_jaccard_pairs(max_doc_freq="auto"): corpora above this row count get
+# a df-cut automatically — beyond ~1M docs a boilerplate shingle shared by
+# x% of the corpus contributes (x% · N)² candidate pairs, which is the
+# quadratic blow-up the cut exists to stop. Below it, no cut: exact
+# semantics, oracle-checkable.
+AUTO_DF_CUT_MIN_DOCS = 1_000_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | str | None = "auto",
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard ≥ threshold.
 
@@ -96,6 +104,14 @@ def ngram_jaccard_pairs(
     shingle can't clear any positive threshold) → intersection counts via
     groupBy → Jaccard from per-doc cardinalities. Three shuffles total, all
     key-partitioned.
+
+    ``max_doc_freq`` drops shingles hotter than the cap before the candidate
+    join (the standard df-cut). ``"auto"`` (default) applies
+    ``max(256, 0.05% · n_docs)`` only above ``AUTO_DF_CUT_MIN_DOCS`` rows —
+    small corpora keep exact semantics, 100 TB corpora are never one
+    boilerplate footer away from a quadratic shuffle. The cut can only lose
+    pairs whose EVERY shared shingle is corpus-hot — true near-dups share
+    their rare shingles too. ``None`` forces exact at any size.
 
     Measured plan note (sf0.1, local[32]): this formulation beats the
     "fewer-exchanges" rewrite (row-local ``array_distinct`` + carried
@@ -105,6 +121,13 @@ def ngram_jaccard_pairs(
     AQE-broadcast; the rewrite's savings are spent on SMJ sorts it can't
     avoid. Don't re-attempt without re-measuring.
     """
+    if max_doc_freq == "auto":
+        n_docs = df.count()
+        max_doc_freq = (
+            max(256, int(n_docs * 0.0005))
+            if n_docs > AUTO_DF_CUT_MIN_DOCS
+            else None
+        )
     sh = word_shingles(df, id_col, text_col, n)
     if max_doc_freq is not None:
         keep = (
