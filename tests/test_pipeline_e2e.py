@@ -196,3 +196,83 @@ def test_avro_json_state_envelope_roundtrip():
     c = AvroCodec(schema)
     rec = {"data": {"current": "-t3", "history": json.dumps([1, 2, 3])}}
     assert c.decode(c.encode(rec)) == rec
+
+
+def test_streaming_training_data_pipeline_exactly_once(spark, tmp_path):
+    """Streaming mirror of q88's batch pipeline: documents arrive as a
+    stream; quality gate -> watermarked dedup on content -> idempotent EOS
+    file sink, surviving a mid-stream restart with no loss/duplication."""
+    import datetime as dt
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from fluvii_spark.io.sinks import eos_file_sink
+    from fluvii_spark.streaming.windows import streaming_dedup
+
+    base = dt.datetime(2026, 2, 1, 9, 0, 0)
+    # 40 docs; ids 20-29 are exact dup texts of 0-9; 10 docs are too short
+    rows = []
+    for i in range(20):
+        text = f"doc body {'tok ' * 30}{i % 10}" if i < 10 else f"unique {'w ' * 25}{i}"
+        rows.append((i, text, base + dt.timedelta(seconds=i)))
+    for i in range(20, 30):
+        rows.append((i, rows[i - 20][1], base + dt.timedelta(seconds=i)))  # dups
+    for i in range(30, 40):
+        rows.append((i, "too short", base + dt.timedelta(seconds=i)))
+
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+
+    def stage(idx, chunk):
+        d = str(tmp_path / f"b{idx}")
+        spark.createDataFrame(
+            chunk, "doc_id LONG, text STRING, ts TIMESTAMP"
+        ).coalesce(1).write.parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        dst = os.path.join(staged, f"{idx:02d}.parquet")
+        os.rename(os.path.join(d, part), dst)
+        t = time.time() - 300 + idx * 10
+        os.utime(dst, (t, t))
+
+    stage(0, rows[:15])
+    stage(1, rows[15:25])
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(name):
+        schema = spark.read.parquet(staged).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        gated = src.filter(F.size(F.split("text", " ")) >= 10)
+        deduped = streaming_dedup(
+            gated, ["text"], ts_col="ts", within="1 hour"
+        )
+        return (
+            eos_file_sink(deduped, out, ckpt)
+            .queryName(name)
+            .start()
+        )
+
+    q1 = run("pipe_a")
+    q1.processAllAvailable()
+    q1.stop()
+
+    stage(2, rows[25:40])  # more data arrives while "down"
+    q2 = run("pipe_b")
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = spark.read.parquet(out)
+    # quality gate drops the 10 short docs; dedup keeps first of each text:
+    # ids 20-29 are dups of 0-9 -> exactly the 20 distinct long texts remain
+    texts = [r["text"] for r in got.select("text").collect()]
+    assert len(texts) == 20
+    assert len(set(texts)) == 20
+    kept_ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    assert kept_ids == list(range(20))  # first arrival wins, exactly once
