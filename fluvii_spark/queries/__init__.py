@@ -71,6 +71,7 @@ def registry() -> dict[str, Query]:
         relational_ext,
         relational_ext2,
         relational_ext3,
+        relational_ext4,
     )
 
     items = sorted(

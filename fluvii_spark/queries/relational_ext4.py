@@ -1,0 +1,138 @@
+"""Extended inventory, batch 4 (q101+): cascaded time rollups and
+deterministic distinct sketches — the continuous-aggregate / sketch surface
+a 100 TB telemetry store leans on (the task's "hypertable rollup" and
+"novel sketch" operator classes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fluvii_spark.io.readers import load_tables
+from fluvii_spark.queries import register
+
+
+@register(
+    "q101_rollup_cascade",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             COUNT(*) AS n, SUM(value) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT date_trunc('day', bucket) AS bucket, event_type,
+             SUM(n) AS n, SUM(sum_value) AS sum_value
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT 'hour' AS grain, bucket, event_type,
+           CAST(n AS BIGINT) AS n, sum_value FROM hourly
+    UNION ALL
+    SELECT 'day', bucket, event_type, CAST(n AS BIGINT), sum_value FROM daily
+    """,
+    "hypertable-style cascaded rollup: hourly aggregates computed from the "
+    "raw events ONCE, daily aggregates computed FROM the hourly relation "
+    "(agg-of-agg — count sums, sum sums). At 100 TB the coarse grain reads "
+    "|hourly| rows, not the raw table, which is how continuous aggregates "
+    "amortize; sums are exact under re-aggregation (no avg-of-avg traps)",
+    ("relational", "rollup", "timeseries"),
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        ).agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+        ).agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
+    )
+    h = hourly.select(
+        F.lit("hour").alias("grain"), "bucket", "event_type",
+        F.col("n").cast("bigint").alias("n"), "sum_value",
+    )
+    d = daily.select(
+        F.lit("day").alias("grain"), "bucket", "event_type",
+        F.col("n").cast("bigint").alias("n"), "sum_value",
+    )
+    return h.unionByName(d)
+
+
+KMV_K = 64
+
+
+@register(
+    "q102_kmv_distinct_sketch",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    hashed AS (
+      SELECT event_type, user_id,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT)
+               / 4294967296.0 AS h
+      FROM pairs
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY h, user_id) AS rn
+      FROM hashed
+    ),
+    sk AS (
+      SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS h_k
+      FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+           CASE WHEN s.n_kept < {KMV_K}
+                THEN CAST(s.n_kept AS DOUBLE)
+                ELSE ({KMV_K} - 1) / s.h_k END AS kmv_estimate
+    FROM sk s JOIN exact e USING (event_type)
+    """,
+    f"KMV (k-minimum-values, k={KMV_K}) distinct-count sketch next to the "
+    "exact answer: keep the k smallest md5-uniform hashes per group, "
+    "estimate D ≈ (k-1)/h_k. Unlike HLL the md5-derived sketch is "
+    "bit-deterministic across engines, so the ORACLE CHECKS THE SKETCH "
+    "ITSELF. Mergeable (union of k-mins), O(k) state per group — the "
+    "bounded-memory distinct count for 100 TB group-bys",
+    ("relational", "sketch"),
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    pairs = t.events.select("event_type", "user_id").distinct()
+    hashed = pairs.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0),
+    )
+    ranked = hashed.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("h", "user_id")
+        ),
+    ).filter(F.col("rn") <= KMV_K)
+    sk = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("h_k")
+    )
+    exact = t.events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        F.when(F.col("n_kept") < KMV_K, F.col("n_kept").cast("double"))
+        .otherwise((F.lit(KMV_K - 1)) / F.col("h_k"))
+        .alias("kmv_estimate"),
+    )
