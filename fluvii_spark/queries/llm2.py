@@ -196,18 +196,25 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    toks = F.split("text", " ")
-    tri = F.expr(
-        "transform(sequence(0, size(split(text, ' ')) - 3),"
-        " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+    # materialize the token array once per row; re-splitting inside the
+    # trigram lambda is O(words²) splits per document
+    base = t.documents.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select(
+        "doc_id",
+        "toks",
+        F.expr(
+            "transform(sequence(0, size(toks) - 3),"
+            " i -> concat_ws(' ', slice(toks, i + 1, 3)))"
+        ).alias("tri"),
     )
     return (
-        t.documents.select(
+        base.select(
             "doc_id",
-            F.size(toks).cast("long").alias("n_toks"),
-            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_toks"),
-            F.size(tri).alias("_n_tri"),
-            F.size(F.array_distinct(tri)).alias("_n_distinct_tri"),
+            F.size("toks").cast("long").alias("n_toks"),
+            F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_toks"),
+            F.size("tri").alias("_n_tri"),
+            F.size(F.array_distinct("tri")).alias("_n_distinct_tri"),
         )
         .filter(F.col("n_toks") >= 3)
         .select(
