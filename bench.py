@@ -21,6 +21,8 @@ from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd  # noqa: E402  (module-level so pandas_udf hints resolve)
+
 from fluvii_spark.queries import registry  # noqa: E402
 from fluvii_spark.session import get_session  # noqa: E402
 
@@ -48,6 +50,16 @@ def main() -> None:
     # session startup (a cluster amortizes this over its lifetime)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).collect()
+    # ... and the Python/Arrow worker daemons (long-lived on a cluster, same
+    # startup class as the JVM): without this the first pandas-UDF query in
+    # the timed run pays the whole worker fleet spin-up inside its span
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(10_000).select(_warm("id")).collect()
 
     def run_one(name: str) -> None:
         t0 = time.perf_counter()
