@@ -168,6 +168,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: int | str | None = "auto",
+) -> DataFrame:
+    """All pairs with word-n-gram *containment* ≥ threshold.
+
+    Containment = |A ∩ B| / min(|A|, |B|): the asymmetric twin of Jaccard
+    that catches quote-inclusion / boilerplate-wrapping near-dups a
+    symmetric Jaccard misses (a short doc fully embedded in a long one has
+    high containment but low Jaccard). Same candidate plan as
+    :func:`ngram_jaccard_pairs` — shared-shingle equi-join, never a cross
+    join — so the 100 TB posture is identical, including the auto df-cut.
+    """
+    if max_doc_freq == "auto":
+        n_docs = df.count()
+        max_doc_freq = (
+            max(256, int(n_docs * 0.0005))
+            if n_docs > AUTO_DF_CUT_MIN_DOCS
+            else None
+        )
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    card = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            card.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            card.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b"))
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:

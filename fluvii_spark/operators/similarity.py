@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd  # module-level so pandas_udf type hints resolve
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_PLANES = 8
@@ -157,6 +157,63 @@ def lsh_bucket_tables(
                     F.expr(f"shiftleft(CAST(1 AS BIGINT), plane % {planes})"),
                 ).otherwise(F.lit(0))
             ).alias("bucket")
+        )
+    )
+
+
+def bucket_representatives(
+    df: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = N_PLANES,
+    min_members: int = 2,
+) -> DataFrame:
+    """(bucket, n_members, rep_id, rep_cosine): SemDeDup-style cluster
+    representative selection — per LSH bucket, the member closest (cosine)
+    to the bucket centroid, ties to the smallest id.
+
+    Fully relational (no pandas groups, no vector materialization on the
+    driver): vectors stay exploded as (id, dim, x) rows; the centroid is a
+    per-(bucket, dim) mean; dots/norms are grouped sums. Every stage is a
+    key-partitioned aggregation — at 100 TB the widest shuffle is
+    dims × N rows, and no single task ever holds a whole bucket.
+    """
+    buckets = lsh_buckets(df, dims, id_col, vec_col, planes)
+    comp = df.select(
+        id_col, F.posexplode(vec_col).alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    bc = comp.join(buckets, id_col)
+    cent = bc.groupBy("bucket", "dim").agg(F.avg("x").alias("cx"))
+    cnorm = cent.groupBy("bucket").agg(
+        F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("c_norm")
+    )
+    per_member = (
+        bc.join(cent, ["bucket", "dim"])
+        .groupBy(id_col, "bucket")
+        .agg(
+            F.sum(F.col("x") * F.col("cx")).alias("dot"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("m_norm"),
+        )
+        .join(cnorm, "bucket")
+        .select(
+            id_col,
+            "bucket",
+            (F.col("dot") / (F.col("m_norm") * F.col("c_norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        per_member.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("bucket")))
+        .filter((F.col("rn") == 1) & (F.col("n_members") >= min_members))
+        .select(
+            "bucket",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col(id_col).alias("rep_id"),
+            F.col("cosine").alias("rep_cosine"),
         )
     )
 

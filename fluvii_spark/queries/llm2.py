@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 from fluvii_spark.io.readers import load_tables
 from fluvii_spark.operators import dedup as D
 from fluvii_spark.queries import register
-from fluvii_spark.queries.llm import _JACCARD, _MINHASH, _SH3
+from fluvii_spark.operators import similarity as S
+from fluvii_spark.queries.llm import _JACCARD, _LSH_BUCKETS, _MINHASH, _SH3
 
 CHUNK = 50
 STRIDE = 40
@@ -355,4 +356,188 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_n_chars"),
         F.count("*").alias("n_members"),
+    )
+
+
+@register(
+    "q103_lang_rebalance",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    t AS (SELECT MIN(n_docs) AS target FROM c),
+    r AS (SELECT lang, n_docs, CAST(target AS DOUBLE) / n_docs AS rate
+          FROM c, t),
+    k AS (
+      SELECT d.lang, COUNT(*) AS n_kept
+      FROM documents d JOIN r USING (lang)
+      WHERE (('0x' || substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+              / 4294967296.0 < r.rate
+      GROUP BY 1
+    )
+    SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept, r.rate
+    FROM r LEFT JOIN k USING (lang)
+    """,
+    "domain-mix rebalancing: deterministically downsample every language to "
+    "≈ the smallest language's count via an md5-uniform keep-if-hash<rate "
+    "rule — the data-mixing step of a training pipeline, reproducible "
+    "across engines and reruns (no rand()), pushed down as a scan "
+    "predicate; the per-lang rate table is a broadcast join",
+    ("llm", "sampling", "mixing"),
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    counts = t.documents.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    target = counts.agg(F.min("n_docs").alias("target"))
+    rates = counts.crossJoin(F.broadcast(target)).select(
+        "lang",
+        "n_docs",
+        (F.col("target").cast("double") / F.col("n_docs")).alias("rate"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    kept = (
+        t.documents.join(F.broadcast(rates), "lang")
+        .filter(h < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        "rate",
+    )
+
+
+@register(
+    "q105_quality_quantile_gate",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(list_unique(string_split(text, ' ')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, ttr,
+             row_number() OVER (PARTITION BY lang ORDER BY ttr, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM scored
+    )
+    SELECT lang, CAST(MAX(n) AS BIGINT) AS n_total,
+           CAST(COUNT(CASE WHEN rn > n // 4 THEN 1 END) AS BIGINT) AS n_kept,
+           MIN(CASE WHEN rn > n // 4 THEN ttr END) AS min_kept_ttr
+    FROM ranked GROUP BY lang
+    """,
+    "quantile-gated quality filter: drop the bottom quartile of documents "
+    "per language by type-token ratio. The gate is RANK-based (keep rank > "
+    "floor(n/4)), not value-based — integer arithmetic on both engines, so "
+    "no float-boundary membership flips; one window pass, no second scan",
+    ("llm", "quality", "sampling"),
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    scored = t.documents.select(
+        "doc_id",
+        "lang",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "ttr"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy("ttr", "doc_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("lang"))
+    )
+    gate = F.col("rn") > F.floor(F.col("n") / 4)
+    return ranked.groupBy("lang").agg(
+        F.max("n").cast("bigint").alias("n_total"),
+        F.count(F.when(gate, 1)).cast("bigint").alias("n_kept"),
+        F.min(F.when(gate, F.col("ttr"))).alias("min_kept_ttr"),
+    )
+
+
+@register(
+    "q106_containment_pairs",
+    f"""
+    WITH
+    {_SH3},
+    card AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / LEAST(ca.n_sh, cb.n_sh) AS containment
+    FROM inter
+    JOIN card ca ON ca.doc_id = id_a
+    JOIN card cb ON cb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / LEAST(ca.n_sh, cb.n_sh) >= 0.6
+    """,
+    "asymmetric near-dup detection: word-3-gram CONTAINMENT ≥ 0.6 pairs "
+    "(|A∩B| / min(|A|,|B|)) — catches a short doc quoted inside a long one, "
+    "which symmetric Jaccard misses. Same shared-shingle equi-join candidate "
+    "plan (and auto df-cut) as q34, never a cross join",
+    ("llm", "dedup"),
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return D.ngram_containment_pairs(t.documents, threshold=0.6)
+
+
+@register(
+    "q107_semantic_rep_select",
+    f"""
+    WITH
+    {_LSH_BUCKETS},
+    bc AS (
+      SELECT c.vec_id, b.bucket, c.dim, c.x
+      FROM comp c JOIN buckets b USING (vec_id)
+    ),
+    cent AS (SELECT bucket, dim, AVG(x) AS cx FROM bc GROUP BY 1, 2),
+    cn AS (SELECT bucket, sqrt(SUM(cx * cx)) AS c_norm FROM cent GROUP BY 1),
+    pm AS (
+      SELECT bc.vec_id, bc.bucket,
+             SUM(bc.x * cent.cx) AS dot, sqrt(SUM(bc.x * bc.x)) AS m_norm
+      FROM bc JOIN cent ON bc.bucket = cent.bucket AND bc.dim = cent.dim
+      GROUP BY 1, 2
+    ),
+    cosined AS (
+      SELECT pm.vec_id, pm.bucket, pm.dot / (pm.m_norm * cn.c_norm) AS cosine
+      FROM pm JOIN cn USING (bucket)
+    ),
+    ranked AS (
+      SELECT vec_id, bucket, cosine,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY cosine DESC, vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY bucket) AS n_members
+      FROM cosined
+    )
+    SELECT bucket, CAST(n_members AS BIGINT) AS n_members,
+           vec_id AS rep_id, cosine AS rep_cosine
+    FROM ranked WHERE rn = 1 AND n_members >= 2
+    """,
+    "SemDeDup-style representative selection: per LSH bucket (md5-derived "
+    "hyperplanes, shared with q39) pick the member closest to the bucket "
+    "centroid. Fully relational — vectors stay exploded as (id, dim, x), "
+    "centroid = per-(bucket, dim) mean, cosine via grouped sums — so no "
+    "task ever materializes a whole bucket; operators.similarity."
+    "bucket_representatives",
+    ("llm", "dedup", "similarity"),
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return S.bucket_representatives(t.embeddings, dims=64).select(
+        "bucket", "n_members", F.col("rep_id"), "rep_cosine"
     )

@@ -136,3 +136,83 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.lit(KMV_K - 1)) / F.col("h_k"))
         .alias("kmv_estimate"),
     )
+
+
+@register(
+    "q104_kmv_merge",
+    f"""
+    WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+    hashed AS (
+      SELECT event_type, user_id,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT)
+               / 4294967296.0 AS h
+      FROM pairs
+    ),
+    ranked AS (
+      SELECT event_type, user_id, h,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY h, user_id) AS rn
+      FROM hashed
+    ),
+    merged AS (
+      SELECT DISTINCT user_id, h FROM ranked WHERE rn <= {KMV_K}
+    ),
+    g AS (
+      SELECT h, row_number() OVER (ORDER BY h, user_id) AS rn FROM merged
+    ),
+    sk AS (SELECT COUNT(*) AS n_kept, MAX(h) AS h_k FROM g WHERE rn <= {KMV_K}),
+    exact AS (SELECT COUNT(DISTINCT user_id) AS d FROM events),
+    ng AS (SELECT COUNT(DISTINCT event_type) AS n_groups FROM events)
+    SELECT CAST(ng.n_groups AS BIGINT) AS n_groups,
+           CAST(exact.d AS BIGINT) AS exact_distinct,
+           CASE WHEN sk.n_kept < {KMV_K}
+                THEN CAST(sk.n_kept AS DOUBLE)
+                ELSE ({KMV_K} - 1) / sk.h_k END AS merged_estimate
+    FROM sk, exact, ng
+    """,
+    f"KMV sketch MERGE: the per-group k={KMV_K} minimum-value sets from "
+    "q102's sketches union into ONE global sketch (dedupe hashes, keep the "
+    "k smallest of the union) whose estimate is compared against the exact "
+    "global distinct. This is the property that makes the sketch a "
+    "map-side-combinable aggregate at 100 TB: partial sketches merge with "
+    "O(k) state and no rescan — the final rank runs on ≤ k·n_groups rows",
+    ("relational", "sketch"),
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    pairs = t.events.select("event_type", "user_id").distinct()
+    hashed = pairs.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0),
+    )
+    per_group = hashed.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("h", "user_id")
+        ),
+    ).filter(F.col("rn") <= KMV_K)
+    # ≤ k·n_groups rows from here on: the single-partition window is bounded
+    merged = per_group.select("user_id", "h").distinct()
+    g = merged.withColumn(
+        "rn", F.row_number().over(Window.orderBy("h", "user_id"))
+    ).filter(F.col("rn") <= KMV_K)
+    sk = g.agg(F.count("*").alias("n_kept"), F.max("h").alias("h_k"))
+    exact = t.events.agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    ng = t.events.agg(
+        F.count_distinct("event_type").cast("bigint").alias("n_groups")
+    )
+    return (
+        sk.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "n_groups",
+            "exact_distinct",
+            F.when(F.col("n_kept") < KMV_K, F.col("n_kept").cast("double"))
+            .otherwise((F.lit(KMV_K - 1)) / F.col("h_k"))
+            .alias("merged_estimate"),
+        )
+    )

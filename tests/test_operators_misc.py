@@ -383,3 +383,50 @@ def test_sequence_packing_sharded_and_stats(spark):
     rows = sharded.collect()
     assert {r["doc_id"] for r in rows} == set(range(6))
     assert "_shard" not in sharded.columns
+
+
+def test_containment_vs_jaccard_asymmetry(spark):
+    """A short doc embedded in a long one: high containment, low Jaccard —
+    ngram_containment_pairs must catch what ngram_jaccard_pairs misses."""
+    from fluvii_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(0, short), (1, short + " " + filler)], ["doc_id", "text"]
+    )
+    cont = ngram_containment_pairs(df, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in cont] == [(0, 1)]
+    assert cont[0]["containment"] == 1.0  # every 3-gram of doc0 is in doc1
+    jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard is ~3/43, far below threshold
+
+
+def test_bucket_representatives_properties(spark, sf_dir):
+    """rep is a member of its bucket, buckets are disjoint by construction,
+    and every multi-member bucket surfaces exactly one representative."""
+    from fluvii_spark.io.readers import load_table
+    from fluvii_spark.operators.similarity import (
+        bucket_representatives,
+        lsh_buckets,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    reps = bucket_representatives(emb, dims=64).collect()
+    assert reps, "expected at least one multi-member bucket"
+    members = {
+        r["vec_id"]: r["bucket"]
+        for r in lsh_buckets(emb, dims=64).collect()
+    }
+    sizes: dict[int, int] = {}
+    for b in members.values():
+        sizes[b] = sizes.get(b, 0) + 1
+    multi = {b for b, n in sizes.items() if n >= 2}
+    assert {r["bucket"] for r in reps} == multi
+    for r in reps:
+        assert members[r["rep_id"]] == r["bucket"]
+        assert r["n_members"] == sizes[r["bucket"]]
+        assert -1.0 - 1e-9 <= r["rep_cosine"] <= 1.0 + 1e-9

@@ -76,6 +76,9 @@ _BNLJ_ALLOWED = {
     "q74_knn_join",  # 5-row query-vector set, broadcast by design
     "q75_correlated_subquery",  # decorrelated scalar agg, 1-row broadcast
     "q78_date_spine",  # generated month spine × 5 priorities scaffold
+    "q103_lang_rebalance",  # min-count target as a 1-row broadcast aggregate
+    "q104_kmv_merge",  # 1-row exact/n_groups aggregates broadcast onto sketch
+    "q107_semantic_rep_select",  # 8×64 hyperplane scaffold crossJoin (as q39)
 }
 
 
