@@ -77,7 +77,8 @@ def main() -> None:
     # BENCH history; unknown names just run in name order afterwards).
     heavy_first = [
         "q100_dedup_keep_best", "q60_dedup_clusters", "q35_dedup_minhash_lsh",
-        "q34_dedup_ngram_jaccard", "q37_simhash_pairs", "q36_simhash",
+        "q34_dedup_ngram_jaccard", "q106_containment_pairs",
+        "q107_semantic_rep_select", "q37_simhash_pairs", "q36_simhash",
         "q38_dedup_embedding_cosine", "q39_ann_lsh_topk", "q57_ann_ivf_topk",
         "q07_join_multi", "q11_join_broadcast", "q75_correlated_subquery",
         "q88_pipeline_e2e", "q21_string_funcs", "q84_lateral_topn",

@@ -96,6 +96,79 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 AUTO_DF_CUT_MIN_DOCS = 1_000_000
 
 
+def ngram_pair_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_doc_freq: int | str | None = "auto",
+) -> DataFrame:
+    """(id_a, id_b, n_common, n_a, n_b) for every doc pair sharing ≥ 1 word
+    n-gram — the shared upstream of Jaccard (q34) and containment (q106)
+    scoring, so one persisted instance serves both.
+
+    Candidate generation: equi-join on shared shingle (docs with no common
+    shingle can't clear any positive threshold) → intersection counts via
+    groupBy → per-doc cardinalities joined on. Three shuffles total, all
+    key-partitioned. ``max_doc_freq`` as in :func:`ngram_jaccard_pairs`.
+    """
+    if max_doc_freq == "auto":
+        n_docs = df.count()
+        max_doc_freq = (
+            max(256, int(n_docs * 0.0005))
+            if n_docs > AUTO_DF_CUT_MIN_DOCS
+            else None
+        )
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    card = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return inter.join(
+        card.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+        "id_a",
+    ).join(
+        card.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+        "id_b",
+    )
+
+
+def jaccard_from_stats(stats: DataFrame, threshold: float) -> DataFrame:
+    return stats.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def containment_from_stats(stats: DataFrame, threshold: float) -> DataFrame:
+    return stats.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_common").cast("double")
+            / F.least(F.col("n_a"), F.col("n_b"))
+        ).alias("containment"),
+    ).filter(F.col("containment") >= threshold)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -127,44 +200,8 @@ def ngram_jaccard_pairs(
     AQE-broadcast; the rewrite's savings are spent on SMJ sorts it can't
     avoid. Don't re-attempt without re-measuring.
     """
-    if max_doc_freq == "auto":
-        n_docs = df.count()
-        max_doc_freq = (
-            max(256, int(n_docs * 0.0005))
-            if n_docs > AUTO_DF_CUT_MIN_DOCS
-            else None
-        )
-    sh = word_shingles(df, id_col, text_col, n)
-    if max_doc_freq is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("shingle")
-        )
-        sh = sh.join(keep, "shingle")
-    card = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    return (
-        inter.join(card.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(card.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    return jaccard_from_stats(
+        ngram_pair_stats(df, id_col, text_col, n, max_doc_freq), threshold
     )
 
 
@@ -185,52 +222,9 @@ def ngram_containment_pairs(
     :func:`ngram_jaccard_pairs` — shared-shingle equi-join, never a cross
     join — so the 100 TB posture is identical, including the auto df-cut.
     """
-    if max_doc_freq == "auto":
-        n_docs = df.count()
-        max_doc_freq = (
-            max(256, int(n_docs * 0.0005))
-            if n_docs > AUTO_DF_CUT_MIN_DOCS
-            else None
-        )
-    sh = word_shingles(df, id_col, text_col, n)
-    if max_doc_freq is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("shingle")
-        )
-        sh = sh.join(keep, "shingle")
-    card = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+    return containment_from_stats(
+        ngram_pair_stats(df, id_col, text_col, n, max_doc_freq), threshold
     )
-    return (
-        inter.join(
-            card.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            card.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_common").cast("double")
-                / F.least(F.col("n_a"), F.col("n_b"))
-            ).alias("containment"),
-        )
-        .filter(F.col("containment") >= threshold)
-    )
-
 
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3

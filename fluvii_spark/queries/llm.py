@@ -479,8 +479,7 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("llm", "dedup"),
 )
 def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    return D.ngram_jaccard_pairs(t.documents, threshold=0.5)
+    return D.jaccard_from_stats(doc_ngram_stats(spark, sf_dir), threshold=0.5)
 
 
 @register(
@@ -580,11 +579,37 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stale sessions' storage is never pinned.
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_NGRAM_STATS_CACHE: dict[tuple[str, str], DataFrame] = {}
 # Harnesses run queries from a thread pool: without a lock, q35/q60/q100 all
 # miss the memo simultaneously and each computes the whole chain (and the
 # iterative components loops then starve behind each other's jobs). One
 # builder, everyone else waits for the persisted result.
 _DEDUP_LOCK = threading.Lock()
+# The ngram-stats chain gets its OWN lock: holding _DEDUP_LOCK while the
+# stats builder runs would serialize the (independent) minhash chain behind
+# it — measured 90 s inventory wall vs 20 s with separate locks.
+_NGRAM_LOCK = threading.Lock()
+
+
+def doc_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (id_a, id_b, n_common, n_a, n_b) shingle-pair stats for the
+    documents table — q34 (Jaccard) and q106 (containment) score the same
+    persisted candidate set instead of each re-running the shingle
+    explode + self-join."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _NGRAM_LOCK:
+        cached = _NGRAM_STATS_CACHE.get(key)
+        if cached is not None:
+            return cached
+        t = load_tables(spark, sf_dir)
+        # max_doc_freq=None: the oracle-checked variants need exact semantics
+        # (module docstring in operators.dedup), and "auto" resolves to None
+        # below 1M docs anyway — passing it explicitly skips the blocking
+        # df.count() the auto-probe would run while this lock is held.
+        stats = D.ngram_pair_stats(t.documents, max_doc_freq=None).persist()
+        _NGRAM_STATS_CACHE.clear()
+        _NGRAM_STATS_CACHE[key] = stats
+        return stats
 
 
 def doc_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

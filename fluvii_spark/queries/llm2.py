@@ -492,8 +492,11 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("llm", "dedup"),
 )
 def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    return D.ngram_containment_pairs(t.documents, threshold=0.6)
+    from fluvii_spark.queries.llm import doc_ngram_stats
+
+    return D.containment_from_stats(
+        doc_ngram_stats(spark, sf_dir), threshold=0.6
+    )
 
 
 @register(
