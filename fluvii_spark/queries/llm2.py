@@ -544,3 +544,57 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.bucket_representatives(t.embeddings, dims=64).select(
         "bucket", "n_members", F.col("rep_id"), "rep_cosine"
     )
+
+
+@register(
+    "q109_importance_sample",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(list_unique(string_split(text, ' ')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr,
+             (('0x' || substr(md5('imp_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+               / 4294967296.0 AS h
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(CASE WHEN h < ttr THEN 1 END) AS BIGINT) AS n_kept,
+           AVG(CASE WHEN h < ttr THEN ttr END) AS avg_kept_ttr
+    FROM scored GROUP BY lang
+    """,
+    "importance-weighted sampling: keep each document with probability equal "
+    "to its quality score (type-token ratio), via the deterministic "
+    "md5-uniform hash — upweights high-quality text exactly the way "
+    "quality-weighted training mixtures do, with no rand() and full "
+    "reproducibility across engines/reruns; single scan, no materialization",
+    ("llm", "sampling", "quality"),
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("imp_"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    scored = t.documents.select(
+        "lang",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "ttr"
+        ),
+        h.alias("h"),
+    )
+    kept = F.col("h") < F.col("ttr")
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.count(F.when(kept, 1)).cast("bigint").alias("n_kept"),
+        F.avg(F.when(kept, F.col("ttr"))).alias("avg_kept_ttr"),
+    )

@@ -216,3 +216,54 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("merged_estimate"),
         )
     )
+
+
+@register(
+    "q108_rolling_7d_active",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    contrib AS (
+      SELECT unnest(CAST(generate_series(day, day + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY) AS DATE[]))
+               AS target_day,
+             user_id
+      FROM du
+    ),
+    spine AS (SELECT DISTINCT day FROM du)
+    SELECT s.day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS au7
+    FROM spine s JOIN contrib c ON c.target_day = s.day
+    GROUP BY s.day
+    """,
+    "rolling 7-day distinct active users per day. The plan is contribution "
+    "EXPLODE (each (day,user) activity feeds the 7 windows it belongs to) + "
+    "one distinct-count groupBy — two key-partitioned shuffles and an "
+    "equi-join against the day spine, instead of the O(days × activity) "
+    "range self-join the naive SQL writes. Window length scales the explode "
+    "factor (7×), not the join fan-out — the at-scale shape for sliding "
+    "distinct counts",
+    ("relational", "timeseries", "window"),
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    du = t.events.select(
+        F.date_trunc("day", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("day"),
+        "user_id",
+    ).distinct()
+    contrib = du.select(
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias(
+            "target_day"
+        ),
+        "user_id",
+    )
+    spine = du.select("day").distinct()
+    return (
+        spine.join(contrib, spine.day == contrib.target_day)
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("au7"))
+    )
