@@ -204,3 +204,58 @@ def test_ngram_df_cut_bounds_candidates(spark, sf_dir):
     # replica copies of each base doc are exact dups (jaccard 1.0)
     assert n_pairs >= (K * (K - 1) // 2), n_pairs
     assert wall < 300, f"df-cut jaccard blew up: {wall:.0f}s"
+
+
+def test_containment_shares_jaccard_chain_under_replication(spark, sf_dir):
+    """The shared pair-stats stage feeds both scores; replication multiplies
+    exact-dup pairs, and containment of an exact dup is exactly 1.0."""
+    from fluvii_spark.operators.dedup import (
+        containment_from_stats,
+        jaccard_from_stats,
+        ngram_pair_stats,
+    )
+
+    docs, n = _replicated_docs(spark, sf_dir)
+    stats = ngram_pair_stats(docs, max_doc_freq=None).persist()
+    t0 = time.time()
+    cont = containment_from_stats(stats, threshold=0.99)
+    n_cont = cont.count()
+    jac = jaccard_from_stats(stats, threshold=0.99)
+    n_jac = jac.count()
+    wall = time.time() - t0
+    stats.unpersist()
+    # exact replicas: containment = jaccard = 1.0, so both see >= C(K,2)·n
+    assert n_cont >= n * (K * (K - 1) // 2), n_cont
+    assert n_cont >= n_jac  # containment can only widen the pair set
+    assert wall < 300, f"containment chain blew up: {wall:.0f}s"
+
+
+def test_bucket_representatives_under_replication(spark, sf_dir):
+    """10× the vectors: still one representative per multi-member bucket,
+    and the relational plan keeps per-task state bounded (no pandas groups
+    at all — just grouped sums)."""
+    from fluvii_spark.operators.similarity import bucket_representatives
+
+    emb = load_tables(spark, sf_dir).embeddings
+    n = emb.count()
+    reps_input = [
+        emb.select((F.col("vec_id") + i * n * 10).alias("vec_id"), "embedding")
+        for i in range(K)
+    ]
+    big = reps_input[0]
+    for r in reps_input[1:]:
+        big = big.unionByName(r)
+    t0 = time.time()
+    out = bucket_representatives(big, dims=64).persist()
+    n_buckets = out.count()
+    wall = time.time() - t0
+    assert n_buckets >= 1
+    # replicas of one vector share its bucket, so every surfaced bucket has
+    # >= K members and the member sum can't exceed the corpus
+    agg = out.agg(
+        F.min("n_members").alias("mn"), F.sum("n_members").alias("sm")
+    ).collect()[0]
+    out.unpersist()
+    assert agg["mn"] >= K
+    assert agg["sm"] <= K * n
+    assert wall < 300, f"bucket_representatives blew up: {wall:.0f}s"
