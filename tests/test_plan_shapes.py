@@ -210,3 +210,21 @@ def test_embedding_dedup_auto_routes_and_bucketed_is_subset(spark, sf_dir):
         assert v == pytest.approx(exact[k], abs=1e-12)
     # amplified multi-table LSH keeps usable recall on the near-dup corpus
     assert len(bucketed) >= 0.5 * len(exact), (len(bucketed), len(exact))
+
+
+def test_importance_sample_single_exchange(explain):
+    """q109 is one scan + partial/final agg — exactly one shuffle, no joins."""
+    p = explain("q109_importance_sample")
+    assert p.count("Exchange") <= 2, p  # one shuffle (+ possible AQE read)
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_rolling_active_users_equi_join_only(explain):
+    """q108 must plan the contribution explode + equi-join shape: no range
+    self-join (SMJ/BHJ on target_day is fine, no NLJ), partial aggregation
+    for the distinct count."""
+    p = explain("q108_rolling_7d_active")
+    assert "Generate" in p, p  # the sequence() explode
+    assert "NestedLoop" not in p and "CartesianProduct" not in p, p
+    assert p.count("HashAggregate") >= 4, p  # distinct + count partials
