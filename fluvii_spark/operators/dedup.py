@@ -69,9 +69,14 @@ def word_shingles(
     Catalyst re-split the text once per shingle position (O(words²) splits
     per document — measured 3× slower at sf0.1).
     """
+    # guard: sequence(0, negative) counts DOWN, handing slice() a start of 0
+    # (error) — a doc shorter than n tokens must yield zero shingles, which
+    # is also what the duckdb oracle's positional self-join produces
     shingle_arr = (
+        f"CASE WHEN size(toks) >= {n} THEN "
         f"transform(sequence(0, size(toks) - {n}),"
-        f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+        f" i -> concat_ws(' ', slice(toks, i + 1, {n}))) "
+        f"ELSE array() END"
     )
     out = df.select(
         id_col, F.split(F.col(text_col), " ").alias("toks")
@@ -324,8 +329,10 @@ def minhash_lsh_pairs(
     # this formulation keeps the whole dedup chain UDF-free.
     shingle_arr = (
         f"array_distinct(transform(array(split({text_col}, ' ')), toks ->"
+        f" CASE WHEN size(toks) >= {n} THEN"
         f" transform(sequence(0, size(toks) - {n}),"
-        f" i -> concat_ws(' ', slice(toks, i + 1, {n}))))[0])"
+        f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+        f" ELSE array() END)[0])"
     )
     sh_a = df.select(
         F.col(id_col).alias("id_a"), F.expr(shingle_arr).alias("_sa")

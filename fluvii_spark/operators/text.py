@@ -146,9 +146,13 @@ def doc_fingerprint(text_col: str = "text", shingle_len: int = 5) -> Column:
     # once per document, not once per shingle position (inlining the split
     # into the position lambda re-tokenizes per position — measured 3×
     # slower on the dedup-family shingle path).
+    # CASE guard: a doc shorter than k tokens fingerprints to NULL (the min
+    # over an empty shingle set), instead of slice() erroring on start 0
     return F.expr(
         f"array_min(transform(array(split({text_col},' ')), toks ->"
+        f" CASE WHEN size(toks) >= {k} THEN"
         f" transform(sequence(0, size(toks) - {k}),"
         f"   i -> CAST(CONV(SUBSTRING(MD5(concat_ws(' ', slice(toks, i + 1, {k}))), 1, 8), 16, 10) AS BIGINT))"
+        f" ELSE CAST(array() AS ARRAY<BIGINT>) END"
         f")[0])"
     )

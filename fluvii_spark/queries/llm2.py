@@ -205,8 +205,10 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "toks",
         F.expr(
-            "transform(sequence(0, size(toks) - 3),"
+            "CASE WHEN size(toks) >= 3 THEN"
+            " transform(sequence(0, size(toks) - 3),"
             " i -> concat_ws(' ', slice(toks, i + 1, 3)))"
+            " ELSE array() END"
         ).alias("tri"),
     )
     return (

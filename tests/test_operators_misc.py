@@ -430,3 +430,32 @@ def test_bucket_representatives_properties(spark, sf_dir):
         assert members[r["rep_id"]] == r["bucket"]
         assert r["n_members"] == sizes[r["bucket"]]
         assert -1.0 - 1e-9 <= r["rep_cosine"] <= 1.0 + 1e-9
+
+
+def test_shingle_ops_tolerate_short_documents(spark):
+    """Docs shorter than the shingle width must yield zero shingles / NULL
+    fingerprints, not a slice() error — sequence(0, negative) counts DOWN
+    in Spark, which used to hand slice a start of 0."""
+    from pyspark.sql import functions as F
+
+    from fluvii_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_pair_stats,
+        word_shingles,
+    )
+    from fluvii_spark.operators.text import doc_fingerprint
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "a"), (2, "a b"), (3, "a b c d e"), (4, "a b c d e")],
+        ["doc_id", "text"],
+    )
+    sh = word_shingles(df, "doc_id", "text", 3).collect()
+    assert {r["doc_id"] for r in sh} == {3, 4}
+    stats = ngram_pair_stats(df, max_doc_freq=None).collect()
+    assert [(r["id_a"], r["id_b"]) for r in stats] == [(3, 4)]
+    pairs = minhash_lsh_pairs(df, threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(3, 4)]
+    fp = df.select("doc_id", doc_fingerprint().alias("fp")).collect()
+    by_id = {r["doc_id"]: r["fp"] for r in fp}
+    assert by_id[0] is None and by_id[1] is None and by_id[2] is None
+    assert by_id[3] == by_id[4] and by_id[3] is not None
