@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import time
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -171,3 +173,61 @@ def test_metrics_pusher_config_env(monkeypatch):
     cfg = MetricsPusherConfig()
     assert cfg.hostname == "pod-7"
     assert cfg.push_rate_seconds == 3.0
+
+
+# ---------------------------------------------------------------------------
+# property: shingle pair stats == pure-Python set arithmetic
+# ---------------------------------------------------------------------------
+
+_WORDS = ["a", "b", "c", "d", "e"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=10),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_ngram_pair_stats_matches_set_arithmetic(spark, token_lists):
+    """Random tiny corpora (heavy shingle collisions by construction):
+    Spark's candidate stats must equal exact per-pair set intersections,
+    and Jaccard/containment must follow from them."""
+    from fluvii_spark.operators.dedup import (
+        containment_from_stats,
+        jaccard_from_stats,
+        ngram_pair_stats,
+    )
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    py_sh = {
+        i: {
+            " ".join(toks[j : j + 3])
+            for j in range(len(toks) - 2)
+        }
+        for i, toks in enumerate(token_lists)
+    }
+    expect = {}
+    for a in py_sh:
+        for b in py_sh:
+            if a < b and py_sh[a] & py_sh[b]:
+                expect[(a, b)] = (
+                    len(py_sh[a] & py_sh[b]),
+                    len(py_sh[a]),
+                    len(py_sh[b]),
+                )
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    stats = ngram_pair_stats(df, max_doc_freq=None).persist()
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["n_a"], r["n_b"])
+        for r in stats.collect()
+    }
+    assert got == expect
+    for r in jaccard_from_stats(stats, 0.0).collect():
+        c, na, nb = expect[(r["id_a"], r["id_b"])]
+        assert r["jaccard"] == pytest.approx(c / (na + nb - c))
+    for r in containment_from_stats(stats, 0.0).collect():
+        c, na, nb = expect[(r["id_a"], r["id_b"])]
+        assert r["containment"] == pytest.approx(c / min(na, nb))
+    stats.unpersist()
