@@ -600,3 +600,35 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(kept, 1)).cast("bigint").alias("n_kept"),
         F.avg(F.when(kept, F.col("ttr"))).alias("avg_kept_ttr"),
     )
+
+
+@register(
+    "q111_prefix_dedup",
+    """
+    SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 64), ' '))
+             AS prefix_md5,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_full_variants
+    FROM documents
+    GROUP BY 1
+    """,
+    "truncation-tolerant dedup: group on the md5 of the first 64 tokens — "
+    "catches copies that differ only past the prefix (truncated mirrors, "
+    "appended boilerplate) that exact full-text dedup (q33) treats as "
+    "distinct; n_full_variants > 1 marks exactly those groups. One scan, "
+    "one groupBy — the same scale shape as exact dedup",
+    ("llm", "dedup"),
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    prefix = F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 64))
+    )
+    return t.documents.groupBy(prefix.alias("prefix_md5")).agg(
+        F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        F.count("*").cast("bigint").alias("n_copies"),
+        F.count_distinct(F.md5(F.col("text")))
+        .cast("bigint")
+        .alias("n_full_variants"),
+    )

@@ -267,3 +267,47 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count_distinct("user_id").cast("bigint").alias("au7"))
     )
+
+
+@register(
+    "q110_outlier_filter",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             round(AVG(value), 6) AS m,
+             round(stddev_samp(value), 6) AS s
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(CASE WHEN abs(e.value - st.m) <= 3 * st.s THEN 1 END)
+                AS BIGINT) AS n_kept,
+           MAX(st.m) AS mean_value,
+           MAX(st.s) AS std_value
+    FROM events e JOIN stats st USING (event_type)
+    GROUP BY e.event_type
+    """,
+    "3-sigma outlier trim per group: per-type mean/stddev (ROUNDED to 6 dp "
+    "before the cut so the gate is bit-identical across engines — raw float "
+    "aggregates differ in the last ulp by sum order), broadcast back onto "
+    "the scan as a keep predicate. Two passes total; the stats side is "
+    "groups-sized, always a broadcast at scale",
+    ("relational", "stats", "quality"),
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    stats = t.events.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("m"),
+        F.round(F.stddev_samp("value"), 6).alias("s"),
+    )
+    kept = F.abs(F.col("value") - F.col("m")) <= 3 * F.col("s")
+    return (
+        t.events.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.count(F.when(kept, 1)).cast("bigint").alias("n_kept"),
+            F.max("m").alias("mean_value"),
+            F.max("s").alias("std_value"),
+        )
+    )

@@ -446,7 +446,8 @@ def test_shingle_ops_tolerate_short_documents(spark):
     from fluvii_spark.operators.text import doc_fingerprint
 
     df = spark.createDataFrame(
-        [(0, ""), (1, "a"), (2, "a b"), (3, "a b c d e"), (4, "a b c d e")],
+        [(0, ""), (1, "a"), (2, "a b"), (3, "a b c d e"), (4, "a b c d e"),
+         (5, None)],
         ["doc_id", "text"],
     )
     sh = word_shingles(df, "doc_id", "text", 3).collect()
