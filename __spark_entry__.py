@@ -19,8 +19,10 @@ from fluvii_spark.queries import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: 5-way star join with pinned broadcasts (q11)."""
-    return registry()["q11_join_broadcast"].fn(spark, "/root/testdata/sf0.001")
+    """Flagship query: the end-to-end training-data pipeline (q88) — quality
+    gate → normalize + dedup → stratified split → 512-token packing → stats,
+    composed into ONE lazy plan from inventory operators."""
+    return registry()["q88_pipeline_e2e"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
