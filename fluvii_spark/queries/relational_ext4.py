@@ -311,3 +311,56 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("s").alias("std_value"),
         )
     )
+
+
+@register(
+    "q112_rate_anomaly",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             round(AVG(n), 6) AS m,
+             round(stddev_samp(n), 6) AS s
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.bucket, h.event_type, CAST(h.n AS BIGINT) AS n,
+           round((h.n - st.m) / st.s, 6) AS z
+    FROM hourly h JOIN stats st USING (event_type)
+    WHERE abs(h.n - st.m) > 2 * st.s
+    """,
+    "telemetry anomaly detection: hourly event-rate z-scores per type, "
+    "surfacing hours beyond 2 sigma. Composes the cascaded-rollup grain "
+    "(q101) with the deterministic sigma gate (q110: stats rounded 6 dp so "
+    "the cut is engine-exact). The anomaly scan reads |hourly| rows, never "
+    "the raw events — the continuous-aggregate shape that makes alerting "
+    "cheap at 100 TB",
+    ("relational", "timeseries", "stats"),
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t.events.select(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("bucket"),
+            "event_type",
+        )
+        .groupBy("bucket", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.round(F.avg("n"), 6).alias("m"),
+        F.round(F.stddev_samp("n"), 6).alias("s"),
+    )
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("n") - F.col("m")) > 2 * F.col("s"))
+        .select(
+            "bucket",
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round((F.col("n") - F.col("m")) / F.col("s"), 6).alias("z"),
+        )
+    )
