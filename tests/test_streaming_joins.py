@@ -303,3 +303,52 @@ def test_streaming_dedup_within_watermark_matches_batch(spark, tmp_path):
     )
     expected_ids = sorted(set(i for i, _ in rows1) | set(i for i, _ in rows2))
     assert got_ids == expected_ids  # each key exactly once
+
+
+def test_streaming_hourly_grain_feeds_anomaly_gate(
+    spark, sf_dir, events_stream_dir, tmp_path
+):
+    """Continuous-aggregate pattern: streaming maintains the hourly count
+    grain (windowed agg over the replayed stream); the 2-sigma anomaly gate
+    (q112) then runs in batch ON THE GRAIN — never the raw events — and must
+    equal the all-batch q112 on the same data."""
+    from fluvii_spark.queries import registry
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    src = _read_stream(spark, events_stream_dir, schema)
+    hourly = (
+        src.select(F.window("ts", "1 hour").alias("w"), "event_type")
+        .groupBy("w", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        hourly.writeStream.format("memory")
+        .outputMode("complete")
+        .queryName("hourly_grain")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    grain = (
+        spark.table("hourly_grain")
+        .select(F.col("w.start").alias("bucket"), "event_type", "n")
+        .localCheckpoint()  # break lineage: stats below re-joins the grain
+    )
+    stats = grain.groupBy("event_type").agg(
+        F.round(F.avg("n"), 6).alias("m"),
+        F.round(F.stddev_samp("n"), 6).alias("s"),
+    )
+    stream_out = (
+        grain.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("n") - F.col("m")) > 2 * F.col("s"))
+        .select(
+            "bucket",
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round((F.col("n") - F.col("m")) / F.col("s"), 6).alias("z"),
+        )
+    )
+    batch = registry()["q112_rate_anomaly"].fn(spark, sf_dir)
+    got = sorted(tuple(r) for r in stream_out.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and len(want) > 0
