@@ -131,24 +131,26 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 10
     )
-    split = t.documents.select(
-        "doc_id", "lang", F.when(h < 8, "train").otherwise("test").alias("part")
+    # the train/test split is a pure function of doc_id, so it attaches to
+    # the shingle rows as an EXPRESSION — no join against a split relation
+    # (the previous formulation joined the split table twice; this plan has
+    # exactly one join: the leftsemi contamination probe)
+    part = F.when(h < 8, "train").otherwise("test")
+    sh5 = D.word_shingles(t.documents, "doc_id", "text", n=5).withColumn(
+        "part", part
     )
-    sh5 = D.word_shingles(t.documents, "doc_id", "text", n=5)
-    train_sh = (
-        sh5.join(split.filter("part = 'train'"), "doc_id")
-        .select("shingle")
-        .distinct()
-    )
+    train_sh = sh5.filter("part = 'train'").select("shingle").distinct()
     contaminated = (
-        sh5.join(split.filter("part = 'test'"), "doc_id")
+        sh5.filter("part = 'test'")
         .join(train_sh, "shingle", "leftsemi")
         .select("doc_id")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
     return (
-        split.filter("part = 'test'")
+        t.documents.select("doc_id", "lang")
+        .withColumn("part", part)
+        .filter("part = 'test'")
         .join(contaminated, "doc_id", "left")
         .groupBy("lang")
         .agg(
