@@ -364,3 +364,50 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n") - F.col("m")) / F.col("s"), 6).alias("z"),
         )
     )
+
+
+@register(
+    "q113_winsorized_mean",
+    """
+    WITH cuts AS (
+      SELECT event_type,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(AVG(e.value), 6) AS raw_mean,
+           round(AVG(LEAST(GREATEST(e.value, c.lo), c.hi)), 6)
+             AS winsorized_mean,
+           MAX(c.lo) AS p05,
+           MAX(c.hi) AS p95
+    FROM events e JOIN cuts c USING (event_type)
+    GROUP BY e.event_type
+    """,
+    "winsorized mean per group: clip values to the exact interpolated "
+    "[p05, p95] band, then average — the robust-stats companion to q110's "
+    "trim (winsorize keeps every row, caps the tails). Boundary-safe by "
+    "construction: a value at the cut clips TO the cut, so last-ulp "
+    "percentile differences can't change the result. Cuts are a "
+    "groups-sized broadcast onto a single scan",
+    ("relational", "stats", "quality"),
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cuts = t.events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        t.events.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("value"), 6).alias("raw_mean"),
+            F.round(F.avg(clipped), 6).alias("winsorized_mean"),
+            F.max("lo").alias("p05"),
+            F.max("hi").alias("p95"),
+        )
+    )
