@@ -411,3 +411,60 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("hi").alias("p95"),
         )
     )
+
+
+@register(
+    "q114_time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             lead(ts) OVER w AS next_ts,
+             lead(value) OVER w AS next_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    segs AS (
+      SELECT user_id,
+             (value + next_value) / 2
+               * (epoch_us(next_ts) - epoch_us(ts)) AS area,
+             epoch_us(next_ts) - epoch_us(ts) AS dt
+      FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           round(SUM(area) / SUM(dt), 6) AS twa_value
+    FROM segs
+    WHERE dt > 0
+    GROUP BY user_id
+    """,
+    "time-weighted average per user: trapezoidal integration between "
+    "consecutive events (lead() segments, microsecond dt), normalized by "
+    "covered time — the correct mean for irregularly-sampled telemetry, "
+    "where the naive AVG over-weights bursts. One window pass + one "
+    "aggregation; zero-duration segments excluded exactly",
+    ("relational", "timeseries", "window"),
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t.events.select("user_id", "ts", "event_id", "value")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.lead("ts").over(w).alias("next_ts"),
+        F.lead("value").over(w).alias("next_value"),
+    ).filter(F.col("next_ts").isNotNull())
+    dt = (
+        F.unix_micros(F.col("next_ts").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    ).cast("double")
+    segs = seq.select(
+        "user_id",
+        ((F.col("value") + F.col("next_value")) / 2 * dt).alias("area"),
+        dt.alias("dt"),
+    ).filter(F.col("dt") > 0)
+    return segs.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.round(F.sum("area") / F.sum("dt"), 6).alias("twa_value"),
+    )
