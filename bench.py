@@ -118,6 +118,9 @@ def main() -> None:
                 "concurrency": CONCURRENCY,
                 "n_queries": len(qs),
                 "passes": walls,
+                # inventory size grows round over round — normalize so the
+                # wall is comparable across rounds (r1: 95 queries)
+                "wall_per_query": round(min(walls) / max(len(qs), 1), 4),
                 "sum_query_seconds": round(
                     sum(t for t in timings.values() if t >= 0), 3
                 ),
