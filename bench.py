@@ -31,9 +31,9 @@ from fluvii_spark.session import get_session  # noqa: E402
 # run serially. `value` is the wall-clock for the WHOLE inventory; per-query
 # numbers are individual wall times under that concurrency (not additive —
 # they include scheduler queueing and, for the shared dedup chain, waiting
-# on the one builder). 16 measured best on local[32] (8→29.6s, 16→19.0s,
-# 24→30.3s at sf0.1): enough jobs to fill 32 threads while small stages
-# drain, before oversubscription thrashes the scheduler.
+# on the one builder). With per-query FAIR pools, concurrency 8/12/16 all
+# land 8.5–12 s warm at sf0.1 (host-noise-dominated; 114 queries); 16 keeps
+# the cold pass fastest without oversubscription thrash.
 CONCURRENCY = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "16"))
 
 
