@@ -182,3 +182,58 @@ def test_chained_windowed_aggregations(spark, sf_dir, tmp_path):
         (h, t, n) for (h, t, n) in expected_all if h in sentinel_hours
     }
     assert len(got) > 100
+
+
+def test_streaming_kmv_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """The streaming k-min fold must converge to EXACTLY the batch KMV
+    sketch (q102) on the same data: k-min insertion is commutative and
+    replay-idempotent, so arrival order and micro-batching cannot matter."""
+    from fluvii_spark.queries import registry
+    from fluvii_spark.streaming.sketch import streaming_kmv_distinct
+
+    events = load_tables(spark, sf_dir).events
+    hashed = events.select(
+        "event_type",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(4294967296.0)
+        ).alias("h"),
+    )
+    d = str(tmp_path / "ev_kmv")
+    # three batches split by user parity mod 3 → every key's hashes straddle
+    for m in range(3):
+        hashed.filter(F.crc32(F.col("h").cast("string")) % 3 == m).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    schema = spark.read.parquet(d).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = streaming_kmv_distinct(src, "event_type", "h")
+    q = (
+        out.writeStream.format("memory")
+        .outputMode("append")
+        .queryName("kmv_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_kmv"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.table("kmv_stream")
+        .groupBy("event_type")
+        .agg(F.max("estimate").alias("estimate"))
+        .collect()
+    )
+    stream_est = {r["event_type"]: r["estimate"] for r in got}
+    batch = registry()["q102_kmv_distinct_sketch"].fn(spark, sf_dir).collect()
+    assert len(batch) > 0
+    for r in batch:
+        assert stream_est[r["event_type"]] == r["kmv_estimate"], r
