@@ -468,3 +468,45 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_segments"),
         F.round(F.sum("area") / F.sum("dt"), 6).alias("twa_value"),
     )
+
+
+@register(
+    "q115_mode_per_group",
+    """
+    WITH counts AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT o_orderpriority, o_orderstatus, n,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY n DESC, o_orderstatus) AS rn
+      FROM counts
+    )
+    SELECT o_orderpriority,
+           o_orderstatus AS mode_status,
+           CAST(n AS BIGINT) AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+    "mode (most frequent value) per group with a deterministic tie-break "
+    "(lexicographic on the value) — two hash aggregations + a top-1 window "
+    "over the (tiny) counts relation, never a sort of the raw table",
+    ("relational", "agg"),
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    counts = t.orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("n").desc(), "o_orderstatus"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("n").cast("bigint").alias("mode_count"),
+        )
+    )
