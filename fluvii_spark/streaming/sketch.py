@@ -40,6 +40,7 @@ def streaming_kmv_distinct(
     hash_col: str,
     k: int = KMV_K,
     order_by: list[str] | None = None,
+    backend: str = "v1",
 ) -> DataFrame:
     """Streaming KMV distinct-count estimate per key.
 
@@ -64,7 +65,13 @@ def streaming_kmv_distinct(
         est = float(n) if n < k else (k - 1) / st[-1]
         txn.produce({key_col: txn.key, "n_kept": n, "estimate": est})
 
-    return streaming_keyed_fold(
+    if backend == "v2":  # transformWithStateInPandas (typed state, RocksDB)
+        from fluvii_spark.streaming.state_v2 import streaming_keyed_fold_v2
+
+        fold = streaming_keyed_fold_v2
+    else:
+        fold = streaming_keyed_fold
+    return fold(
         df.select(key_col, hash_col),
         [key_col],
         app,
