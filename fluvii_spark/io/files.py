@@ -45,6 +45,7 @@ def write_files(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     target_file_rows: int | None = None,
+    cluster_by: list[str] | None = None,
     **options: str,
 ) -> None:
     """Batch write with layout control.
@@ -54,11 +55,24 @@ def write_files(
       cardinality only: each distinct value is a directory);
     - ``target_file_rows``: repartition before writing so output files are
       uniformly sized — many tiny files (driver/file-index pressure) and
-      few giant files (no read parallelism) are both failure modes at scale.
+      few giant files (no read parallelism) are both failure modes at scale;
+    - ``cluster_by``: range-partition + sort on these columns before the
+      write, so each output file covers a DISJOINT range and its parquet
+      min/max footer stats let readers skip whole files on range predicates
+      — the fine pruning axis (high-cardinality sort keys: timestamps, ids)
+      that directory partitioning can't provide.
     """
     if file_format not in _FORMATS:
         raise ValueError(f"format must be one of {_FORMATS}, got {file_format!r}")
-    if target_file_rows:
+    if cluster_by:
+        if target_file_rows:
+            n = df.count()
+            parts = max(1, (n + target_file_rows - 1) // target_file_rows)
+            df = df.repartitionByRange(parts, *cluster_by)
+        else:
+            df = df.repartitionByRange(*cluster_by)
+        df = df.sortWithinPartitions(*cluster_by)
+    elif target_file_rows:
         n = df.count()
         df = df.repartition(max(1, (n + target_file_rows - 1) // target_file_rows))
     w = df.write.format(file_format).mode(mode)

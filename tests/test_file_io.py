@@ -59,3 +59,26 @@ def test_bad_format_rejected(spark, tmp_path):
         raise AssertionError("should raise")
     except ValueError as e:
         assert "format must be one of" in str(e)
+
+
+def test_cluster_by_yields_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """cluster_by range-partitions + sorts, so every output file covers a
+    disjoint o_orderdate range — the layout whose parquet min/max footers
+    let readers skip whole files on range predicates."""
+    src = load_tables(spark, sf_dir).orders
+    n = src.count()
+    p = str(tmp_path / "clustered")
+    write_files(
+        src, p, "parquet", cluster_by=["o_orderdate"],
+        target_file_rows=max(1, n // 4),
+    )
+    per_file = (
+        read_files(spark, p, "parquet")
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) >= 3
+    ranges = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert lo1 <= hi1 <= lo2, ranges  # disjoint, ordered coverage
