@@ -237,3 +237,77 @@ def test_streaming_kmv_matches_batch_sketch(spark, sf_dir, tmp_path):
     assert len(batch) > 0
     for r in batch:
         assert stream_est[r["event_type"]] == r["kmv_estimate"], r
+
+
+def test_streaming_kmv_survives_restart(spark, sf_dir, tmp_path):
+    """The mergeable-state claim under crash recovery: stop mid-stream,
+    restart on the same checkpoint with more data staged — replayed hashes
+    re-insert idempotently, and the final estimate still equals the batch
+    sketch exactly."""
+    import os
+    import shutil
+
+    from fluvii_spark.queries import registry
+    from fluvii_spark.streaming.sketch import streaming_kmv_distinct
+
+    events = load_tables(spark, sf_dir).events
+    hashed = events.select(
+        "event_type",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(4294967296.0)
+        ).alias("h"),
+    )
+    full = str(tmp_path / "kmv_full")
+    for m in range(4):
+        hashed.filter(F.crc32(F.col("h").cast("string")) % 4 == m).coalesce(
+            1
+        ).write.mode("append").parquet(full)
+    staged = str(tmp_path / "kmv_staged")
+    os.makedirs(staged)
+    parts = sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
+    for f in parts[:2]:
+        shutil.copy(os.path.join(full, f), os.path.join(staged, f))
+
+    ckpt = str(tmp_path / "ck_kmv_restart")
+    out_dir = str(tmp_path / "kmv_out")
+    schema = spark.read.parquet(full).schema
+
+    def start():
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        out = streaming_kmv_distinct(src, "event_type", "h")
+        return (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", out_dir)
+            .start()
+        )
+
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    for f in parts[2:]:
+        shutil.copy(os.path.join(full, f), os.path.join(staged, f))
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(F.max("estimate").alias("estimate"))
+        .collect()
+    )
+    stream_est = {r["event_type"]: r["estimate"] for r in got}
+    batch = registry()["q102_kmv_distinct_sketch"].fn(spark, sf_dir).collect()
+    for r in batch:
+        assert stream_est[r["event_type"]] == r["kmv_estimate"], r
