@@ -400,6 +400,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 6,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -410,7 +411,10 @@ def simhash_pairs(
     (Manku et al., WWW'07: split into d+1 blocks for distance d); the
     block count is a knob — halves keep the oracle SQL tractable here.
     """
-    hs = simhash(df, id_col, text_col)
+    # ``signatures``: pass a precomputed (persisted) simhash() frame so the
+    # 32-vote aggregation isn't rebuilt when fingerprints are also reported
+    # on their own (q36/q37 share one instance via the query-layer memo)
+    hs = simhash(df, id_col, text_col) if signatures is None else signatures
     a = hs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     b = hs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
     hi = a.withColumn("k", F.expr("shiftright(sh_a, 16)")).join(
