@@ -184,18 +184,20 @@ def bucket_representatives(
         id_col, F.posexplode(vec_col).alias("dim", "x")
     ).withColumn("x", F.col("x").cast("double"))
     bc = comp.join(buckets, id_col)
-    cent = bc.groupBy("bucket", "dim").agg(F.avg("x").alias("cx"))
-    cnorm = cent.groupBy("bucket").agg(
-        F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("c_norm")
-    )
+    # centroid component as a WINDOW over (bucket, dim) — no centroid
+    # relation, no re-join, no second pass over the exploded vectors. Each
+    # member row then carries (x, cx), and ONE aggregation yields the dot
+    # product, the member norm, and the centroid norm (every member holds
+    # all dims, so its Σ cx² IS the bucket's squared centroid norm).
+    cx = F.avg("x").over(Window.partitionBy("bucket", "dim"))
     per_member = (
-        bc.join(cent, ["bucket", "dim"])
+        bc.withColumn("cx", cx)
         .groupBy(id_col, "bucket")
         .agg(
             F.sum(F.col("x") * F.col("cx")).alias("dot"),
             F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("m_norm"),
+            F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("c_norm"),
         )
-        .join(cnorm, "bucket")
         .select(
             id_col,
             "bucket",
