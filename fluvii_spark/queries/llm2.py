@@ -634,3 +634,45 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_full_variants"),
     )
+
+
+@register(
+    "q116_ann_multiprobe",
+    f"""
+    WITH
+    {_LSH_BUCKETS},
+    qd AS (SELECT plane, dot FROM dots WHERE vec_id = 0),
+    qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+    fl AS (
+      SELECT xor(qb.qbucket, (CAST(1 AS BIGINT) << qd.plane)) AS probe_bucket
+      FROM (
+        SELECT plane FROM qd
+        QUALIFY row_number() OVER (ORDER BY abs(dot), plane) <= 3
+      ) qd_top
+      JOIN qd ON qd.plane = qd_top.plane, qb
+    ),
+    probe AS (
+      SELECT qbucket AS probe_bucket FROM qb
+      UNION ALL SELECT probe_bucket FROM fl
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.qvec AS DOUBLE[])) AS cosine
+    FROM embeddings e
+    JOIN buckets b USING (vec_id)
+    JOIN probe p ON b.bucket = p.probe_bucket, q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 5
+    """,
+    "multi-probe LSH ANN (Lv et al., VLDB'07): probe the query's bucket "
+    "plus the 3 buckets reached by flipping its lowest-|dot| hyperplane "
+    "bits — the recall knob that does NOT re-hash the corpus (vs adding "
+    "tables); candidates grow to 4/2^8 of the corpus, assignment stays one "
+    "scan. Exact cosine within probed buckets, md5-deterministic",
+    ("llm", "similarity", "ann"),
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return S.lsh_topk_multiprobe(t.embeddings, query_id=0, dims=64, k=5, probes=3)

@@ -79,6 +79,7 @@ _BNLJ_ALLOWED = {
     "q103_lang_rebalance",  # min-count target as a 1-row broadcast aggregate
     "q104_kmv_merge",  # 1-row exact/n_groups aggregates broadcast onto sketch
     "q107_semantic_rep_select",  # 8×64 hyperplane scaffold crossJoin (as q39)
+    "q116_ann_multiprobe",  # 1-row query vector + ≤4-row probe set broadcasts
 }
 
 
