@@ -107,6 +107,8 @@ def main() -> None:
         with ThreadPoolExecutor(max_workers=CONCURRENCY) as pool:
             list(pool.map(run_one, order))
         walls.append(round(time.perf_counter() - t0, 3))
+        if walls[-1] > 300:  # noise-window pass: don't risk a harness timeout
+            break
     print(
         json.dumps(
             {
