@@ -154,3 +154,45 @@ def frame_sample(media: DataFrame, every_ms: int = 250) -> DataFrame:
         ).alias("frame_ms"),
         "payload",
     )
+
+
+def resize(
+    media: DataFrame, width: int, height: int, target_partition_mb: int = 64
+) -> DataFrame:
+    """Resize plan: payload → decoded image → scaled → re-encoded payload.
+
+    The pixel kernel is STUBBED (no codecs in this environment) with a
+    deterministic digest-seeded payload whose length scales with the target
+    area — the Spark-side contract is the real one: Arrow-batched
+    mapInPandas over (payload, meta), output schema identical to
+    MEDIA_SCHEMA with updated (width, height, n_bytes), no shuffle, and
+    byte-budget partitioning upstream exactly as extract_features.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def _resize_payload(p: bytes) -> bytes:
+                if not _fake_decode_allowed():
+                    raise NotImplementedError(
+                        "media codecs not available; set "
+                        "FLUVII_SPARK_FAKE_DECODE=1 for the stub"
+                    )
+                seed = hashlib.sha256(
+                    b"resize:%dx%d:" % (width, height) + bytes(p)
+                ).digest()
+                # fake re-encode: digest-seeded bytes, length ∝ target area
+                n = max(16, (width * height) // 64)
+                return (seed * (n // len(seed) + 1))[:n]
+
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(_resize_payload)
+            metas = []
+            for m, p in zip(out["meta"], out["payload"]):
+                m = dict(m)
+                m["width"], m["height"] = width, height
+                m["n_bytes"] = len(p)
+                metas.append(m)
+            out["meta"] = metas
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -460,3 +460,26 @@ def test_shingle_ops_tolerate_short_documents(spark):
     by_id = {r["doc_id"]: r["fp"] for r in fp}
     assert by_id[0] is None and by_id[1] is None and by_id[2] is None
     assert by_id[3] == by_id[4] and by_id[3] is not None
+
+
+def test_multimodal_resize_contract(spark, sf_dir):
+    """resize keeps the media schema, updates (width, height, n_bytes) in
+    lockstep with the new payload, and is deterministic across runs."""
+    from fluvii_spark.io.readers import load_tables
+    from fluvii_spark.operators.multimodal import media_from_documents, resize
+
+    media = media_from_documents(
+        load_tables(spark, sf_dir).documents.limit(20)
+    )
+    out = resize(media, 32, 16)
+    # same column names/types (nullability flags differ between a literal
+    # struct projection and the declared schema — irrelevant to the contract)
+    assert out.schema.simpleString() == media.schema.simpleString()
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["meta"]["width"] == 32 and r["meta"]["height"] == 16
+        assert r["meta"]["n_bytes"] == len(r["payload"]) == max(16, 32 * 16 // 64)
+    again = {r["media_id"]: bytes(r["payload"]) for r in resize(media, 32, 16).collect()}
+    for r in rows:
+        assert bytes(r["payload"]) == again[r["media_id"]]
