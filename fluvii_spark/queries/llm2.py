@@ -676,3 +676,84 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return S.lsh_topk_multiprobe(t.embeddings, query_id=0, dims=64, k=5, probes=3)
+
+
+BM25_TERMS = ("spark", "hash", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "q117_bm25_search",
+    f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    avgdl AS (SELECT AVG(dl) AS avgdl FROM dl),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN {BM25_TERMS!r} GROUP BY 1, 2
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ((n.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / avgdl.avgdl))
+             ) AS score
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n, avgdl
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+    "BM25 relevance search over the corpus for a fixed term set — "
+    "query-relevance filtering for training-data curation. Rational "
+    "arithmetic only (the q59 libm-free idf; avgdl is an exact int-mean), "
+    "so scores are bit-deterministic across engines. Plan: one token "
+    "explode filtered to the query terms, tiny df/N/avgdl broadcasts, "
+    "top-20 via TakeOrderedAndProject",
+    ("llm", "text", "search"),
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    dl = t.documents.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl")
+    )
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    n = t.documents.agg(F.count("*").alias("n_docs"))
+    tf = (
+        t.documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    tf_sat = (
+        F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_sat).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )

@@ -80,6 +80,7 @@ _BNLJ_ALLOWED = {
     "q104_kmv_merge",  # 1-row exact/n_groups aggregates broadcast onto sketch
     "q107_semantic_rep_select",  # 8×64 hyperplane scaffold crossJoin (as q39)
     "q116_ann_multiprobe",  # 1-row query vector + ≤4-row probe set broadcasts
+    "q117_bm25_search",  # 1-row n_docs/avgdl aggregates broadcast onto tf
 }
 
 
