@@ -510,3 +510,46 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("mode_count"),
         )
     )
+
+
+@register(
+    "q118_recursive_hierarchy",
+    """
+    WITH RECURSIVE chain(doc_id, anc, depth) AS (
+      SELECT doc_id, doc_id, 0 FROM documents
+      UNION ALL
+      SELECT c.doc_id, c.anc // 2, c.depth + 1 FROM chain c WHERE c.anc > 0
+    ),
+    depths AS (SELECT doc_id, MAX(depth) AS depth FROM chain GROUP BY doc_id)
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM depths GROUP BY depth
+    """,
+    "recursive-CTE hierarchy walk (Spark 4 WITH RECURSIVE): every doc "
+    "climbs the implicit binary tree anc -> anc div 2 to the root; report "
+    "node counts per depth. The iterative union is engine-managed "
+    "(Catalyst recursion), replacing the driver-side loop a pre-4.x "
+    "engine would hand-roll — the same class as q60's closure oracle",
+    ("relational", "recursive"),
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.io.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(doc_id, anc, depth) AS (
+          SELECT doc_id, doc_id, 0 FROM documents
+          UNION ALL
+          SELECT c.doc_id, c.anc DIV 2, c.depth + 1 FROM chain c WHERE c.anc > 0
+        ),
+        depths AS (SELECT doc_id, MAX(depth) AS depth FROM chain GROUP BY doc_id)
+        SELECT CAST(depth AS BIGINT) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        FROM depths GROUP BY depth
+        """
+    )
