@@ -553,3 +553,87 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM depths GROUP BY depth
         """
     )
+
+
+FUNNEL_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7 days in microseconds
+
+
+@register(
+    "q119_funnel_windowed",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+    ),
+    v AS (
+      SELECT user_id, MIN(t) AS tv FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.t) AS tc
+      FROM e JOIN v USING (user_id)
+      WHERE e.event_type = 'click'
+        AND e.t > v.tv AND e.t <= v.tv + {FUNNEL_WINDOW_US}
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.t) AS tp
+      FROM e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.t > c.tc AND e.t <= c.tc + {FUNNEL_WINDOW_US}
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'view>click(7d)', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 'click>purchase(7d)', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+    """,
+    "conversion-window funnel: each stage must follow the previous within "
+    "7 days (the industry-standard attribution variant of q89's unbounded "
+    "funnel). Survivor-set equi-joins with integer microsecond bounds — "
+    "exact, one event scan feeding all stages, no self-join explosion",
+    ("relational", "funnel", "timeseries"),
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir).events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    v = (
+        e.filter("event_type = 'view'")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tv"))
+    )
+    c = (
+        e.filter("event_type = 'click'")
+        .join(v, "user_id")
+        .filter(
+            (F.col("t") > F.col("tv"))
+            & (F.col("t") <= F.col("tv") + FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tc"))
+    )
+    p = (
+        e.filter("event_type = 'purchase'")
+        .join(c, "user_id")
+        .filter(
+            (F.col("t") > F.col("tc"))
+            & (F.col("t") <= F.col("tc") + FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tp"))
+    )
+    stages = [
+        (v, "view"),
+        (c, "view>click(7d)"),
+        (p, "click>purchase(7d)"),
+    ]
+    out = None
+    for df_stage, label in stages:
+        row = df_stage.agg(F.count("*").cast("bigint").alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
