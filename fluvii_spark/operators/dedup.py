@@ -22,7 +22,7 @@ oracle-checked query variants keep ``max_doc_freq=None`` for exact parity.
 from __future__ import annotations
 
 import pandas as pd  # module-level so pandas_udf type hints resolve
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # 2^61 - 1 (Mersenne prime): (a*h + b) % P stays < 2^62, no int64 overflow
@@ -736,3 +736,70 @@ def embedding_near_dup_pairs(
     # a pair co-bucketed in several tables is verified in each — same vectors,
     # same float path, identical cosine; keep one
     return found.dropDuplicates(["id_a", "id_b"])
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Token-set Jaccard ≥ threshold pairs via PREFIX FILTERING (ppjoin
+    family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08).
+
+    The alternative candidate generator to LSH/shingle joins: order every
+    token by global frequency (rarest first, ties lexicographic); two sets
+    with Jaccard ≥ t MUST share a token in their first
+    ``n - ceil(t·n) + 1`` ordered tokens, so only that prefix is exploded
+    into the equi-join. At high thresholds the prefix is a small fraction
+    of each document and — because prefixes favor RARE tokens — the join
+    keys are intrinsically low-fanout, which is exactly the skew story the
+    shingle join needs a df-cut for. Verification is exact set Jaccard on
+    the integer rank arrays, JVM-side.
+    """
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).dropDuplicates([id_col, "tok"])
+    rank = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy("freq", "tok")),
+        )
+        .select("tok", "rank")
+    )
+    ranked = toks.join(rank, "tok").select(id_col, "rank")
+    docs = ranked.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("rank")).alias("ranks")
+    )
+    n = F.size("ranks")
+    prefix_len = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
+    # explode ONLY (id, prefix-token): carrying the rank arrays through the
+    # explode + pair-dedup shuffles them once per prefix token — join them
+    # back onto the deduped candidate ids instead
+    prefixes = docs.select(
+        id_col, F.explode(F.slice("ranks", 1, prefix_len)).alias("prank")
+    )
+    a = prefixes.select(F.col(id_col).alias("id_a"), "prank")
+    b = prefixes.select(F.col(id_col).alias("id_b"), "prank")
+    cand = (
+        a.join(b, "prank")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .join(
+            docs.select(F.col(id_col).alias("id_a"), F.col("ranks").alias("ra")),
+            "id_a",
+        )
+        .join(
+            docs.select(F.col(id_col).alias("id_b"), F.col("ranks").alias("rb")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("ra", "rb")).cast("double")
+    jac = inter / (F.size("ra") + F.size("rb") - inter)
+    return (
+        cand.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -757,3 +757,54 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "q120_prefix_filter_pairs",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    rnk AS (
+      SELECT tok, row_number() OVER (ORDER BY COUNT(*), tok) AS rank
+      FROM toks GROUP BY tok
+    ),
+    docs AS (
+      SELECT doc_id, list(rank ORDER BY rank) AS ranks
+      FROM toks JOIN rnk USING (tok) GROUP BY doc_id
+    ),
+    pre AS (
+      SELECT doc_id,
+             unnest(list_slice(ranks, 1,
+               len(ranks) - CAST(ceil(0.7 * len(ranks)) AS INT) + 1)) AS prank
+      FROM docs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pre a JOIN pre b ON a.prank = b.prank AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(da.ranks, db.ranks)) AS DOUBLE)
+               / (len(da.ranks) + len(db.ranks)
+                  - len(list_intersect(da.ranks, db.ranks))) AS jaccard
+      FROM cand c
+      JOIN docs da ON da.doc_id = c.id_a
+      JOIN docs db ON db.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.7
+    """,
+    "token-set Jaccard ≥ 0.7 pairs via PREFIX FILTERING (ppjoin family): "
+    "tokens globally ordered rarest-first; only each doc's first "
+    "n−ceil(0.7n)+1 ordered tokens enter the candidate join (pairs above "
+    "the threshold must share a prefix token). The structurally skew-proof "
+    "alternative to the shingle join: prefixes prefer RARE tokens, so join "
+    "keys are low-fanout by construction — no df-cut needed. Exact verify "
+    "on integer rank arrays, JVM-side; operators.dedup."
+    "prefix_filter_jaccard_pairs",
+    ("llm", "dedup"),
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return D.prefix_filter_jaccard_pairs(t.documents, threshold=0.7)

@@ -483,3 +483,31 @@ def test_multimodal_resize_contract(spark, sf_dir):
     again = {r["media_id"]: bytes(r["payload"]) for r in resize(media, 32, 16).collect()}
     for r in rows:
         assert bytes(r["payload"]) == again[r["media_id"]]
+
+
+def test_prefix_filter_complete_vs_bruteforce(spark, sf_dir):
+    """Prefix filtering must be LOSSLESS at the threshold: the candidate
+    prune keeps every pair with token-set Jaccard >= t (the pigeonhole
+    guarantee), verified against exact all-pairs set arithmetic in Python."""
+    from fluvii_spark.io.readers import load_tables
+    from fluvii_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load_tables(spark, sf_dir).documents.limit(120)
+    rows = [(r["doc_id"], set(r["text"].split(" "))) for r in docs.collect()]
+    t = 0.7
+    expect = {}
+    for i, (ida, sa) in enumerate(rows):
+        for idb, sb in rows[i + 1 :]:
+            a, b = (ida, idb) if ida < idb else (idb, ida)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= t:
+                expect[(a, b)] = j
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(docs, threshold=t).collect()
+    }
+    assert set(got) == set(expect), (
+        set(expect) - set(got), set(got) - set(expect)
+    )
+    for k, v in got.items():
+        assert abs(v - expect[k]) < 1e-12
