@@ -595,6 +595,22 @@ def connected_components(
 EXACT_EMBED_MAX_ROWS = 200_000
 
 
+def _estimate_rows(df: DataFrame) -> int:
+    """Metadata-only row estimate — submits NO Spark job.
+
+    Optimized-plan ``rowCount`` when the source carries it (ANALYZE'd tables,
+    in-memory relations); else ``sizeInBytes // 100`` — a deliberate
+    row-count OVER-estimate for wide embedding rows, so size-based routing
+    errs toward the bucketed (scale-safe) path rather than pulling an
+    oversized corpus through one exact GEMM group.
+    """
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return int(str(rc.get()))
+    return int(str(stats.sizeInBytes())) // 100
+
+
 def _gemm_pairs(
     pairs: DataFrame, group_cols: list[str], threshold: float
 ) -> DataFrame:
@@ -679,6 +695,7 @@ def embedding_near_dup_pairs(
     planes: int = 8,
     n_tables: int | None = None,
     target_recall: float = 0.9,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine similarity ≥ threshold.
 
@@ -704,12 +721,18 @@ def embedding_near_dup_pairs(
     need a handful of tables; low thresholds are honestly expensive — the
     replication factor is the cost of asking LSH for far-apart pairs.
 
-    ``exact=None`` routes by corpus size: exact up to ``exact_max_rows``
-    rows (the oracle-checked regime), bucketed beyond. Callers wanting exact
-    all-pairs semantics at any size opt in with ``exact=True``.
+    ``exact=None`` routes by corpus size WITHOUT running a job: the caller's
+    ``size_hint`` wins, else the optimized plan's metadata row count (CBO /
+    in-memory relations), else a conservative ``sizeInBytes``-based bound
+    (assumes ≥100 B/row — embedding rows are far wider, so the estimate
+    over-counts rows and errs toward the scale-safe bucketed path). Callers
+    wanting exact all-pairs semantics at any size opt in with ``exact=True``
+    (q38 does — its oracle is exact all-pairs).
     """
     if exact is None:
-        exact = df.count() <= exact_max_rows
+        if size_hint is None:
+            size_hint = _estimate_rows(df)
+        exact = size_hint <= exact_max_rows
     if exact:
         pairs = _block_pairs(df, id_col, vec_col, n_blocks)
         return _gemm_pairs(pairs, ["bi", "bj"], threshold)
@@ -743,70 +766,74 @@ def prefix_filter_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    n: int = 1,
 ) -> DataFrame:
-    """Token-set Jaccard ≥ threshold pairs via PREFIX FILTERING (ppjoin
-    family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08).
+    """Set Jaccard ≥ threshold pairs via PREFIX FILTERING (ppjoin family —
+    Chaudhuri et al. ICDE'06, Xiao et al. WWW'08), over word ``n``-gram
+    sets (``n=1``: token sets; ``n≥2``: shingle sets).
 
-    The alternative candidate generator to LSH/shingle joins: order every
-    token by global frequency (rarest first, ties lexicographic); two sets
-    with Jaccard ≥ t MUST share a token in their first
-    ``n - ceil(t·n) + 1`` ordered tokens, so only that prefix is exploded
-    into the equi-join. At high thresholds the prefix is a small fraction
-    of each document and — because prefixes favor RARE tokens — the join
-    keys are intrinsically low-fanout, which is exactly the skew story the
-    shingle join needs a df-cut for. Verification is exact set Jaccard on
-    the integer rank arrays, JVM-side.
+    The alternative candidate generator to LSH/shared-element joins: order
+    every element by global frequency (rarest first, ties lexicographic);
+    two sets with Jaccard ≥ t MUST share an element among their first
+    ``m - ceil(t·m) + 1`` ordered elements (pigeonhole — LOSSLESS for ANY
+    fixed global total order), so only that prefix is exploded into the
+    equi-join. Because prefixes favor RARE elements, the join keys are
+    intrinsically low-fanout — exactly the skew story the shared-shingle
+    join needs a df-cut for. Verification is exact set Jaccard via
+    ``array_intersect`` on the element arrays, JVM-side.
 
-    Applicability boundary: the low-fanout property REQUIRES a Zipfian
-    vocabulary (real text — prefix tokens are then genuinely rare). On a
-    closed small vocabulary every token is corpus-hot and the candidate
-    join degenerates toward all-pairs (measured 70 s on a 5k-doc synthetic
-    corpus with ~100 distinct words vs 4 s on 1k docs) — there, LSH
-    banding (:func:`minhash_lsh_pairs`), which bounds candidates by
-    signature collision rather than token rarity, is the right tool.
+    Scale shape: the global frequency order is realized WITHOUT a global
+    window — element frequency is one groupBy; each doc then sorts its own
+    elements by ``(freq, element)`` under a per-doc window (the compound
+    key is a total order, so every doc agrees on the global ordering).
+    All stages are key-partitioned; nothing funnels through one task.
+
+    Applicability boundary: low candidate fanout REQUIRES the element
+    vocabulary to be Zipfian (real-text tokens, or shingles on any corpus —
+    shingle vocabularies are combinatorial, hence rare-element-rich even
+    over a closed word vocabulary). On a ~100-word closed vocabulary with
+    ``n=1`` every token is corpus-hot and the candidate join degenerates
+    toward all-pairs (measured 70 s at sf0.1) — there, use ``n=3``
+    (q120's configuration) or LSH banding (:func:`minhash_lsh_pairs`).
     """
-    toks = df.select(
-        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).dropDuplicates([id_col, "tok"])
-    rank = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("freq"))
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy("freq", "tok")),
-        )
-        .select("tok", "rank")
+    elems = word_shingles(df, id_col, text_col, n, distinct=True)
+    freq = elems.groupBy("shingle").agg(F.count("*").alias("freq"))
+    w_doc = Window.partitionBy(id_col).orderBy("freq", "shingle")
+    w_all = Window.partitionBy(id_col)
+    ranked = (
+        elems.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w_doc))
+        .withColumn("m", F.count("*").over(w_all))
     )
-    ranked = toks.join(rank, "tok").select(id_col, "rank")
-    docs = ranked.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("rank")).alias("ranks")
+    prefix_len = (
+        F.col("m") - F.ceil(F.lit(threshold) * F.col("m")).cast("int") + 1
     )
-    n = F.size("ranks")
-    prefix_len = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
-    # explode ONLY (id, prefix-token): carrying the rank arrays through the
-    # explode + pair-dedup shuffles them once per prefix token — join them
-    # back onto the deduped candidate ids instead
-    prefixes = docs.select(
-        id_col, F.explode(F.slice("ranks", 1, prefix_len)).alias("prank")
+    # candidates join ONLY (id, prefix-element); the (heavier) element
+    # arrays join back onto the deduped candidate ids for the verify
+    prefixes = ranked.filter(F.col("rn") <= prefix_len).select(
+        id_col, "shingle"
     )
-    a = prefixes.select(F.col(id_col).alias("id_a"), "prank")
-    b = prefixes.select(F.col(id_col).alias("id_b"), "prank")
+    a = prefixes.select(F.col(id_col).alias("id_a"), "shingle")
+    b = prefixes.select(F.col(id_col).alias("id_b"), "shingle")
+    docs = elems.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("_elems")
+    )
     cand = (
-        a.join(b, "prank")
+        a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
         .join(
-            docs.select(F.col(id_col).alias("id_a"), F.col("ranks").alias("ra")),
+            docs.select(F.col(id_col).alias("id_a"), F.col("_elems").alias("ea")),
             "id_a",
         )
         .join(
-            docs.select(F.col(id_col).alias("id_b"), F.col("ranks").alias("rb")),
+            docs.select(F.col(id_col).alias("id_b"), F.col("_elems").alias("eb")),
             "id_b",
         )
     )
-    inter = F.size(F.array_intersect("ra", "rb")).cast("double")
-    jac = inter / (F.size("ra") + F.size("rb") - inter)
+    inter = F.size(F.array_intersect("ea", "eb")).cast("double")
+    jac = inter / (F.size("ea") + F.size("eb") - inter)
     return (
         cand.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)

@@ -21,6 +21,7 @@ Scale notes: media blobs dominate row size, so the operators
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 from collections.abc import Iterator
 
@@ -72,6 +73,23 @@ FEATURE_SCHEMA = StructType(
 
 def _fake_decode_allowed() -> bool:
     return os.environ.get("FLUVII_SPARK_FAKE_DECODE", "1") == "1"
+
+
+def _byte_budget_repartition(df: DataFrame, target_partition_mb: int) -> DataFrame:
+    """Widen partitioning so ~``target_partition_mb`` of payload lands in each
+    partition — the Arrow batches a Pandas stage materializes then fit
+    executor memory even with multi-MB media blobs.
+
+    Sizing is metadata-only (optimized-plan ``sizeInBytes`` — payload bytes
+    dominate media rows, so plan size ≈ payload size): no job runs. Only ever
+    *increases* the partition count; a small corpus keeps its scan
+    parallelism instead of collapsing to one partition.
+    """
+    est_bytes = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    need = max(1, math.ceil(est_bytes / (target_partition_mb * (1 << 20))))
+    if need > df.rdd.getNumPartitions():
+        return df.repartition(need)
+    return df
 
 
 def _decode_features(payload: bytes, kind: str, n_features: int = 8) -> list[float]:
@@ -138,6 +156,7 @@ def extract_features(
             )
             yield out
 
+    media = _byte_budget_repartition(media, target_partition_mb)
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
@@ -195,4 +214,5 @@ def resize(
             out["meta"] = metas
             yield out
 
+    media = _byte_budget_repartition(media, target_partition_mb)
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)

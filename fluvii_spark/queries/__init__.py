@@ -48,14 +48,24 @@ def register(
     return deco
 
 
-# Queries that already have a green driver-correctness row (CORRECTNESS_r01):
-# the round-1 harness recorded exactly the first 50 dict entries, so ordering
-# matters — registry() lists not-yet-driver-proven queries FIRST so a capped
-# harness proves new ground each round, while a full run still covers all.
-_R1_PROVEN = {
-    *(f"q{i:02d}" for i in range(1, 48)),  # q01..q47
-    "q57", "q59", "q60",
+# Queries with a green driver-correctness row (rows+schema+hash all true) in
+# CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json. The driver harness records at
+# most ~50 rows per round, so ordering matters — registry() lists
+# not-yet-driver-proven queries FIRST so a capped harness proves new ground
+# each round, while a full run still covers all. Exact set recomputed from the
+# committed correctness artifacts for round 3 (q57's r1 row was
+# `err: no_oracle` — NOT proven; q56/q58 failed in r2; q80–q99 never got a
+# row because the old lexicographic sort placed q100+ ahead of them).
+_DRIVER_PROVEN = {
+    *(f"q{i:02d}" for i in range(1, 56)),   # q01..q55 (r1+r2)
+    "q59", "q60",                            # r1
+    *(f"q{i:02d}" for i in range(61, 80)),  # q61..q79 (r2)
+    *(f"q{i}" for i in range(100, 121)),    # q100..q120 (r2)
 }
+
+# The 23 queries still awaiting a green driver row, in the order we want the
+# driver to attempt them (numeric, so q80..q99 precede nothing important).
+_UNPROVEN_ORDER = ["q56", "q57", "q58", *(f"q{i}" for i in range(80, 100))]
 
 
 def _prefix(name: str) -> str:
@@ -74,8 +84,13 @@ def registry() -> dict[str, Query]:
         relational_ext4,
     )
 
+    rank = {p: i for i, p in enumerate(_UNPROVEN_ORDER)}
     items = sorted(
         _REGISTRY.items(),
-        key=lambda kv: (_prefix(kv[0]) in _R1_PROVEN, kv[0]),
+        key=lambda kv: (
+            _prefix(kv[0]) in _DRIVER_PROVEN,   # unproven first
+            rank.get(_prefix(kv[0]), 10_000),    # in explicit numeric order
+            kv[0],
+        ),
     )
     return dict(items)

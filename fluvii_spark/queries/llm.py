@@ -563,13 +563,15 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= 0.4
     """,
-    "embedding near-dup pairs (cosine ≥ 0.4); exact all-pairs here, "
-    "LSH-bucketed candidates at scale (operators.similarity)",
+    "embedding near-dup pairs (cosine ≥ 0.4); exact=True because the oracle "
+    "is exact all-pairs (this corpus is in the exact regime); at scale the "
+    "operator's exact=None default routes to LSH-bucketed candidates on "
+    "metadata stats alone — no pre-plan count job",
     ("llm", "dedup", "similarity"),
 )
 def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return D.embedding_near_dup_pairs(t.embeddings, threshold=0.4)
+    return D.embedding_near_dup_pairs(t.embeddings, threshold=0.4, exact=True)
 
 
 # The MinHash-LSH chain (shingle → 16-perm minhash → band join → Arrow
@@ -589,8 +591,27 @@ _SIMHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
 _DEDUP_LOCK = threading.Lock()
 # The ngram-stats chain gets its OWN lock: holding _DEDUP_LOCK while the
 # stats builder runs would serialize the (independent) minhash chain behind
-# it — measured 90 s inventory wall vs 20 s with separate locks.
+# it — measured 90 s inventory wall vs 20 s with separate locks. The simhash
+# chain is independent of both, so it gets its own lock too (sharing
+# _NGRAM_LOCK would queue the light simhash build behind the heavy
+# shingle-pair build — the exact serialization the split exists to avoid).
 _NGRAM_LOCK = threading.Lock()
+_SIMHASH_LOCK = threading.Lock()
+
+
+def _memo_swap(cache: dict, key: tuple[str, str], df: DataFrame) -> DataFrame:
+    """Evict-then-insert for the single-entry memos, unpersisting what we
+    evict so a second sf_dir queried in the same live session doesn't leak
+    the old persisted blocks in storage memory. Eviction may race a stopped
+    session — unpersist is best-effort."""
+    for old in cache.values():
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — stale session's blocks die with it
+            pass
+    cache.clear()
+    cache[key] = df
+    return df
 
 
 def doc_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,24 +630,20 @@ def doc_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # below 1M docs anyway — passing it explicitly skips the blocking
         # df.count() the auto-probe would run while this lock is held.
         stats = D.ngram_pair_stats(t.documents, max_doc_freq=None).persist()
-        _NGRAM_STATS_CACHE.clear()
-        _NGRAM_STATS_CACHE[key] = stats
-        return stats
+        return _memo_swap(_NGRAM_STATS_CACHE, key, stats)
 
 
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared persisted SimHash fingerprints: q36 reports them, q37 joins
     them — one 32-vote aggregation serves both."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    with _NGRAM_LOCK:
+    with _SIMHASH_LOCK:
         cached = _SIMHASH_CACHE.get(key)
         if cached is not None:
             return cached
         t = load_tables(spark, sf_dir)
         hs = D.simhash(t.documents).persist()
-        _SIMHASH_CACHE.clear()
-        _SIMHASH_CACHE[key] = hs
-        return hs
+        return _memo_swap(_SIMHASH_CACHE, key, hs)
 
 
 def doc_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,9 +654,7 @@ def doc_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             return cached
         t = load_tables(spark, sf_dir)
         pairs = D.minhash_lsh_pairs(t.documents, threshold=0.5).persist()
-        _PAIRS_CACHE.clear()
-        _PAIRS_CACHE[key] = pairs
-        return pairs
+        return _memo_swap(_PAIRS_CACHE, key, pairs)
 
 
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -658,9 +673,7 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.col("cluster").cast("bigint").alias("cluster"))
             .persist()
         )
-        _CLUSTERS_CACHE.clear()
-        _CLUSTERS_CACHE[key] = clusters
-        return clusters
+        return _memo_swap(_CLUSTERS_CACHE, key, clusters)
 
 
 @register(

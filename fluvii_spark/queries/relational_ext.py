@@ -317,8 +317,9 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessioned AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_no
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_no
       FROM ordered
     )
     SELECT user_id, session_no,
@@ -357,12 +358,16 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q56_collect_sorted",
     """
     SELECT n_nationkey,
-           array_agg(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments
+           array_to_string(
+             array_agg(DISTINCT c_mktsegment ORDER BY c_mktsegment), ','
+           ) AS segments
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_nationkey
     """,
     "ordered distinct collect (sort_array(collect_set) ≡ array_agg DISTINCT "
-    "ORDER BY): deterministic array-valued aggregation",
+    "ORDER BY), serialized to a joined string so the output is hashable by "
+    "a pandas-based comparator (raw array cells crash pandas factorize — "
+    "CORRECTNESS_r02 q56 err)",
     ("relational", "agg", "array"),
 )
 def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,5 +377,9 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
             t.nation, F.col("c_nationkey") == F.col("n_nationkey")
         )
         .groupBy("n_nationkey")
-        .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segments"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("c_mktsegment")), ","
+            ).alias("segments")
+        )
     )

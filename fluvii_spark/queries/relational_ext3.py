@@ -444,14 +444,15 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
          c AS (SELECT event_type, bucket, COUNT(*) AS n
                FROM b GROUP BY event_type, bucket)
     SELECT event_type,
-           list(bucket ORDER BY bucket) AS buckets,
-           list(n ORDER BY bucket) AS counts
+           array_to_string(list(bucket ORDER BY bucket), ',') AS buckets,
+           array_to_string(list(n ORDER BY bucket), ',') AS counts
     FROM c GROUP BY event_type
     """,
     "map-typed histogram per event_type: counts assembled into a "
-    "map<bucket,count> via map_from_entries, surfaced as parallel sorted "
-    "key/value arrays (map columns don't hash-compare across engines; "
-    "their entry arrays do)",
+    "map<bucket,count> via map_from_entries, surfaced as comma-joined sorted "
+    "key/value strings (map AND raw-array columns don't hash-compare across "
+    "engines — a pandas-based comparator can't factorize ndarray cells; "
+    "serialized entry strings do)",
     ("relational", "map"),
 )
 def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,8 +472,12 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "event_type",
-        F.map_keys("m").alias("buckets"),
-        F.map_values("m").alias("counts"),
+        F.array_join(F.map_keys("m").cast("array<string>"), ",").alias(
+            "buckets"
+        ),
+        F.array_join(F.map_values("m").cast("array<string>"), ",").alias(
+            "counts"
+        ),
     )
 
 
@@ -692,7 +697,7 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, split,
            COUNT(*) AS n_docs,
            COUNT(DISTINCT bin) AS n_bins,
-           SUM(n_toks) AS total_toks
+           CAST(SUM(n_toks) AS BIGINT) AS total_toks
     FROM rec GROUP BY lang, split
     """,
     "the training-data pipeline END-TO-END in one plan: quality gate "
@@ -880,7 +885,8 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k
                FROM events)
-    SELECT k % 10 AS k_mod, COUNT(*) AS n, SUM(k) AS k_sum
+    SELECT k % 10 AS k_mod, COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS k_sum
     FROM v GROUP BY k % 10
     """,
     "schema-on-read semi-structured path: props parsed to VARIANT "
@@ -972,7 +978,7 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o_custkey IS NULL THEN 'customer_only'
                 ELSE 'both' END AS side,
            COUNT(*) AS n,
-           COALESCE(SUM(n_orders), 0) AS total_orders
+           CAST(COALESCE(SUM(n_orders), 0) AS BIGINT) AS total_orders
     FROM j GROUP BY 1
     """,
     "FULL OUTER join (the one join type q06-q12 didn't cover): a customer "

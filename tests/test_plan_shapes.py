@@ -214,6 +214,24 @@ def test_embedding_dedup_auto_routes_and_bucketed_is_subset(spark, sf_dir):
     assert len(bucketed) >= 0.5 * len(exact), (len(bucketed), len(exact))
 
 
+def test_embedding_dedup_routing_submits_no_job(spark, sf_dir):
+    """exact=None routing must be metadata-only (plan stats), never an eager
+    df.count() — building the pairs plan submits ZERO Spark jobs."""
+    from fluvii_spark.io.readers import load_table
+    from fluvii_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sc = spark.sparkContext
+    sc.setJobGroup("routing-test", "metadata-only routing guard")
+    try:
+        df = embedding_near_dup_pairs(emb, threshold=0.4)  # lazy plan only
+        assert df is not None
+        jobs = sc.statusTracker().getJobIdsForGroup("routing-test")
+        assert list(jobs) == [], f"routing submitted jobs: {list(jobs)}"
+    finally:
+        sc.setJobGroup("", "")
+
+
 def test_importance_sample_single_exchange(explain):
     """q109 is one scan + partial/final agg — exactly one shuffle, no joins."""
     p = explain("q109_importance_sample")
