@@ -63,8 +63,10 @@ _DRIVER_PROVEN = {
     *(f"q{i}" for i in range(100, 121)),    # q100..q120 (r2)
 }
 
-# The 23 queries still awaiting a green driver row, in the order we want the
-# driver to attempt them (numeric, so q80..q99 precede nothing important).
+# The 23 r1/r2 queries still awaiting a green driver row, in the order we
+# want the driver to attempt them (numeric, so q80..q99 precede nothing
+# important). Round-3 additions (q121+) are likewise unproven and sort right
+# after these by name — 23 + 24 = 47 fits the driver's ~50-row cap.
 _UNPROVEN_ORDER = ["q56", "q57", "q58", *(f"q{i}" for i in range(80, 100))]
 
 
@@ -77,11 +79,13 @@ def registry() -> dict[str, Query]:
     from fluvii_spark.queries import (  # noqa: F401
         llm,
         llm2,
+        llm3,
         relational,
         relational_ext,
         relational_ext2,
         relational_ext3,
         relational_ext4,
+        relational_ext5,
     )
 
     rank = {p: i for i, p in enumerate(_UNPROVEN_ORDER)}
