@@ -1,0 +1,120 @@
+"""Distributed exact order statistics.
+
+Spark's windows need ``partitionBy`` to parallelize; a global
+``row_number()`` funnels the whole relation through ONE task, and the
+built-in exact ``percentile`` aggregate collects every value into one
+aggregation buffer — both are the single-node tails that break at 100 TB.
+
+The primitives here keep order statistics exact while staying distributed:
+
+- :func:`distributed_row_number` — global rank = range-repartition (each
+  partition holds a contiguous key range, in partition-id order) + per-
+  partition ``row_number`` (parallel) + broadcast prefix-count offsets.
+  The final rank values are INVARIANT to where the sampled range
+  boundaries land (they only re-slice a fixed total order), so results
+  are deterministic across cluster sizes and reruns.
+- :func:`exact_quantiles` — exact interpolated quantiles from two order
+  statistics per probe point: rank the column once, equi-join the 2·|ps|
+  needed ranks (broadcast), interpolate. One range shuffle + one window
+  per partition instead of an all-values-in-one-buffer aggregate.
+
+No reference counterpart (fluvii has no relational layer — SURVEY.md
+§2.2); this is engine infrastructure for q124/q125 and any exact
+median/decile at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    num_partitions: int = 32,
+    out_col: str = "rnk",
+) -> DataFrame:
+    """Global 1-based row_number over ``order_cols`` without a single-task
+    window.
+
+    Ties across ``order_cols`` get an arbitrary-but-stable order within
+    their equal-key group (range partitioning keeps equal keys in one
+    partition); pass a unique tie-break column for a fully deterministic
+    assignment (q125 does), or rely on rank→value lookups being
+    tie-invariant (q124 does: the value AT a rank is unique even when the
+    rank WITHIN a tie group is not).
+    """
+    parts = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    parts = parts.withColumn("_lrn", F.row_number().over(w_local))
+    counts = parts.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    # the offsets window runs over <= num_partitions rows — driver-free tiny
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        parts.join(F.broadcast(offs), "_pid")
+        .withColumn(out_col, F.col("_lrn") + F.col("_off"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    ps: list[float],
+    round_dp: int = 6,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """1-row DataFrame with column ``q``: the exact interpolated quantiles
+    of ``col`` at probe points ``ps``, ascending, rounded to ``round_dp``.
+
+    Interpolation follows percentile_cont / Spark ``percentile``:
+    pos = 1 + (n-1)p, value = x_lo + frac·(x_hi − x_lo) over the two
+    adjacent order statistics. Only 2·|ps| ranked rows are ever joined
+    out (broadcast probe table), so the expensive pass is the ranking
+    shuffle — parallel — not a one-buffer percentile aggregate.
+    """
+    ranked = distributed_row_number(
+        df.select(F.col(col).alias("x")), ["x"], num_partitions
+    )
+    n = df.agg(F.count("*").alias("n"))
+    ps_arr = F.array([F.lit(float(p)) for p in ps])
+    t = n.select(F.explode(ps_arr).alias("p"), "n").select(
+        "p", (F.lit(1) + (F.col("n") - 1) * F.col("p")).alias("pos")
+    )
+    t = t.select(
+        "p",
+        F.floor("pos").cast("bigint").alias("lo"),
+        F.ceil("pos").cast("bigint").alias("hi"),
+        (F.col("pos") - F.floor("pos")).alias("frac"),
+    )
+    probes = t.select(
+        "p",
+        "frac",
+        F.explode(
+            F.array(
+                F.struct(F.col("lo").alias("r"), F.lit("lo").alias("w")),
+                F.struct(F.col("hi").alias("r"), F.lit("hi").alias("w")),
+            )
+        ).alias("pr"),
+    ).select("p", "frac", F.col("pr.r").alias("rnk"), F.col("pr.w").alias("w"))
+    hits = (
+        ranked.join(F.broadcast(probes), "rnk")
+        .groupBy("p", "frac")
+        .agg(
+            F.max(F.when(F.col("w") == "lo", F.col("x"))).alias("x_lo"),
+            F.max(F.when(F.col("w") == "hi", F.col("x"))).alias("x_hi"),
+        )
+    )
+    b = hits.select(
+        F.round(
+            F.col("x_lo") + F.col("frac") * (F.col("x_hi") - F.col("x_lo")),
+            round_dp,
+        ).alias("b")
+    )
+    return b.agg(F.sort_array(F.collect_list("b")).alias("q"))

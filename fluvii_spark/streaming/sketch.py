@@ -81,3 +81,88 @@ def streaming_kmv_distinct(
         output_schema=f"{key_col} {key_type}, n_kept long, estimate double",
         order_by=order_by,
     )
+
+
+MG_COUNTERS = 8
+
+
+def misra_gries_fold(st: dict[str, int], item: str, m: int) -> dict[str, int]:
+    """One Misra-Gries step: O(m) state, deterministic.
+
+    Counter present → increment; room free → admit at 1; full → decrement
+    every counter, dropping zeros (the classic frequency-bound step). After
+    n arrivals every item with true count > n/m is guaranteed present, and
+    est_count ∈ [true - n/m, true]. Shared by the streaming operator and
+    the batch/Python parity check in tests so both run literally this code.
+    """
+    if item in st:
+        st[item] += 1
+    elif len(st) < m:
+        st[item] = 1
+    else:
+        for t in list(st):
+            st[t] -= 1
+            if st[t] == 0:
+                del st[t]
+    return st
+
+
+def streaming_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    m: int = MG_COUNTERS,
+    order_by: list[str] | None = None,
+    backend: str = "v1",
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters per key: O(m) state forever.
+
+    The streaming twin of the batch q142 heavy-hitter support query — where
+    the batch side can afford an exact token groupBy, an unbounded stream
+    cannot keep a counter per distinct item; Misra-Gries bounds state at m
+    counters per key while guaranteeing every item above n/m frequency is
+    tracked. Emits ``(key, item, est_count, n_seen, n_tracked)`` per arrival
+    (est_count = the arriving item's current counter, 0 if it was absorbed
+    by a decrement round).
+
+    Unlike KMV (insertion commutes) the MG fold is order-sensitive, so pass
+    ``order_by`` for a deterministic trajectory; state commits atomically
+    with each micro-batch so restart/replay re-applies to the pre-batch
+    state (no double counting) — the reference's EOS commit contract
+    (fluvii/apps/transactions/transaction.py) mapped onto the state store.
+    """
+
+    def app(txn) -> None:
+        env = txn.read_table_entry() or {"n": 0, "c": {}}
+        item = str(txn.value()[item_col])
+        env["c"] = misra_gries_fold(env["c"], item, m)
+        env["n"] += 1
+        txn.update_table_entry(env)
+        txn.produce(
+            {
+                key_col: txn.key,
+                item_col: item,
+                "est_count": env["c"].get(item, 0),
+                "n_seen": env["n"],
+                "n_tracked": len(env["c"]),
+            }
+        )
+
+    if backend == "v2":
+        from fluvii_spark.streaming.state_v2 import streaming_keyed_fold_v2
+
+        fold = streaming_keyed_fold_v2
+    else:
+        fold = streaming_keyed_fold
+    key_type = df.schema[key_col].dataType.simpleString()
+    cols = [key_col, item_col, *(c for c in (order_by or []) if c not in (key_col, item_col))]
+    return fold(
+        df.select(*cols),
+        [key_col],
+        app,
+        output_schema=(
+            f"{key_col} {key_type}, {item_col} string, est_count long, "
+            "n_seen long, n_tracked long"
+        ),
+        order_by=order_by,
+    )

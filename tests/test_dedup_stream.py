@@ -311,3 +311,92 @@ def test_streaming_kmv_survives_restart(spark, sf_dir, tmp_path):
     batch = registry()["q102_kmv_distinct_sketch"].fn(spark, sf_dir).collect()
     for r in batch:
         assert stream_est[r["event_type"]] == r["kmv_estimate"], r
+
+
+def test_streaming_heavy_hitters_matches_python_fold(spark, sf_dir, tmp_path):
+    """The streaming Misra-Gries trajectory must be bit-identical to a
+    sequential Python replay of the SAME fold function in the same order
+    (order_by within batch, file-staging order across batches), and the
+    classic guarantee must hold: every item with true count > n/m is
+    tracked at the end."""
+    from collections import Counter, defaultdict
+
+    from fluvii_spark.streaming.sketch import (
+        misra_gries_fold,
+        streaming_heavy_hitters,
+    )
+
+    events = load_tables(spark, sf_dir).events
+    # skewed item stream: 'hot' ~1/3 of arrivals, the rest long-tail users
+    items = events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.col("user_id") % 3 == 0, F.lit("hot"))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("item"),
+    )
+    d = str(tmp_path / "ev_mg")
+    for m in range(2):  # two micro-batches split by event parity
+        items.filter(F.col("event_id") % 2 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    schema = spark.read.parquet(d).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    m_counters = 8
+    out = streaming_heavy_hitters(
+        src, "event_type", "item", m=m_counters, order_by=["ts", "event_id"]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .outputMode("append")
+        .queryName("mg_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_mg"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["event_type"], r["n_seen"]): (
+            r["item"],
+            r["est_count"],
+            r["n_tracked"],
+        )
+        for r in spark.table("mg_stream").collect()
+    }
+
+    # sequential Python replay: batch 0 rows then batch 1 rows, each sorted
+    # per key by (ts, event_id) — the operator's declared order
+    state: dict = defaultdict(lambda: {"n": 0, "c": {}})
+    want: dict = {}
+    rows = sorted(
+        items.withColumn("b", F.col("event_id") % 2).collect(),
+        key=lambda r: (r["b"], r["ts"], r["event_id"]),
+    )
+    for r in rows:
+        env = state[r["event_type"]]
+        env["c"] = misra_gries_fold(env["c"], r["item"], m_counters)
+        env["n"] += 1
+        want[(r["event_type"], env["n"])] = (
+            r["item"],
+            env["c"].get(r["item"], 0),
+            len(env["c"]),
+        )
+    assert got == want
+    assert len(got) == items.count()
+
+    # frequency guarantee on the final sketch: count > n/m => tracked
+    truth = Counter(
+        (r["event_type"], r["item"]) for r in rows
+    )
+    for (etype, item), cnt in truth.items():
+        if cnt > state[etype]["n"] / m_counters:
+            assert item in state[etype]["c"], (etype, item, cnt)
+    assert any(
+        "hot" in st["c"] for st in state.values()
+    ), "the planted heavy hitter must be tracked"

@@ -545,3 +545,51 @@ def test_prefix_filter_shingle_mode_complete(spark, sf_dir):
     )
     for k, v in got.items():
         assert abs(v - expect[k]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# distributed order statistics (operators/ranking.py)
+# ---------------------------------------------------------------------------
+
+
+def test_distributed_row_number_matches_global_window(spark, sf_dir):
+    """Global rank from range-repartition + local window + offsets must be
+    IDENTICAL to a single-task global row_number — including with empty
+    range partitions (num_partitions >> rows/key-spread)."""
+    from pyspark.sql import Window
+
+    from fluvii_spark.operators.ranking import distributed_row_number
+
+    orders = load_tables(spark, sf_dir).orders.select(
+        "o_orderkey", "o_totalprice"
+    )
+    got = {
+        r["o_orderkey"]: r["rnk"]
+        for r in distributed_row_number(
+            orders, ["o_totalprice", "o_orderkey"], num_partitions=37
+        ).collect()
+    }
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = {
+        r["o_orderkey"]: r["rnk"]
+        for r in orders.withColumn("rnk", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_exact_quantiles_match_builtin_percentile(spark, sf_dir):
+    """The rank-probe interpolation must agree with Spark's exact
+    percentile aggregate at the rounding the oracle uses."""
+    from fluvii_spark.operators.ranking import exact_quantiles
+
+    li = load_tables(spark, sf_dir).lineitem
+    ps = [0.01, 0.125, 0.5, 0.875, 0.99]
+    got = exact_quantiles(li, "l_extendedprice", ps).collect()[0]["q"]
+    pts = ", ".join(f"{p}D" for p in ps)
+    want = li.agg(
+        F.expr(
+            f"transform(percentile(l_extendedprice, array({pts})),"
+            " b -> round(b, 6))"
+        ).alias("q")
+    ).collect()[0]["q"]
+    assert list(got) == sorted(want)
