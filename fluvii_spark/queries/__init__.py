@@ -66,7 +66,7 @@ _DRIVER_PROVEN = {
 # The 23 r1/r2 queries still awaiting a green driver row, in the order we
 # want the driver to attempt them (numeric, so q80..q99 precede nothing
 # important). Round-3 additions (q121+) are likewise unproven and sort right
-# after these by name — 23 + 24 = 47 fits the driver's ~50-row cap.
+# after these by name — 23 + 26 = 49 fits the driver's ~50-row cap.
 _UNPROVEN_ORDER = ["q56", "q57", "q58", *(f"q{i}" for i in range(80, 100))]
 
 

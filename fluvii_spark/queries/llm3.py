@@ -584,3 +584,100 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("lift"), "tok_a", "tok_b").limit(_LIFT_TOPK)
+
+
+_KNN_K = 5
+_PROBE_MOD = 25
+
+
+@register(
+    "q146_knn_classify",
+    f"""
+    WITH probes AS (
+      SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+      FROM embeddings WHERE vec_id % {_PROBE_MOD} = 0
+    ),
+    scored AS (
+      SELECT p.qid, p.qlabel, e.vec_id, e.label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(p.qvec AS DOUBLE[])), 6)
+               AS cos_r
+      FROM embeddings e, probes p
+      WHERE e.vec_id <> p.qid
+    ),
+    nn AS (
+      SELECT qid, qlabel, label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos_r DESC, vec_id) AS rn
+      FROM scored
+    ),
+    votes AS (
+      SELECT qid, qlabel, label, COUNT(*) AS c
+      FROM nn WHERE rn <= {_KNN_K} GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT qid, qlabel, label AS pred_label,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, label)
+               AS pr
+      FROM votes
+    )
+    SELECT qlabel AS label, COUNT(*) AS n_probes,
+           CAST(SUM(CASE WHEN pred_label = qlabel THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN pred_label = qlabel THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS accuracy
+    FROM pred WHERE pr = 1 GROUP BY qlabel
+    """,
+    f"k-NN label-classifier evaluation (k={_KNN_K}): every {_PROBE_MOD}th "
+    "vector is a held-out probe classified by majority label of its "
+    "cosine neighbors in ONE corpus scan (broadcast probe set + "
+    "per-probe top-k window — q74's shape, now with a voting head). "
+    "Cosines round to 6dp BEFORE ranking so the neighbor sets are "
+    "engine-deterministic; the embedding-quality smoke test every "
+    "vector pipeline wants",
+    ("llm", "similarity"),
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.similarity import cosine_sql
+
+    t = load_tables(spark, sf_dir)
+    e = t.embeddings
+    probes = e.filter(F.col("vec_id") % _PROBE_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(F.expr(cosine_sql("embedding", "qvec")), 6).alias(
+                "cos_r"
+            ),
+        )
+    )
+    w_nn = Window.partitionBy("qid").orderBy(F.desc("cos_r"), "vec_id")
+    nn = scored.withColumn("rn", F.row_number().over(w_nn)).filter(
+        F.col("rn") <= _KNN_K
+    )
+    votes = nn.groupBy("qid", "qlabel", "label").agg(
+        F.count("*").alias("c")
+    )
+    w_pred = Window.partitionBy("qid").orderBy(F.desc("c"), "label")
+    pred = (
+        votes.withColumn("pr", F.row_number().over(w_pred))
+        .filter(F.col("pr") == 1)
+        .select("qid", "qlabel", F.col("label").alias("pred_label"))
+    )
+    correct = F.when(F.col("pred_label") == F.col("qlabel"), 1).otherwise(0)
+    return pred.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count("*").alias("n_probes"),
+        F.sum(correct).cast("bigint").alias("n_correct"),
+        F.round(F.sum(correct).cast("double") / F.count("*"), 6).alias(
+            "accuracy"
+        ),
+    )

@@ -741,3 +741,77 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.groupBy("user_id").agg(
         F.round(F.sum("contrib").cast("double"), 6).alias("score")
     )
+
+
+@register(
+    "q145_interval_merge",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id, ts AS s,
+             ts + INTERVAL 30 MINUTE AS e
+      FROM events
+    ),
+    o AS (
+      SELECT user_id, event_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN pmax IS NULL OR s >= pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS isl_id
+      FROM o
+    ),
+    g AS (
+      SELECT user_id, isl_id, MIN(s) AS s0, MAX(e) AS e1
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_merged,
+           CAST(SUM(date_diff('microsecond', s0, e1)) AS BIGINT)
+             AS covered_us
+    FROM g GROUP BY user_id
+    """,
+    "interval coalescing (union length): merge each user's overlapping "
+    "half-open 30-min activity intervals into maximal islands — new island "
+    "iff the start reaches the running max end (strict overlap merges, "
+    "touching does not) — then count islands and sum exact integer-µs "
+    "covered time. Two key-partitioned window passes + one agg; the "
+    "O(n²) interval self-join never happens",
+    ("relational", "timeseries", "window"),
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    iv = t.events.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        F.expr("ts + INTERVAL 30 MINUTE").alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = iv.withColumn("pmax", F.max("e").over(w_prev))
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    new_isl = F.when(
+        F.col("pmax").isNull() | (F.col("s") >= F.col("pmax")), 1
+    ).otherwise(0)
+    isl = o.withColumn("isl_id", F.sum(new_isl).over(w_cum))
+    g = isl.groupBy("user_id", "isl_id").agg(
+        F.min("s").alias("s0"), F.max("e").alias("e1")
+    )
+    return g.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_merged"),
+        F.sum(F.expr("timestampdiff(MICROSECOND, s0, e1)"))
+        .cast("bigint")
+        .alias("covered_us"),
+    )
