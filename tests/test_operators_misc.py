@@ -593,3 +593,58 @@ def test_exact_quantiles_match_builtin_percentile(spark, sf_dir):
         ).alias("q")
     ).collect()[0]["q"]
     assert list(got) == sorted(want)
+
+
+def test_skyline_prune_matches_bruteforce(spark):
+    """The two-range-frame dominance filter (q121) must equal the O(n²)
+    NOT-EXISTS definition on random data — including exactly duplicated
+    points (neither copy dominates the other, both survive)."""
+    import random
+
+    from fluvii_spark.queries.relational_ext5 import _skyline_prune
+
+    random.seed(7)
+    rows = [
+        (i, random.randint(1, 30), round(random.uniform(1.0, 100.0), 2))
+        for i in range(300)
+    ]
+    rows += [(1000 + i, s, p) for i, (_, s, p) in enumerate(rows[:20])]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_size int, p_retailprice double"
+    )
+    local = _skyline_prune(
+        df.withColumn("salt", F.pmod(F.xxhash64("p_partkey"), F.lit(16))),
+        ["salt"],
+    ).drop("salt")
+    got = {r["p_partkey"] for r in _skyline_prune(local, []).collect()}
+
+    def dominated(p):
+        return any(
+            q[1] >= p[1]
+            and q[2] <= p[2]
+            and (q[1] > p[1] or q[2] < p[2])
+            for q in rows
+        )
+
+    want = {p[0] for p in rows if not dominated(p)}
+    assert got == want
+    assert got, "random data must have a non-empty frontier"
+    # the duplicated-frontier case: if a frontier point was duplicated,
+    # both ids survive
+    for i, (orig_id, s, p) in enumerate(rows[:20]):
+        if orig_id in want:
+            assert 1000 + i in want
+
+
+def test_exact_quantiles_edge_probes(spark):
+    """p=0 and p=1 hit the extreme order statistics; tiny relations force
+    lo==hi (integer pos) and empty range partitions."""
+    from fluvii_spark.operators.ranking import exact_quantiles
+
+    df = spark.createDataFrame([(float(v),) for v in [5, 1, 9, 3]], "x double")
+    got = exact_quantiles(df, "x", [0.0, 0.5, 1.0], num_partitions=8)
+    assert list(got.collect()[0]["q"]) == [1.0, 4.0, 9.0]
+
+    one = spark.createDataFrame([(42.0,)], "x double")
+    got1 = exact_quantiles(one, "x", [0.0, 0.25, 1.0])
+    assert list(got1.collect()[0]["q"]) == [42.0, 42.0, 42.0]

@@ -81,6 +81,12 @@ _BNLJ_ALLOWED = {
     "q107_semantic_rep_select",  # 8×64 hyperplane scaffold crossJoin (as q39)
     "q116_ann_multiprobe",  # 1-row query vector + ≤4-row probe set broadcasts
     "q117_bm25_search",  # 1-row n_docs/avgdl aggregates broadcast onto tf
+    "q124_equi_depth_histogram",  # 1-row boundary array broadcast onto scan
+    "q129_chi2_contingency",  # 1-row grand-total broadcast onto 10 cells
+    "q142_heavy_hitters",  # 1-row corpus-total broadcast onto token counts
+    "q143_token_lift_pairs",  # 1-row n_docs broadcast onto bounded pairs
+    "q144_decayed_engagement",  # 1-row max-ts aggregate broadcast onto scan
+    "q146_knn_classify",  # bounded probe-vector set broadcast (q74's shape)
 }
 
 
