@@ -638,14 +638,22 @@ _PROBE_MOD = 25
     ("llm", "similarity"),
 )
 def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fluvii_spark.operators.similarity import cosine_sql
+    from fluvii_spark.operators.similarity import dot_sql, norm_sql
 
     t = load_tables(spark, sf_dir)
-    e = t.embeddings
-    probes = e.filter(F.col("vec_id") % _PROBE_MOD == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qvec"),
-        F.col("label").alias("qlabel"),
+    # hoist both norms out of the probe x candidate pair expression: each
+    # vector's norm is computed once per row / once per probe, not once per
+    # pair — same association as cosine_sql (dot / (norm_a * norm_b)), so
+    # values are bit-identical, at 1/(|probes|) the sqrt-fold work
+    e = t.embeddings.withColumn("n_e", F.expr(norm_sql("embedding")))
+    probes = (
+        e.filter(F.col("vec_id") % _PROBE_MOD == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            F.col("label").alias("qlabel"),
+            F.col("n_e").alias("n_q"),
+        )
     )
     scored = (
         e.crossJoin(F.broadcast(probes))
@@ -655,9 +663,11 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qlabel",
             "vec_id",
             "label",
-            F.round(F.expr(cosine_sql("embedding", "qvec")), 6).alias(
-                "cos_r"
-            ),
+            F.round(
+                F.expr(dot_sql("embedding", "qvec"))
+                / (F.col("n_e") * F.col("n_q")),
+                6,
+            ).alias("cos_r"),
         )
     )
     w_nn = Window.partitionBy("qid").orderBy(F.desc("cos_r"), "vec_id")
