@@ -259,3 +259,99 @@ def test_bucket_representatives_under_replication(spark, sf_dir):
     assert agg["mn"] >= K
     assert agg["sm"] <= K * n
     assert wall < 300, f"bucket_representatives blew up: {wall:.0f}s"
+
+
+def test_skyline_local_prune_contracts(spark, sf_dir):
+    """The salted local skyline prune must contract a replicated part table
+    to a survivor set orders of magnitude smaller than the input before the
+    global pass — the property that keeps the second (unsalted) window
+    cheap at any scale."""
+    from fluvii_spark.queries.relational_ext5 import _skyline_prune
+
+    p = load_tables(spark, sf_dir).part.select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    n = p.count()
+    reps = [
+        p.select(
+            (F.col("p_partkey") + i * n * 10).alias("p_partkey"),
+            "p_size",
+            "p_retailprice",
+        )
+        for i in range(K)
+    ]
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    local = _skyline_prune(
+        big.withColumn(
+            "salt", F.pmod(F.xxhash64("p_partkey"), F.lit(16))
+        ),
+        ["salt"],
+    ).drop("salt")
+    n_local = local.count()
+    # duplicated frontier points all survive (K copies each), but the
+    # survivor set must still be a tiny fraction of the replicated input
+    assert n_local <= n, f"local prune kept {n_local} of {n * K}"
+    frontier = _skyline_prune(local, []).count()
+    assert 0 < frontier <= n_local
+
+
+def test_edit_distance_banding_bounds_candidates(spark, sf_dir):
+    """q134's length-band equi-join must generate candidates linear in the
+    replication factor (each replica only pairs within its lang/band
+    neighborhood), never the quadratic all-pairs of the oracle."""
+    t = load_tables(spark, sf_dir).documents
+    n = t.count()
+    reps = [
+        t.select(
+            (F.col("doc_id") + i * n * 10).alias("doc_id"),
+            "lang",
+            "n_chars",
+            "text",
+        )
+        for i in range(K)
+    ]
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+
+    band = (F.col("n_chars") / 32).cast("bigint")
+    docs = big.select(
+        "doc_id", "lang", "n_chars",
+        F.substring("text", 1, 64).alias("prefix"),
+    )
+    left = docs.withColumn(
+        "bkey", F.explode(F.array(band - 1, band, band + 1))
+    )
+    right = (
+        docs.withColumn("bkey", band)
+        .withColumnRenamed("doc_id", "doc_id_b")
+        .withColumnRenamed("n_chars", "n_chars_b")
+        .withColumnRenamed("prefix", "prefix_b")
+    )
+    cands = (
+        left.join(right, ["lang", "bkey"])
+        .filter(
+            (F.col("doc_id") < F.col("doc_id_b"))
+            & (F.abs(F.col("n_chars") - F.col("n_chars_b")) <= 32)
+        )
+        .count()
+    )
+    # all-pairs would be ~(K*n)^2/2 per lang; banding must stay well under
+    total = K * n
+    assert cands < total * total / 20, (cands, total)
+    t0 = time.time()
+    pairs = (
+        left.join(right, ["lang", "bkey"])
+        .filter(
+            (F.col("doc_id") < F.col("doc_id_b"))
+            & (F.abs(F.col("n_chars") - F.col("n_chars_b")) <= 32)
+            & (F.levenshtein("prefix", "prefix_b", 8) >= 0)
+        )
+        .count()
+    )
+    dt = time.time() - t0
+    # every replica pair of the same source doc is distance 0 → present
+    assert pairs >= K * (K - 1) // 2 * n // 2
+    assert dt < 120, f"banded edit-distance took {dt:.0f}s at 10x"
