@@ -45,11 +45,21 @@ def distributed_row_number(
     tie-invariant (q124 does: the value AT a rank is unique even when the
     rank WITHIN a tie group is not).
     """
-    parts = df.repartitionByRange(num_partitions, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # sortWithinPartitions + monotonically_increasing_id is zipWithIndex in
+    # DataFrame-land: the id packs (partitionId << 33) | rowIndexInPartition,
+    # so local rank AND partition id come out of the ALREADY range-shuffled,
+    # locally-sorted data with zero further shuffles — a window partitioned
+    # by spark_partition_id would re-exchange the whole relation by
+    # hash(_pid) just to regroup rows that are already colocated
+    parts = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
+        .withColumn(
+            "_lrn", (F.col("_mid") % F.lit(1 << 33) + F.lit(1)).cast("long")
+        )
     )
-    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
-    parts = parts.withColumn("_lrn", F.row_number().over(w_local))
     counts = parts.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     # the offsets window runs over <= num_partitions rows — driver-free tiny
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -59,7 +69,7 @@ def distributed_row_number(
     return (
         parts.join(F.broadcast(offs), "_pid")
         .withColumn(out_col, F.col("_lrn") + F.col("_off"))
-        .drop("_pid", "_lrn", "_off")
+        .drop("_mid", "_pid", "_lrn", "_off")
     )
 
 
