@@ -400,3 +400,66 @@ def test_streaming_heavy_hitters_matches_python_fold(spark, sf_dir, tmp_path):
     assert any(
         "hot" in st["c"] for st in state.values()
     ), "the planted heavy hitter must be tracked"
+
+
+def test_streaming_heavy_hitters_v2_backend(spark, sf_dir, tmp_path):
+    """The same MG fold on the transformWithStateInPandas backend must
+    produce the same final sketch state (per-key trajectory end) as the
+    Python replay — backends are interchangeable per the state-v2 contract."""
+    import pytest as _pytest
+    from collections import defaultdict
+
+    from fluvii_spark.streaming.sketch import (
+        misra_gries_fold,
+        streaming_heavy_hitters,
+    )
+
+    events = load_tables(spark, sf_dir).events.limit(2000)
+    items = events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("user_id") % 7).cast("string").alias("item"),
+    )
+    d = str(tmp_path / "ev_mg2")
+    items.coalesce(1).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    src = spark.readStream.schema(schema).parquet(d)
+    try:
+        out = streaming_heavy_hitters(
+            src,
+            "event_type",
+            "item",
+            m=4,
+            order_by=["ts", "event_id"],
+            backend="v2",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .outputMode("append")
+            .queryName("mg_v2")
+            .option("checkpointLocation", str(tmp_path / "ck_mg2"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    except Exception as e:  # pragma: no cover - env-gated backend
+        _pytest.skip(f"v2 state backend unavailable here: {e}")
+    rows = spark.table("mg_v2").collect()
+    # final row per key (max n_seen) must match the python fold's end state
+    state: dict = defaultdict(lambda: {"n": 0, "c": {}})
+    for r in sorted(
+        items.collect(), key=lambda r: (r["ts"], r["event_id"])
+    ):
+        env = state[r["event_type"]]
+        env["c"] = misra_gries_fold(env["c"], r["item"], 4)
+        env["n"] += 1
+    finals = {}
+    for r in rows:
+        k = r["event_type"]
+        if k not in finals or r["n_seen"] > finals[k]["n_seen"]:
+            finals[k] = r
+    assert set(finals) == set(state)
+    for k, r in finals.items():
+        assert r["n_seen"] == state[k]["n"]
+        assert r["n_tracked"] == len(state[k]["c"])
