@@ -60,6 +60,14 @@ def distributed_row_number(
             "_lrn", (F.col("_mid") % F.lit(1 << 33) + F.lit(1)).cast("long")
         )
     )
+    # the counts branch and the join branch must see the SAME partitioning:
+    # column pruning makes the two exchange subtrees non-identical (no
+    # ReusedExchange), and RangePartitioner's sampling depends on upstream
+    # row order, which is not deterministic below a shuffle — two
+    # independent executions could pick different boundaries, silently
+    # corrupting rank = local + offset. localCheckpoint materializes the
+    # shuffled+sorted partitions once; both branches read the same data.
+    parts = parts.localCheckpoint(eager=False)
     counts = parts.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     # the offsets window runs over <= num_partitions rows — driver-free tiny
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -89,10 +97,11 @@ def exact_quantiles(
     out (broadcast probe table), so the expensive pass is the ranking
     shuffle — parallel — not a one-buffer percentile aggregate.
     """
-    ranked = distributed_row_number(
-        df.select(F.col(col).alias("x")), ["x"], num_partitions
-    )
-    n = df.agg(F.count("*").alias("n"))
+    # percentile_cont / Spark percentile ignore NULLs; rank and count only
+    # the non-null values or every quantile shifts on nullable columns
+    vals = df.select(F.col(col).alias("x")).filter(F.col("x").isNotNull())
+    ranked = distributed_row_number(vals, ["x"], num_partitions)
+    n = vals.agg(F.count("*").alias("n"))
     ps_arr = F.array([F.lit(float(p)) for p in ps])
     t = n.select(F.explode(ps_arr).alias("p"), "n").select(
         "p", (F.lit(1) + (F.col("n") - 1) * F.col("p")).alias("pos")

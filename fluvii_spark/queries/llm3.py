@@ -440,12 +440,14 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    # key the shingle op on `source` directly: q141 never needs doc_id, so
+    # the (source, shingle) multiset falls out of one scan with ZERO joins
+    # (a doc_id-keyed shingle frame joined back to a broadcast dim would
+    # cliff at billions of docs)
     sh = D.word_shingles(
-        t.documents, id_col="doc_id", text_col="text", n=3, distinct=False
+        t.documents, id_col="source", text_col="text", n=3, distinct=False
     )
-    src = t.documents.select("doc_id", "source")
-    joined = sh.join(F.broadcast(src), "doc_id")
-    return joined.groupBy("source").agg(
+    return sh.groupBy("source").agg(
         F.count("*").alias("n_shingles"),
         F.count_distinct("shingle").cast("bigint").alias("n_distinct"),
         F.round(

@@ -254,12 +254,12 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
       SELECT COUNT(*) AS n, SUM(rev) AS tot,
-             SUM(CAST(rnk AS DECIMAL(8,0)) * rev) AS s
+             SUM(CAST(rnk AS DECIMAL(12,0)) * rev) AS s
       FROM rk
     )
     SELECT CAST(n AS BIGINT) AS n_customers,
            CAST(tot AS DOUBLE) AS total_revenue,
-           ROUND(CAST(2*s - (CAST(n AS DECIMAL(8,0)) + 1) * tot AS DOUBLE)
+           ROUND(CAST(2*s - (CAST(n AS DECIMAL(12,0)) + 1) * tot AS DOUBLE)
                  / (n * CAST(tot AS DOUBLE)), 6) AS gini
     FROM agg
     """,
@@ -288,14 +288,14 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.agg(
         F.count("*").alias("n"),
         F.sum("rev").alias("tot"),
-        F.expr("SUM(CAST(rnk AS DECIMAL(8,0)) * rev)").alias("s"),
+        F.expr("SUM(CAST(rnk AS DECIMAL(12,0)) * rev)").alias("s"),
     )
     return agg.select(
         F.col("n").cast("bigint").alias("n_customers"),
         F.col("tot").cast("double").alias("total_revenue"),
         F.round(
             F.expr(
-                "CAST(2*s - (CAST(n AS DECIMAL(8,0)) + 1) * tot AS DOUBLE)"
+                "CAST(2*s - (CAST(n AS DECIMAL(12,0)) + 1) * tot AS DOUBLE)"
             )
             / (F.col("n") * F.col("tot").cast("double")),
             6,

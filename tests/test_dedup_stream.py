@@ -409,6 +409,14 @@ def test_streaming_heavy_hitters_v2_backend(spark, sf_dir, tmp_path):
     import pytest as _pytest
     from collections import defaultdict
 
+    # same availability gate as tests/test_state_v2.py — a REAL exception
+    # from the operator must fail the test, not masquerade as an env skip
+    _pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf; "
+        "state.py backend covers this container",
+    )
+
     from fluvii_spark.streaming.sketch import (
         misra_gries_fold,
         streaming_heavy_hitters,
@@ -425,26 +433,23 @@ def test_streaming_heavy_hitters_v2_backend(spark, sf_dir, tmp_path):
     items.coalesce(1).write.parquet(d)
     schema = spark.read.parquet(d).schema
     src = spark.readStream.schema(schema).parquet(d)
-    try:
-        out = streaming_heavy_hitters(
-            src,
-            "event_type",
-            "item",
-            m=4,
-            order_by=["ts", "event_id"],
-            backend="v2",
-        )
-        q = (
-            out.writeStream.format("memory")
-            .outputMode("append")
-            .queryName("mg_v2")
-            .option("checkpointLocation", str(tmp_path / "ck_mg2"))
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-    except Exception as e:  # pragma: no cover - env-gated backend
-        _pytest.skip(f"v2 state backend unavailable here: {e}")
+    out = streaming_heavy_hitters(
+        src,
+        "event_type",
+        "item",
+        m=4,
+        order_by=["ts", "event_id"],
+        backend="v2",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .outputMode("append")
+        .queryName("mg_v2")
+        .option("checkpointLocation", str(tmp_path / "ck_mg2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
     rows = spark.table("mg_v2").collect()
     # final row per key (max n_seen) must match the python fold's end state
     state: dict = defaultdict(lambda: {"n": 0, "c": {}})

@@ -648,3 +648,16 @@ def test_exact_quantiles_edge_probes(spark):
     one = spark.createDataFrame([(42.0,)], "x double")
     got1 = exact_quantiles(one, "x", [0.0, 0.25, 1.0])
     assert list(got1.collect()[0]["q"]) == [42.0, 42.0, 42.0]
+
+
+def test_exact_quantiles_ignore_nulls(spark):
+    """percentile_cont / Spark percentile ignore NULLs — the rank-probe
+    path must too (NULLs sort first in an ascending range partition, which
+    silently shifted every quantile before the isNotNull guard)."""
+    from fluvii_spark.operators.ranking import exact_quantiles
+
+    df = spark.createDataFrame(
+        [(None,), (1.0,), (2.0,), (3.0,)], "x double"
+    )
+    got = exact_quantiles(df, "x", [0.0, 0.5, 1.0])
+    assert list(got.collect()[0]["q"]) == [1.0, 2.0, 3.0]
