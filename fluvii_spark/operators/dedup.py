@@ -796,7 +796,11 @@ def prefix_filter_jaccard_pairs(
     toward all-pairs (measured 70 s at sf0.1) — there, use ``n=3``
     (q120's configuration) or LSH banding (:func:`minhash_lsh_pairs`).
     """
+    # elems feeds THREE branches (frequency table, per-doc ranking join,
+    # element arrays for verify); without materialization the shingle
+    # explode + distinct shuffle re-executes per branch — checkpoint once
     elems = word_shingles(df, id_col, text_col, n, distinct=True)
+    elems = elems.localCheckpoint(eager=False)
     freq = elems.groupBy("shingle").agg(F.count("*").alias("freq"))
     w_doc = Window.partitionBy(id_col).orderBy("freq", "shingle")
     w_all = Window.partitionBy(id_col)
