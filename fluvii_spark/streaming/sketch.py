@@ -107,6 +107,107 @@ def misra_gries_fold(st: dict[str, int], item: str, m: int) -> dict[str, int]:
     return st
 
 
+MRL_K = 64
+
+
+def mrl_insert(levels: list[list[float]], x: float, k: int) -> None:
+    """One MRL/KLL-style quantile-sketch insertion: O(k·log n) state.
+
+    ``levels[i]`` holds values each representing ``2^i`` originals. A level
+    reaching ``2k`` items is compacted: sort, promote every second element
+    (fixed offset 0 — DETERMINISTIC, trading KLL's randomized-offset
+    unbiasedness for the replay-stable trajectories this engine's state
+    contract wants), clear, cascade. Worst-case rank error after n inserts
+    is bounded by ``sum over compactions of 2^level ≤ n·log2(n/k)/(2k)``
+    — the classic MRL bound; k=64 keeps it ~1-2% of n at stream scale.
+    Shared by the streaming operator and the tests' Python replay so both
+    run literally this code.
+    """
+    levels[0].append(x)
+    i = 0
+    while len(levels[i]) >= 2 * k:
+        buf = sorted(levels[i])
+        levels[i] = []
+        if i + 1 == len(levels):
+            levels.append([])
+        levels[i + 1].extend(buf[0::2])
+        i += 1
+
+
+def mrl_quantile(levels: list[list[float]], q: float) -> float | None:
+    """Estimate the q-quantile: weighted rank over all levels."""
+    weighted = sorted(
+        (v, 1 << lvl) for lvl, buf in enumerate(levels) for v in buf
+    )
+    if not weighted:
+        return None
+    total = sum(w for _, w in weighted)
+    target = q * total
+    acc = 0
+    for v, w in weighted:
+        acc += w
+        if acc >= target:
+            return v
+    return weighted[-1][0]
+
+
+def streaming_quantile(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    q: float = 0.5,
+    k: int = MRL_K,
+    order_by: list[str] | None = None,
+    backend: str = "v1",
+) -> DataFrame:
+    """Streaming quantile estimate per key with bounded state — the third
+    leg of the sketch trio (KMV = distinct count, Misra-Gries = frequency,
+    MRL = quantiles). Exact streaming quantiles need O(n) state per key;
+    the MRL sketch keeps O(k·log n) with a provable rank-error bound and a
+    deterministic (fixed-offset) compaction, so a replay produces the
+    identical trajectory. Emits ``(key, n_seen, estimate, n_stored)`` per
+    arrival; the row with max n_seen per key is the current sketch state.
+    """
+
+    def app(txn) -> None:
+        env = txn.read_table_entry() or {"n": 0, "levels": [[]]}
+        x = float(txn.value()[value_col])
+        mrl_insert(env["levels"], x, k)
+        env["n"] += 1
+        txn.update_table_entry(env)
+        txn.produce(
+            {
+                key_col: txn.key,
+                "n_seen": env["n"],
+                "estimate": mrl_quantile(env["levels"], q),
+                "n_stored": sum(len(b) for b in env["levels"]),
+            }
+        )
+
+    if backend == "v2":
+        from fluvii_spark.streaming.state_v2 import streaming_keyed_fold_v2
+
+        fold = streaming_keyed_fold_v2
+    else:
+        fold = streaming_keyed_fold
+    key_type = df.schema[key_col].dataType.simpleString()
+    cols = [
+        key_col,
+        value_col,
+        *(c for c in (order_by or []) if c not in (key_col, value_col)),
+    ]
+    return fold(
+        df.select(*cols),
+        [key_col],
+        app,
+        output_schema=(
+            f"{key_col} {key_type}, n_seen long, estimate double, "
+            "n_stored long"
+        ),
+        order_by=order_by,
+    )
+
+
 def streaming_heavy_hitters(
     df: DataFrame,
     key_col: str,

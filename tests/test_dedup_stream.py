@@ -468,3 +468,89 @@ def test_streaming_heavy_hitters_v2_backend(spark, sf_dir, tmp_path):
     for k, r in finals.items():
         assert r["n_seen"] == state[k]["n"]
         assert r["n_tracked"] == len(state[k]["c"])
+
+
+def test_streaming_quantile_trajectory_and_error_bound(
+    spark, sf_dir, tmp_path
+):
+    """The MRL quantile fold must (a) replay bit-identically to the shared
+    Python fold in the declared order and (b) land within the classic MRL
+    rank-error bound of the EXACT per-key median at stream end."""
+    from collections import defaultdict
+
+    from fluvii_spark.streaming.sketch import (
+        mrl_insert,
+        mrl_quantile,
+        streaming_quantile,
+    )
+
+    events = load_tables(spark, sf_dir).events
+    vals = events.select("event_type", "ts", "event_id", "value")
+    d = str(tmp_path / "ev_mrl")
+    for m in range(2):
+        vals.filter(F.col("event_id") % 2 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    schema = spark.read.parquet(d).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    k = 32
+    out = streaming_quantile(
+        src, "event_type", "value", q=0.5, k=k, order_by=["ts", "event_id"]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .outputMode("append")
+        .queryName("mrl_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_mrl"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["event_type"], r["n_seen"]): (r["estimate"], r["n_stored"])
+        for r in spark.table("mrl_stream").collect()
+    }
+
+    # python replay in the operator's declared order
+    state: dict = defaultdict(lambda: {"n": 0, "levels": [[]]})
+    rows = sorted(
+        vals.collect(),
+        key=lambda r: (r["event_id"] % 2, r["ts"], r["event_id"]),
+    )
+    want = {}
+    per_key_vals: dict = defaultdict(list)
+    for r in rows:
+        env = state[r["event_type"]]
+        mrl_insert(env["levels"], float(r["value"]), k)
+        env["n"] += 1
+        want[(r["event_type"], env["n"])] = (
+            mrl_quantile(env["levels"], 0.5),
+            sum(len(b) for b in env["levels"]),
+        )
+        per_key_vals[r["event_type"]].append(float(r["value"]))
+    assert got == want
+    assert len(got) == len(rows)
+
+    # rank-error bound at stream end: estimate's rank within the exact
+    # sorted values must be n/2 ± eps*n with the MRL worst case
+    import math
+
+    for etype, xs in per_key_vals.items():
+        n = len(xs)
+        est = want[(etype, n)][0]
+        xs_sorted = sorted(xs)
+        rank = sum(1 for v in xs_sorted if v <= est)
+        eps = math.log2(max(n / k, 2)) / (2 * k)
+        assert abs(rank - n / 2) <= max(eps * n, 1) + k, (
+            etype,
+            n,
+            rank,
+            eps,
+        )
+        # bounded state: far below n
+        assert want[(etype, n)][1] <= 2 * k * (math.log2(n) + 2)
