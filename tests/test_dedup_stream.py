@@ -554,3 +554,113 @@ def test_streaming_quantile_trajectory_and_error_bound(
         )
         # bounded state: far below n
         assert want[(etype, n)][1] <= 2 * k * (math.log2(n) + 2)
+
+
+def test_streaming_heavy_hitters_survives_restart(spark, sf_dir, tmp_path):
+    """MG state commits atomically with each micro-batch, so stopping
+    mid-stream and restarting on the same checkpoint must continue the
+    EXACT same trajectory a single uninterrupted run (and the Python
+    replay) would produce — order-sensitivity makes this the strictest
+    restart check in the suite."""
+    import os
+    import shutil
+    from collections import defaultdict
+
+    from fluvii_spark.streaming.sketch import (
+        misra_gries_fold,
+        streaming_heavy_hitters,
+    )
+
+    events = load_tables(spark, sf_dir).events
+    items = events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("user_id") % 11).cast("string").alias("item"),
+    )
+    # one directory per batch so the staged copy order (and mtimes) fully
+    # determine processing order — part-file NAMES are uuid-ordered, not
+    # write-ordered, and FileStreamSource schedules by mtime
+    full_dirs = []
+    for m in range(4):
+        d = str(tmp_path / f"mg_full_{m}")
+        items.filter(F.col("event_id") % 4 == m).coalesce(1).write.parquet(d)
+        full_dirs.append(d)
+    parts = []
+    for d in full_dirs:
+        (f,) = [x for x in os.listdir(d) if x.endswith(".parquet")]
+        parts.append(os.path.join(d, f))
+    staged = str(tmp_path / "mg_staged")
+    os.makedirs(staged)
+
+    def stage(i):
+        dst = os.path.join(staged, f"b{i}.parquet")
+        shutil.copy(parts[i], dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    for i in range(2):
+        stage(i)
+
+    ckpt = str(tmp_path / "ck_mg_restart")
+    out_dir = str(tmp_path / "mg_out")
+    schema = spark.read.parquet(parts[0]).schema
+    m_counters = 6
+
+    def start():
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        out = streaming_heavy_hitters(
+            src,
+            "event_type",
+            "item",
+            m=m_counters,
+            order_by=["ts", "event_id"],
+        )
+        return (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", out_dir)
+            .start()
+        )
+
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    for i in range(2, 4):
+        stage(i)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {
+        (r["event_type"], r["n_seen"]): (
+            r["item"],
+            r["est_count"],
+            r["n_tracked"],
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # replay in the staged-file order, each batch ordered per the fold's
+    # declared order_by within each key (the batch is sorted per key, so a
+    # global (ts, event_id) sort of the file reproduces every key's order)
+    state: dict = defaultdict(lambda: {"n": 0, "c": {}})
+    want = {}
+    rows = []
+    for i in range(4):
+        batch = spark.read.parquet(parts[i]).collect()
+        rows.extend(sorted(batch, key=lambda r: (r["ts"], r["event_id"])))
+    for r in rows:
+        env = state[r["event_type"]]
+        env["c"] = misra_gries_fold(env["c"], r["item"], m_counters)
+        env["n"] += 1
+        want[(r["event_type"], env["n"])] = (
+            r["item"],
+            env["c"].get(r["item"], 0),
+            len(env["c"]),
+        )
+    assert got == want
+    assert len(got) == len(rows)
