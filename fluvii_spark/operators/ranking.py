@@ -67,6 +67,10 @@ def distributed_row_number(
     # independent executions could pick different boundaries, silently
     # corrupting rank = local + offset. localCheckpoint materializes the
     # shuffled+sorted partitions once; both branches read the same data.
+    # Availability tradeoff (same as RDD.zipWithIndex): locally
+    # checkpointed blocks die with their executor, so on a lossy cluster
+    # swap this for df.checkpoint() against a reliable checkpoint dir —
+    # correctness of the rank construction is identical either way.
     parts = parts.localCheckpoint(eager=False)
     counts = parts.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     # the offsets window runs over <= num_partitions rows — driver-free tiny
