@@ -107,10 +107,15 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM run GROUP BY event_type
     """,
     "sweep-line max-concurrency: each event opens a half-open 30-min "
-    "interval [ts, ts+30m); +1/-1 boundary points, running sum per type, "
-    "max. Ends sort before starts at the same instant (delta ASC) so "
-    "touching intervals don't overlap. One union + one key-partitioned "
-    "window — never the O(n²) interval self-join",
+    "interval [ts, ts+30m); +1/-1 boundary points, running sum, max. Ends "
+    "sort before starts at the same instant (delta ASC) so touching "
+    "intervals don't overlap. TWO-LEVEL decomposition (segment-tree "
+    "style): per (type, hour-bucket) local running max + bucket delta-sum "
+    "run in parallel across buckets, then the prefix runs over the tiny "
+    "(type, bucket) relation — max_conc = max over buckets of "
+    "(prefix-before-bucket + local max). The oracle's one-window-per-type "
+    "form would put billions of boundary points through |types| tasks at "
+    "scale; the decomposition is exact integer arithmetic",
     ("relational", "timeseries", "window"),
 )
 def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,15 +129,30 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts + INTERVAL 30 MINUTE").alias("t"),
         F.lit(-1).alias("delta"),
     )
-    pts = starts.unionByName(ends)
-    w = (
-        Window.partitionBy("event_type")
+    pts = starts.unionByName(ends).withColumn(
+        "bucket", F.date_trunc("hour", "t")
+    )
+    w_local = (
+        Window.partitionBy("event_type", "bucket")
         .orderBy("t", "delta")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    run = pts.withColumn("conc", F.sum("delta").over(w))
-    return run.groupBy("event_type").agg(
-        F.max("conc").cast("bigint").alias("max_concurrent")
+    local = pts.withColumn("run", F.sum("delta").over(w_local))
+    per_bucket = local.groupBy("event_type", "bucket").agg(
+        F.max("run").alias("local_max"), F.sum("delta").alias("bucket_sum")
+    )
+    w_prefix = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    capped = per_bucket.withColumn(
+        "prefix", F.coalesce(F.sum("bucket_sum").over(w_prefix), F.lit(0))
+    )
+    return capped.groupBy("event_type").agg(
+        F.max(F.col("prefix") + F.col("local_max"))
+        .cast("bigint")
+        .alias("max_concurrent")
     )
 
 
@@ -390,29 +410,31 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c WHERE 2 * cumw >= tot
     GROUP BY l_returnflag
     """,
-    "weighted median (weight = extended price) per return flag: one "
-    "key-partitioned cumulative-weight window, first row whose doubled "
-    "cumulative weight reaches the group total. Weights stay DECIMAL so "
-    "the crossing predicate is exact — no float-boundary flips between "
-    "engines",
+    "weighted median (weight = extended price) per return flag — "
+    "CONTRACTED before the window: per-(flag, quantity) DECIMAL weight "
+    "sums are one map-side-combinable hash aggregate over the raw table, "
+    "and the cumulative-weight crossing then runs over <= |flags|x|50 "
+    "distinct quantities| rows (the oracle's row-level window would put "
+    "billions of rows through 3 window tasks at scale). The crossing "
+    "group's min quantity equals the row-level answer exactly, and "
+    "weights stay DECIMAL so the 2*cumw >= tot predicate cannot "
+    "float-flip between engines",
     ("relational", "stats", "window"),
 )
 def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    w = t.lineitem.select(
-        "l_returnflag",
-        "l_quantity",
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("wt"),
+    g = t.lineitem.groupBy("l_returnflag", "l_quantity").agg(
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2))"
+        ).alias("wt")
     )
     w_cum = (
         Window.partitionBy("l_returnflag")
-        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+        .orderBy("l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_tot = Window.partitionBy("l_returnflag")
-    c = w.select(
+    c = g.select(
         "l_returnflag",
         "l_quantity",
         F.sum("wt").over(w_cum).alias("cumw"),
