@@ -113,7 +113,7 @@ def main() -> None:
     print("\n== KMV distinct-user estimates (final row per key) ==")
     spark.sql(
         """
-        SELECT event_type, max_by(n_kept, n_kept) AS n_kept,
+        SELECT event_type, max(n_kept) AS n_kept,
                max(estimate) AS distinct_estimate
         FROM demo_kmv GROUP BY event_type ORDER BY event_type
         """

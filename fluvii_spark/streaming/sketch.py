@@ -18,6 +18,8 @@ with the q102 sketch definition.
 from __future__ import annotations
 
 import bisect
+import heapq
+import math
 import sys
 
 from pyspark.sql import DataFrame
@@ -32,6 +34,45 @@ except Exception:  # pragma: no cover
     pass
 
 KMV_K = 64
+
+
+def _run_keyed_sketch(
+    df: DataFrame,
+    key_col: str,
+    value_cols: list[str],
+    app,
+    out_fields: str,
+    order_by: list[str] | None,
+    backend: str,
+) -> DataFrame:
+    """Shared dispatch for every sketch fold: backend selection, key-typed
+    output schema, and a projection that keeps the order_by columns — one
+    place to fix instead of one copy per sketch."""
+    if backend == "v2":  # transformWithStateInPandas (typed state, RocksDB)
+        from fluvii_spark.streaming.state_v2 import streaming_keyed_fold_v2
+
+        fold = streaming_keyed_fold_v2
+    else:
+        fold = streaming_keyed_fold
+    # derive the key's output type from the input schema — a bigint user_id
+    # must not be silently re-typed to string by the fold's output contract
+    key_type = df.schema[key_col].dataType.simpleString()
+    cols = [
+        key_col,
+        *value_cols,
+        *(
+            c
+            for c in (order_by or [])
+            if c != key_col and c not in value_cols
+        ),
+    ]
+    return fold(
+        df.select(*cols),
+        [key_col],
+        app,
+        output_schema=f"{key_col} {key_type}, {out_fields}",
+        order_by=order_by,
+    )
 
 
 def streaming_kmv_distinct(
@@ -65,21 +106,14 @@ def streaming_kmv_distinct(
         est = float(n) if n < k else (k - 1) / st[-1]
         txn.produce({key_col: txn.key, "n_kept": n, "estimate": est})
 
-    if backend == "v2":  # transformWithStateInPandas (typed state, RocksDB)
-        from fluvii_spark.streaming.state_v2 import streaming_keyed_fold_v2
-
-        fold = streaming_keyed_fold_v2
-    else:
-        fold = streaming_keyed_fold
-    # derive the key's output type from the input schema — a bigint user_id
-    # must not be silently re-typed to string by the fold's output contract
-    key_type = df.schema[key_col].dataType.simpleString()
-    return fold(
-        df.select(key_col, hash_col),
-        [key_col],
+    return _run_keyed_sketch(
+        df,
+        key_col,
+        [hash_col],
         app,
-        output_schema=f"{key_col} {key_type}, n_kept long, estimate double",
-        order_by=order_by,
+        "n_kept long, estimate double",
+        order_by,
+        backend,
     )
 
 
@@ -123,32 +157,41 @@ def mrl_insert(levels: list[list[float]], x: float, k: int) -> None:
     Shared by the streaming operator and the tests' Python replay so both
     run literally this code.
     """
-    levels[0].append(x)
+    # every level is kept SORTED at all times: level 0 via bisect-insert
+    # (len <= 2k, cheap), promotions via merge of two sorted lists — so
+    # compaction needs no sort and the per-message quantile query below is
+    # a merge, not an O(S log S) re-sort of the whole sketch
+    bisect.insort(levels[0], x)
     i = 0
     while len(levels[i]) >= 2 * k:
-        buf = sorted(levels[i])
+        promoted = levels[i][0::2]  # already sorted
         levels[i] = []
         if i + 1 == len(levels):
             levels.append([])
-        levels[i + 1].extend(buf[0::2])
+        levels[i + 1] = list(heapq.merge(levels[i + 1], promoted))
         i += 1
 
 
 def mrl_quantile(levels: list[list[float]], q: float) -> float | None:
-    """Estimate the q-quantile: weighted rank over all levels."""
-    weighted = sorted(
-        (v, 1 << lvl) for lvl, buf in enumerate(levels) for v in buf
-    )
-    if not weighted:
+    """Estimate the q-quantile: weighted rank via a merge of the (already
+    sorted) levels — O(S log L) per call, no re-sort."""
+    total = sum(len(buf) << lvl for lvl, buf in enumerate(levels))
+    if total == 0:
         return None
-    total = sum(w for _, w in weighted)
     target = q * total
     acc = 0
-    for v, w in weighted:
+    last = None
+    # bind (lvl, buf) eagerly per level — a nested generator expression
+    # would late-bind the loop variables and read every level as the last
+    iters = [
+        [(v, 1 << lvl) for v in buf] for lvl, buf in enumerate(levels)
+    ]
+    for v, w in heapq.merge(*iters):
         acc += w
+        last = v
         if acc >= target:
             return v
-    return weighted[-1][0]
+    return last
 
 
 def streaming_quantile(
@@ -164,14 +207,27 @@ def streaming_quantile(
     leg of the sketch trio (KMV = distinct count, Misra-Gries = frequency,
     MRL = quantiles). Exact streaming quantiles need O(n) state per key;
     the MRL sketch keeps O(k·log n) with a provable rank-error bound and a
-    deterministic (fixed-offset) compaction, so a replay produces the
-    identical trajectory. Emits ``(key, n_seen, estimate, n_stored)`` per
-    arrival; the row with max n_seen per key is the current sketch state.
+    deterministic (fixed-offset) compaction. Emits ``(key, n_seen,
+    estimate, n_stored)`` per arrival; the row with max n_seen per key is
+    the current sketch state.
+
+    Like Misra-Gries (and unlike KMV) the fold is ORDER-SENSITIVE: pass
+    ``order_by`` for a deterministic, replay-stable trajectory — without
+    it, per-key arrival order within a micro-batch follows shuffle
+    nondeterminism and a restart can re-emit different estimates.
+    NULL/NaN values are skipped entirely (no state change, no emission),
+    matching percentile_cont's NULL semantics — a NaN inside the sketch
+    would break sorted-order invariants silently.
     """
 
     def app(txn) -> None:
+        raw = txn.value()[value_col]
+        if raw is None:
+            return
+        x = float(raw)
+        if math.isnan(x) or math.isinf(x):
+            return
         env = txn.read_table_entry() or {"n": 0, "levels": [[]]}
-        x = float(txn.value()[value_col])
         mrl_insert(env["levels"], x, k)
         env["n"] += 1
         txn.update_table_entry(env)
@@ -184,27 +240,14 @@ def streaming_quantile(
             }
         )
 
-    if backend == "v2":
-        from fluvii_spark.streaming.state_v2 import streaming_keyed_fold_v2
-
-        fold = streaming_keyed_fold_v2
-    else:
-        fold = streaming_keyed_fold
-    key_type = df.schema[key_col].dataType.simpleString()
-    cols = [
+    return _run_keyed_sketch(
+        df,
         key_col,
-        value_col,
-        *(c for c in (order_by or []) if c not in (key_col, value_col)),
-    ]
-    return fold(
-        df.select(*cols),
-        [key_col],
+        [value_col],
         app,
-        output_schema=(
-            f"{key_col} {key_type}, n_seen long, estimate double, "
-            "n_stored long"
-        ),
-        order_by=order_by,
+        "n_seen long, estimate double, n_stored long",
+        order_by,
+        backend,
     )
 
 
@@ -249,21 +292,12 @@ def streaming_heavy_hitters(
             }
         )
 
-    if backend == "v2":
-        from fluvii_spark.streaming.state_v2 import streaming_keyed_fold_v2
-
-        fold = streaming_keyed_fold_v2
-    else:
-        fold = streaming_keyed_fold
-    key_type = df.schema[key_col].dataType.simpleString()
-    cols = [key_col, item_col, *(c for c in (order_by or []) if c not in (key_col, item_col))]
-    return fold(
-        df.select(*cols),
-        [key_col],
+    return _run_keyed_sketch(
+        df,
+        key_col,
+        [item_col],
         app,
-        output_schema=(
-            f"{key_col} {key_type}, {item_col} string, est_count long, "
-            "n_seen long, n_tracked long"
-        ),
-        order_by=order_by,
+        f"{item_col} string, est_count long, n_seen long, n_tracked long",
+        order_by,
+        backend,
     )

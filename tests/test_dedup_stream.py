@@ -336,11 +336,23 @@ def test_streaming_heavy_hitters_matches_python_fold(spark, sf_dir, tmp_path):
         .otherwise(F.col("user_id").cast("string"))
         .alias("item"),
     )
+    # per-batch dirs + controlled mtimes: part-file names are uuid-ordered
+    # and FileStreamSource schedules by mtime, so appends into one dir can
+    # tie on coarse-mtime filesystems and process out of order
+    import os as _os
+    import shutil as _shutil
+
     d = str(tmp_path / "ev_mg")
+    _os.makedirs(d)
     for m in range(2):  # two micro-batches split by event parity
-        items.filter(F.col("event_id") % 2 == m).coalesce(1).write.mode(
-            "append"
-        ).parquet(d)
+        bdir = str(tmp_path / f"ev_mg_b{m}")
+        items.filter(F.col("event_id") % 2 == m).coalesce(1).write.parquet(
+            bdir
+        )
+        (f,) = [x for x in _os.listdir(bdir) if x.endswith(".parquet")]
+        dst = _os.path.join(d, f"b{m}.parquet")
+        _shutil.copy(_os.path.join(bdir, f), dst)
+        _os.utime(dst, (1_000_000 + m * 1000, 1_000_000 + m * 1000))
 
     schema = spark.read.parquet(d).schema
     src = (
@@ -486,11 +498,20 @@ def test_streaming_quantile_trajectory_and_error_bound(
 
     events = load_tables(spark, sf_dir).events
     vals = events.select("event_type", "ts", "event_id", "value")
+    import os as _os
+    import shutil as _shutil
+
     d = str(tmp_path / "ev_mrl")
+    _os.makedirs(d)
     for m in range(2):
-        vals.filter(F.col("event_id") % 2 == m).coalesce(1).write.mode(
-            "append"
-        ).parquet(d)
+        bdir = str(tmp_path / f"ev_mrl_b{m}")
+        vals.filter(F.col("event_id") % 2 == m).coalesce(1).write.parquet(
+            bdir
+        )
+        (f,) = [x for x in _os.listdir(bdir) if x.endswith(".parquet")]
+        dst = _os.path.join(d, f"b{m}.parquet")
+        _shutil.copy(_os.path.join(bdir, f), dst)
+        _os.utime(dst, (1_000_000 + m * 1000, 1_000_000 + m * 1000))
 
     schema = spark.read.parquet(d).schema
     src = (
