@@ -446,10 +446,16 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantile-gated quality filter: drop the bottom quartile of documents "
     "per language by type-token ratio. The gate is RANK-based (keep rank > "
     "floor(n/4)), not value-based — integer arithmetic on both engines, so "
-    "no float-boundary membership flips; one window pass, no second scan",
+    "no float-boundary membership flips. Per-lang ranks come from "
+    "DISTRIBUTED ranking over the composite (lang, ttr, doc_id) order "
+    "(operators/ranking.py) minus broadcast per-lang base offsets — the "
+    "oracle's PARTITION BY lang window would put |corpus|/|langs| rows "
+    "through one task per language at 100 TB",
     ("llm", "quality", "sampling"),
 )
 def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.ranking import distributed_row_number
+
     t = load_tables(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     scored = t.documents.select(
@@ -459,12 +465,17 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ttr"
         ),
     )
-    w = Window.partitionBy("lang").orderBy("ttr", "doc_id")
-    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(Window.partitionBy("lang"))
+    # global rank over (lang, ttr, doc_id): lang groups are contiguous in
+    # the composite order, so rank-within-lang = rnk - min(rnk per lang) + 1
+    ranked = distributed_row_number(scored, ["lang", "ttr", "doc_id"])
+    per_lang = ranked.groupBy("lang").agg(
+        F.min("rnk").alias("base"), F.count("*").alias("n")
+    )
+    j = ranked.join(F.broadcast(per_lang), "lang").withColumn(
+        "rn", F.col("rnk") - F.col("base") + 1
     )
     gate = F.col("rn") > F.floor(F.col("n") / 4)
-    return ranked.groupBy("lang").agg(
+    return j.groupBy("lang").agg(
         F.max("n").cast("bigint").alias("n_total"),
         F.count(F.when(gate, 1)).cast("bigint").alias("n_kept"),
         F.min(F.when(gate, F.col("ttr"))).alias("min_kept_ttr"),

@@ -54,7 +54,10 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
     """,
     "rank family over a uniquely-ordered window (ntile/dense_rank/"
-    "percent_rank/cume_dist)",
+    "percent_rank/cume_dist) — this query's declared surface IS the "
+    "built-in window functions; for few-key groups at extreme scale the "
+    "same ranks come from operators/ranking.py distributed_row_number "
+    "plus per-group offsets (the q105/q125 path)",
     ("relational", "window"),
 )
 def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
