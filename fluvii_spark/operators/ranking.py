@@ -141,3 +141,89 @@ def exact_quantiles(
         ).alias("b")
     )
     return b.agg(F.sort_array(F.collect_list("b")).alias("q"))
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    ps: list[float],
+    round_dp: int = 6,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact interpolated quantiles PER GROUP without per-group windows or
+    per-group value buffers: ``(group_cols..., p, quantile)`` long form.
+
+    Spark's exact ``percentile`` per group buffers every group value in
+    one aggregation state, and a ``PARTITION BY group`` window puts each
+    whole group through one task — both collapse when a handful of groups
+    hold billions of rows (the q105/q127 situation). Here ONE distributed
+    ranking over the composite ``(groups..., x)`` order assigns globally
+    contiguous ranks per group; per-group base offsets and counts are a
+    tiny broadcast aggregate, so each group's order statistics are plain
+    global-rank lookups: rank = base − 1 + pos within the group.
+    """
+    vals = df.select(
+        *group_cols, F.col(col).alias("x")
+    ).filter(F.col(col).isNotNull())
+    ranked = distributed_row_number(
+        vals, [*group_cols, "x"], num_partitions
+    )
+    per_g = ranked.groupBy(*group_cols).agg(
+        F.min("rnk").alias("base"), F.count("*").alias("n")
+    )
+    ps_arr = F.array([F.lit(float(p)) for p in ps])
+    t = per_g.select(
+        *group_cols,
+        "base",
+        "n",
+        F.explode(ps_arr).alias("p"),
+    ).select(
+        *group_cols,
+        "p",
+        (F.lit(1) + (F.col("n") - 1) * F.col("p")).alias("pos"),
+        "base",
+    )
+    t = t.select(
+        *group_cols,
+        "p",
+        (F.col("base") - 1 + F.floor("pos")).cast("bigint").alias("lo"),
+        (F.col("base") - 1 + F.ceil("pos")).cast("bigint").alias("hi"),
+        (F.col("pos") - F.floor("pos")).alias("frac"),
+    )
+    probes = t.select(
+        *group_cols,
+        "p",
+        "frac",
+        F.explode(
+            F.array(
+                F.struct(F.col("lo").alias("r"), F.lit("lo").alias("w")),
+                F.struct(F.col("hi").alias("r"), F.lit("hi").alias("w")),
+            )
+        ).alias("pr"),
+    ).select(
+        *group_cols,
+        "p",
+        "frac",
+        F.col("pr.r").alias("rnk"),
+        F.col("pr.w").alias("w"),
+    )
+    # global ranks are unique, so the probe join needs only rnk; the probe
+    # rows carry their group columns through
+    hits = (
+        ranked.select("rnk", "x")
+        .join(F.broadcast(probes), "rnk")
+        .groupBy(*group_cols, "p", "frac")
+        .agg(
+            F.max(F.when(F.col("w") == "lo", F.col("x"))).alias("x_lo"),
+            F.max(F.when(F.col("w") == "hi", F.col("x"))).alias("x_hi"),
+        )
+    )
+    return hits.select(
+        *group_cols,
+        "p",
+        F.round(
+            F.col("x_lo") + F.col("frac") * (F.col("x_hi") - F.col("x_lo")),
+            round_dp,
+        ).alias("quantile"),
+    )

@@ -685,3 +685,98 @@ def test_streaming_heavy_hitters_survives_restart(spark, sf_dir, tmp_path):
         )
     assert got == want
     assert len(got) == len(rows)
+
+
+def test_streaming_quantile_survives_restart(spark, sf_dir, tmp_path):
+    """MRL state commits atomically per micro-batch: a mid-stream stop +
+    restart on the same checkpoint must continue the exact trajectory of
+    an uninterrupted ordered replay (the fold is order-sensitive, so this
+    exercises state atomicity the same way the MG restart test does)."""
+    import os
+    import shutil
+    from collections import defaultdict
+
+    from fluvii_spark.streaming.sketch import (
+        mrl_insert,
+        mrl_quantile,
+        streaming_quantile,
+    )
+
+    events = load_tables(spark, sf_dir).events
+    vals = events.select("event_type", "ts", "event_id", "value")
+    batch_dirs = []
+    for m in range(4):
+        d = str(tmp_path / f"mrl_full_{m}")
+        vals.filter(F.col("event_id") % 4 == m).coalesce(1).write.parquet(d)
+        batch_dirs.append(d)
+    parts = []
+    for d in batch_dirs:
+        (f,) = [x for x in os.listdir(d) if x.endswith(".parquet")]
+        parts.append(os.path.join(d, f))
+    staged = str(tmp_path / "mrl_staged")
+    os.makedirs(staged)
+
+    def stage(i):
+        dst = os.path.join(staged, f"b{i}.parquet")
+        shutil.copy(parts[i], dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    for i in range(2):
+        stage(i)
+
+    ckpt = str(tmp_path / "ck_mrl_restart")
+    out_dir = str(tmp_path / "mrl_out")
+    schema = spark.read.parquet(parts[0]).schema
+    k = 16
+
+    def start():
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        out = streaming_quantile(
+            src,
+            "event_type",
+            "value",
+            q=0.5,
+            k=k,
+            order_by=["ts", "event_id"],
+        )
+        return (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", out_dir)
+            .start()
+        )
+
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    for i in range(2, 4):
+        stage(i)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {
+        (r["event_type"], r["n_seen"]): (r["estimate"], r["n_stored"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    state: dict = defaultdict(lambda: {"n": 0, "levels": [[]]})
+    want = {}
+    rows = []
+    for i in range(4):
+        batch = spark.read.parquet(parts[i]).collect()
+        rows.extend(sorted(batch, key=lambda r: (r["ts"], r["event_id"])))
+    for r in rows:
+        env = state[r["event_type"]]
+        mrl_insert(env["levels"], float(r["value"]), k)
+        env["n"] += 1
+        want[(r["event_type"], env["n"])] = (
+            mrl_quantile(env["levels"], 0.5),
+            sum(len(b) for b in env["levels"]),
+        )
+    assert got == want
+    assert len(got) == len(rows)

@@ -661,3 +661,43 @@ def test_exact_quantiles_ignore_nulls(spark):
     )
     got = exact_quantiles(df, "x", [0.0, 0.5, 1.0])
     assert list(got.collect()[0]["q"]) == [1.0, 2.0, 3.0]
+
+
+def test_grouped_exact_quantiles_match_builtin(spark, sf_dir):
+    """Per-group rank-probe quantiles must agree with Spark's per-group
+    exact percentile aggregate at the oracle rounding — including NULLs
+    in the value column and single-row groups."""
+    from fluvii_spark.operators.ranking import grouped_exact_quantiles
+
+    li = load_tables(spark, sf_dir).lineitem
+    ps = [0.0, 0.25, 0.5, 0.75, 1.0]
+    got = {
+        (r["l_returnflag"], r["p"]): r["quantile"]
+        for r in grouped_exact_quantiles(
+            li, ["l_returnflag"], "l_extendedprice", ps, num_partitions=17
+        ).collect()
+    }
+    pts = ", ".join(f"{p}D" for p in ps)
+    want_rows = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"transform(percentile(l_extendedprice, array({pts})),"
+            " b -> round(b, 6))"
+        ).alias("q")
+    ).collect()
+    want = {
+        (r["l_returnflag"], p): v
+        for r in want_rows
+        for p, v in zip(ps, r["q"])
+    }
+    assert got == want
+
+    # nulls ignored + single-row group
+    df = spark.createDataFrame(
+        [("a", None), ("a", 4.0), ("a", 2.0), ("b", 7.0)],
+        "g string, x double",
+    )
+    got2 = {
+        (r["g"], r["p"]): r["quantile"]
+        for r in grouped_exact_quantiles(df, ["g"], "x", [0.5]).collect()
+    }
+    assert got2 == {("a", 0.5): 3.0, ("b", 0.5): 7.0}
