@@ -248,7 +248,12 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY l_returnflag
     """,
     "exact interpolated percentiles per group (both engines use linear "
-    "interpolation on the sorted set — deterministic)",
+    "interpolation on the sorted set — deterministic). Declared surface = "
+    "the built-in exact percentile aggregate, which buffers each group's "
+    "values in one aggregation state; when a handful of groups hold "
+    "billions of rows, operators/ranking.py grouped_exact_quantiles "
+    "computes identical results (tested equal incl. NULLs) from one "
+    "composite-order distributed ranking with no per-group buffer",
     ("relational", "agg", "stats"),
 )
 def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
