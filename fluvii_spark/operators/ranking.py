@@ -101,46 +101,19 @@ def exact_quantiles(
     out (broadcast probe table), so the expensive pass is the ranking
     shuffle — parallel — not a one-buffer percentile aggregate.
     """
-    # percentile_cont / Spark percentile ignore NULLs; rank and count only
-    # the non-null values or every quantile shifts on nullable columns
-    vals = df.select(F.col(col).alias("x")).filter(F.col("x").isNotNull())
-    ranked = distributed_row_number(vals, ["x"], num_partitions)
-    n = vals.agg(F.count("*").alias("n"))
-    ps_arr = F.array([F.lit(float(p)) for p in ps])
-    t = n.select(F.explode(ps_arr).alias("p"), "n").select(
-        "p", (F.lit(1) + (F.col("n") - 1) * F.col("p")).alias("pos")
+    # delegate to the grouped form with one constant group — a single
+    # shared probe/interpolation implementation instead of two drifting
+    # copies (collect_list skips NULL quantiles, so an empty/all-NULL
+    # input yields an empty array, as before)
+    g = grouped_exact_quantiles(
+        df.select(F.col(col).alias("_eq_v")).withColumn("_eq_g", F.lit(1)),
+        ["_eq_g"],
+        "_eq_v",
+        ps,
+        round_dp,
+        num_partitions,
     )
-    t = t.select(
-        "p",
-        F.floor("pos").cast("bigint").alias("lo"),
-        F.ceil("pos").cast("bigint").alias("hi"),
-        (F.col("pos") - F.floor("pos")).alias("frac"),
-    )
-    probes = t.select(
-        "p",
-        "frac",
-        F.explode(
-            F.array(
-                F.struct(F.col("lo").alias("r"), F.lit("lo").alias("w")),
-                F.struct(F.col("hi").alias("r"), F.lit("hi").alias("w")),
-            )
-        ).alias("pr"),
-    ).select("p", "frac", F.col("pr.r").alias("rnk"), F.col("pr.w").alias("w"))
-    hits = (
-        ranked.join(F.broadcast(probes), "rnk")
-        .groupBy("p", "frac")
-        .agg(
-            F.max(F.when(F.col("w") == "lo", F.col("x"))).alias("x_lo"),
-            F.max(F.when(F.col("w") == "hi", F.col("x"))).alias("x_hi"),
-        )
-    )
-    b = hits.select(
-        F.round(
-            F.col("x_lo") + F.col("frac") * (F.col("x_hi") - F.col("x_lo")),
-            round_dp,
-        ).alias("b")
-    )
-    return b.agg(F.sort_array(F.collect_list("b")).alias("q"))
+    return g.agg(F.sort_array(F.collect_list("quantile")).alias("q"))
 
 
 def grouped_exact_quantiles(
@@ -150,6 +123,7 @@ def grouped_exact_quantiles(
     ps: list[float],
     round_dp: int = 6,
     num_partitions: int = 32,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Exact interpolated quantiles PER GROUP without per-group windows or
     per-group value buffers: ``(group_cols..., p, quantile)`` long form.
@@ -162,68 +136,104 @@ def grouped_exact_quantiles(
     contiguous ranks per group; per-group base offsets and counts are a
     tiny broadcast aggregate, so each group's order statistics are plain
     global-rank lookups: rank = base − 1 + pos within the group.
+
+    Contract notes:
+    - groups whose values are all NULL (or empty after the NULL filter)
+      still appear, with ``quantile`` NULL per probe — matching the
+      built-in per-group percentile's NULL result row;
+    - the probe table is |groups|·|ps|·2 rows and is broadcast by
+      default — the operator targets the few-groups × billions-of-rows
+      regime; pass ``broadcast_probes=False`` for high group cardinality
+      (the probe join then shuffles like any equi-join);
+    - internal columns use a ``_gq_`` prefix and outputs are ``p`` /
+      ``quantile``; group columns may not collide with those names.
     """
+    for g in group_cols:
+        if g in ("p", "quantile") or g.startswith("_gq_"):
+            raise ValueError(
+                f"group column {g!r} collides with the operator's output/"
+                "internal names ('p', 'quantile', '_gq_*') — rename it"
+            )
+    ps_arr = F.array([F.lit(float(p)) for p in ps])
     vals = df.select(
-        *group_cols, F.col(col).alias("x")
-    ).filter(F.col(col).isNotNull())
+        *group_cols, F.col(col).alias("_gq_x")
+    ).filter(F.col("_gq_x").isNotNull())
     ranked = distributed_row_number(
-        vals, [*group_cols, "x"], num_partitions
+        vals, [*group_cols, "_gq_x"], num_partitions, out_col="_gq_rnk"
     )
     per_g = ranked.groupBy(*group_cols).agg(
-        F.min("rnk").alias("base"), F.count("*").alias("n")
+        F.min("_gq_rnk").alias("_gq_base"), F.count("*").alias("_gq_n")
     )
-    ps_arr = F.array([F.lit(float(p)) for p in ps])
     t = per_g.select(
         *group_cols,
-        "base",
-        "n",
+        "_gq_base",
+        "_gq_n",
         F.explode(ps_arr).alias("p"),
     ).select(
         *group_cols,
         "p",
-        (F.lit(1) + (F.col("n") - 1) * F.col("p")).alias("pos"),
-        "base",
+        (F.lit(1) + (F.col("_gq_n") - 1) * F.col("p")).alias("_gq_pos"),
+        "_gq_base",
     )
     t = t.select(
         *group_cols,
         "p",
-        (F.col("base") - 1 + F.floor("pos")).cast("bigint").alias("lo"),
-        (F.col("base") - 1 + F.ceil("pos")).cast("bigint").alias("hi"),
-        (F.col("pos") - F.floor("pos")).alias("frac"),
+        (F.col("_gq_base") - 1 + F.floor("_gq_pos"))
+        .cast("bigint")
+        .alias("_gq_lo"),
+        (F.col("_gq_base") - 1 + F.ceil("_gq_pos"))
+        .cast("bigint")
+        .alias("_gq_hi"),
+        (F.col("_gq_pos") - F.floor("_gq_pos")).alias("_gq_frac"),
     )
     probes = t.select(
         *group_cols,
         "p",
-        "frac",
+        "_gq_frac",
         F.explode(
             F.array(
-                F.struct(F.col("lo").alias("r"), F.lit("lo").alias("w")),
-                F.struct(F.col("hi").alias("r"), F.lit("hi").alias("w")),
+                F.struct(F.col("_gq_lo").alias("r"), F.lit("lo").alias("w")),
+                F.struct(F.col("_gq_hi").alias("r"), F.lit("hi").alias("w")),
             )
-        ).alias("pr"),
+        ).alias("_gq_pr"),
     ).select(
         *group_cols,
         "p",
-        "frac",
-        F.col("pr.r").alias("rnk"),
-        F.col("pr.w").alias("w"),
+        "_gq_frac",
+        F.col("_gq_pr.r").alias("_gq_rnk"),
+        F.col("_gq_pr.w").alias("_gq_w"),
     )
-    # global ranks are unique, so the probe join needs only rnk; the probe
-    # rows carry their group columns through
+    if broadcast_probes:
+        probes = F.broadcast(probes)
+    # global ranks are unique, so the probe join needs only _gq_rnk; the
+    # probe rows carry their group columns through
     hits = (
-        ranked.select("rnk", "x")
-        .join(F.broadcast(probes), "rnk")
-        .groupBy(*group_cols, "p", "frac")
+        ranked.select("_gq_rnk", "_gq_x")
+        .join(probes, "_gq_rnk")
+        .groupBy(*group_cols, "p", "_gq_frac")
         .agg(
-            F.max(F.when(F.col("w") == "lo", F.col("x"))).alias("x_lo"),
-            F.max(F.when(F.col("w") == "hi", F.col("x"))).alias("x_hi"),
+            F.max(F.when(F.col("_gq_w") == "lo", F.col("_gq_x"))).alias(
+                "_gq_xlo"
+            ),
+            F.max(F.when(F.col("_gq_w") == "hi", F.col("_gq_x"))).alias(
+                "_gq_xhi"
+            ),
         )
     )
-    return hits.select(
+    computed = hits.select(
         *group_cols,
         "p",
         F.round(
-            F.col("x_lo") + F.col("frac") * (F.col("x_hi") - F.col("x_lo")),
+            F.col("_gq_xlo")
+            + F.col("_gq_frac") * (F.col("_gq_xhi") - F.col("_gq_xlo")),
             round_dp,
         ).alias("quantile"),
     )
+    # preserve all-NULL/empty groups with a NULL quantile per probe, like
+    # the built-in per-group percentile does
+    universe = (
+        df.select(*group_cols)
+        .distinct()
+        .select(*group_cols, F.explode(ps_arr).alias("p"))
+    )
+    return universe.join(computed, [*group_cols, "p"], "left")

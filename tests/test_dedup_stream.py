@@ -577,14 +577,72 @@ def test_streaming_quantile_trajectory_and_error_bound(
         assert want[(etype, n)][1] <= 2 * k * (math.log2(n) + 2)
 
 
+def _restart_replay(spark, tmp_path, items, tag, build_op):
+    """Shared kill/restart harness for order-sensitive folds: stage
+    ``items`` as 4 mtime-ordered batch files (split by event_id % 4), run
+    ``build_op(src)`` with a stop + same-checkpoint restart after batch 2,
+    and return (sink rows, input rows in the exact replay order — staged
+    file order, each batch sorted by (ts, event_id))."""
+    import os
+    import shutil
+
+    parts = []
+    for m in range(4):
+        d = str(tmp_path / f"{tag}_full_{m}")
+        items.filter(F.col("event_id") % 4 == m).coalesce(1).write.parquet(d)
+        (f,) = [x for x in os.listdir(d) if x.endswith(".parquet")]
+        parts.append(os.path.join(d, f))
+    staged = str(tmp_path / f"{tag}_staged")
+    os.makedirs(staged)
+
+    def stage(i):
+        dst = os.path.join(staged, f"b{i}.parquet")
+        shutil.copy(parts[i], dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    ckpt = str(tmp_path / f"ck_{tag}")
+    out_dir = str(tmp_path / f"{tag}_out")
+    schema = spark.read.parquet(parts[0]).schema
+
+    def start():
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        return (
+            build_op(src)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", out_dir)
+            .start()
+        )
+
+    for i in range(2):
+        stage(i)
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    for i in range(2, 4):
+        stage(i)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    rows = []
+    for i in range(4):
+        batch = spark.read.parquet(parts[i]).collect()
+        rows.extend(sorted(batch, key=lambda r: (r["ts"], r["event_id"])))
+    return spark.read.parquet(out_dir).collect(), rows
+
+
 def test_streaming_heavy_hitters_survives_restart(spark, sf_dir, tmp_path):
     """MG state commits atomically with each micro-batch, so stopping
     mid-stream and restarting on the same checkpoint must continue the
     EXACT same trajectory a single uninterrupted run (and the Python
     replay) would produce — order-sensitivity makes this the strictest
     restart check in the suite."""
-    import os
-    import shutil
     from collections import defaultdict
 
     from fluvii_spark.streaming.sketch import (
@@ -599,81 +657,30 @@ def test_streaming_heavy_hitters_survives_restart(spark, sf_dir, tmp_path):
         "event_id",
         (F.col("user_id") % 11).cast("string").alias("item"),
     )
-    # one directory per batch so the staged copy order (and mtimes) fully
-    # determine processing order — part-file NAMES are uuid-ordered, not
-    # write-ordered, and FileStreamSource schedules by mtime
-    full_dirs = []
-    for m in range(4):
-        d = str(tmp_path / f"mg_full_{m}")
-        items.filter(F.col("event_id") % 4 == m).coalesce(1).write.parquet(d)
-        full_dirs.append(d)
-    parts = []
-    for d in full_dirs:
-        (f,) = [x for x in os.listdir(d) if x.endswith(".parquet")]
-        parts.append(os.path.join(d, f))
-    staged = str(tmp_path / "mg_staged")
-    os.makedirs(staged)
-
-    def stage(i):
-        dst = os.path.join(staged, f"b{i}.parquet")
-        shutil.copy(parts[i], dst)
-        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
-
-    for i in range(2):
-        stage(i)
-
-    ckpt = str(tmp_path / "ck_mg_restart")
-    out_dir = str(tmp_path / "mg_out")
-    schema = spark.read.parquet(parts[0]).schema
     m_counters = 6
-
-    def start():
-        src = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(staged)
-        )
-        out = streaming_heavy_hitters(
+    out_rows, rows = _restart_replay(
+        spark,
+        tmp_path,
+        items,
+        "mg_restart",
+        lambda src: streaming_heavy_hitters(
             src,
             "event_type",
             "item",
             m=m_counters,
             order_by=["ts", "event_id"],
-        )
-        return (
-            out.writeStream.format("parquet")
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .option("path", out_dir)
-            .start()
-        )
-
-    q1 = start()
-    q1.processAllAvailable()
-    q1.stop()
-    for i in range(2, 4):
-        stage(i)
-    q2 = start()
-    q2.processAllAvailable()
-    q2.stop()
-
+        ),
+    )
     got = {
         (r["event_type"], r["n_seen"]): (
             r["item"],
             r["est_count"],
             r["n_tracked"],
         )
-        for r in spark.read.parquet(out_dir).collect()
+        for r in out_rows
     }
-    # replay in the staged-file order, each batch ordered per the fold's
-    # declared order_by within each key (the batch is sorted per key, so a
-    # global (ts, event_id) sort of the file reproduces every key's order)
     state: dict = defaultdict(lambda: {"n": 0, "c": {}})
     want = {}
-    rows = []
-    for i in range(4):
-        batch = spark.read.parquet(parts[i]).collect()
-        rows.extend(sorted(batch, key=lambda r: (r["ts"], r["event_id"])))
     for r in rows:
         env = state[r["event_type"]]
         env["c"] = misra_gries_fold(env["c"], r["item"], m_counters)
@@ -692,8 +699,6 @@ def test_streaming_quantile_survives_restart(spark, sf_dir, tmp_path):
     restart on the same checkpoint must continue the exact trajectory of
     an uninterrupted ordered replay (the fold is order-sensitive, so this
     exercises state atomicity the same way the MG restart test does)."""
-    import os
-    import shutil
     from collections import defaultdict
 
     from fluvii_spark.streaming.sketch import (
@@ -704,72 +709,27 @@ def test_streaming_quantile_survives_restart(spark, sf_dir, tmp_path):
 
     events = load_tables(spark, sf_dir).events
     vals = events.select("event_type", "ts", "event_id", "value")
-    batch_dirs = []
-    for m in range(4):
-        d = str(tmp_path / f"mrl_full_{m}")
-        vals.filter(F.col("event_id") % 4 == m).coalesce(1).write.parquet(d)
-        batch_dirs.append(d)
-    parts = []
-    for d in batch_dirs:
-        (f,) = [x for x in os.listdir(d) if x.endswith(".parquet")]
-        parts.append(os.path.join(d, f))
-    staged = str(tmp_path / "mrl_staged")
-    os.makedirs(staged)
-
-    def stage(i):
-        dst = os.path.join(staged, f"b{i}.parquet")
-        shutil.copy(parts[i], dst)
-        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
-
-    for i in range(2):
-        stage(i)
-
-    ckpt = str(tmp_path / "ck_mrl_restart")
-    out_dir = str(tmp_path / "mrl_out")
-    schema = spark.read.parquet(parts[0]).schema
     k = 16
-
-    def start():
-        src = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(staged)
-        )
-        out = streaming_quantile(
+    out_rows, rows = _restart_replay(
+        spark,
+        tmp_path,
+        vals,
+        "mrl_restart",
+        lambda src: streaming_quantile(
             src,
             "event_type",
             "value",
             q=0.5,
             k=k,
             order_by=["ts", "event_id"],
-        )
-        return (
-            out.writeStream.format("parquet")
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .option("path", out_dir)
-            .start()
-        )
-
-    q1 = start()
-    q1.processAllAvailable()
-    q1.stop()
-    for i in range(2, 4):
-        stage(i)
-    q2 = start()
-    q2.processAllAvailable()
-    q2.stop()
-
+        ),
+    )
     got = {
         (r["event_type"], r["n_seen"]): (r["estimate"], r["n_stored"])
-        for r in spark.read.parquet(out_dir).collect()
+        for r in out_rows
     }
     state: dict = defaultdict(lambda: {"n": 0, "levels": [[]]})
     want = {}
-    rows = []
-    for i in range(4):
-        batch = spark.read.parquet(parts[i]).collect()
-        rows.extend(sorted(batch, key=lambda r: (r["ts"], r["event_id"])))
     for r in rows:
         env = state[r["event_type"]]
         mrl_insert(env["levels"], float(r["value"]), k)

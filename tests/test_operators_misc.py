@@ -691,13 +691,21 @@ def test_grouped_exact_quantiles_match_builtin(spark, sf_dir):
     }
     assert got == want
 
-    # nulls ignored + single-row group
+    # nulls ignored, single-row group, and an ALL-NULL group which must
+    # still appear with a NULL quantile (built-in percentile parity)
     df = spark.createDataFrame(
-        [("a", None), ("a", 4.0), ("a", 2.0), ("b", 7.0)],
+        [("a", None), ("a", 4.0), ("a", 2.0), ("b", 7.0), ("c", None)],
         "g string, x double",
     )
     got2 = {
         (r["g"], r["p"]): r["quantile"]
         for r in grouped_exact_quantiles(df, ["g"], "x", [0.5]).collect()
     }
-    assert got2 == {("a", 0.5): 3.0, ("b", 0.5): 7.0}
+    assert got2 == {("a", 0.5): 3.0, ("b", 0.5): 7.0, ("c", 0.5): None}
+
+    # group columns colliding with output/internal names are rejected
+    # loudly instead of failing with AMBIGUOUS_REFERENCE mid-plan
+    with pytest.raises(ValueError, match="collides"):
+        grouped_exact_quantiles(
+            df.withColumnRenamed("g", "p"), ["p"], "x", [0.5]
+        )
