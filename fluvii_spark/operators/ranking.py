@@ -112,6 +112,8 @@ def exact_quantiles(
         ps,
         round_dp,
         num_partitions,
+        include_empty_groups=False,  # the global form never needs the
+        # constant-group universe (a full distinct scan + extra join)
     )
     return g.agg(F.sort_array(F.collect_list("quantile")).alias("q"))
 
@@ -124,6 +126,7 @@ def grouped_exact_quantiles(
     round_dp: int = 6,
     num_partitions: int = 32,
     broadcast_probes: bool = True,
+    include_empty_groups: bool = True,
 ) -> DataFrame:
     """Exact interpolated quantiles PER GROUP without per-group windows or
     per-group value buffers: ``(group_cols..., p, quantile)`` long form.
@@ -140,7 +143,9 @@ def grouped_exact_quantiles(
     Contract notes:
     - groups whose values are all NULL (or empty after the NULL filter)
       still appear, with ``quantile`` NULL per probe — matching the
-      built-in per-group percentile's NULL result row;
+      built-in per-group percentile's NULL result row (the universe costs
+      one distinct + left join; pass ``include_empty_groups=False`` to
+      skip it when absent groups may simply be dropped);
     - the probe table is |groups|·|ps|·2 rows and is broadcast by
       default — the operator targets the few-groups × billions-of-rows
       regime; pass ``broadcast_probes=False`` for high group cardinality
@@ -229,6 +234,8 @@ def grouped_exact_quantiles(
             round_dp,
         ).alias("quantile"),
     )
+    if not include_empty_groups:
+        return computed
     # preserve all-NULL/empty groups with a NULL quantile per probe, like
     # the built-in per-group percentile does
     universe = (
