@@ -67,6 +67,10 @@ _DRIVER_PROVEN = {
 # want the driver to attempt them (numeric, so q80..q99 precede nothing
 # important). Round-3 additions (q121+) are likewise unproven and sort right
 # after these by name — 23 + 26 = 49 fits the driver's ~50-row cap.
+# ROUND 4: recompute _DRIVER_PROVEN as the green-row union of
+# CORRECTNESS_r01..r03 (q56-q58, q80-q99, q121-q146 should all be green in
+# r03), refresh _UNPROVEN_ORDER to whatever remains, and keep new queries
+# within the cap headroom.
 _UNPROVEN_ORDER = ["q56", "q57", "q58", *(f"q{i}" for i in range(80, 100))]
 
 
