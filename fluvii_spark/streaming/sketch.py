@@ -23,6 +23,7 @@ import math
 import sys
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from fluvii_spark.streaming.state import streaming_keyed_fold
 
@@ -44,10 +45,14 @@ def _run_keyed_sketch(
     out_fields: str,
     order_by: list[str] | None,
     backend: str,
+    timeout_ms: int | None = None,
+    on_timeout=None,
 ) -> DataFrame:
     """Shared dispatch for every sketch fold: backend selection, key-typed
     output schema, and a projection that keeps the order_by columns — one
-    place to fix instead of one copy per sketch."""
+    place to fix instead of one copy per sketch. ``timeout_ms``/
+    ``on_timeout`` arm per-key idle timers (v1 backend; v2 uses its own
+    ttl_ms contract)."""
     if backend == "v2":  # transformWithStateInPandas (typed state, RocksDB)
         from fluvii_spark.streaming.state_v2 import streaming_keyed_fold_v2
 
@@ -66,12 +71,21 @@ def _run_keyed_sketch(
             if c != key_col and c not in value_cols
         ),
     ]
+    kwargs = {}
+    if timeout_ms is not None:
+        if backend == "v2":
+            kwargs["ttl_ms"] = timeout_ms
+        else:
+            kwargs["timeout_ms"] = timeout_ms
+            if on_timeout is not None:
+                kwargs["on_timeout"] = on_timeout
     return fold(
         df.select(*cols),
         [key_col],
         app,
         output_schema=f"{key_col} {key_type}, {out_fields}",
         order_by=order_by,
+        **kwargs,
     )
 
 
@@ -276,6 +290,21 @@ def streaming_heavy_hitters(
     (fluvii/apps/transactions/transaction.py) mapped onto the state store.
     """
 
+    return _run_keyed_sketch(
+        df,
+        key_col,
+        [item_col],
+        _mg_app(key_col, item_col, m),
+        f"{item_col} string, est_count long, n_seen long, n_tracked long",
+        order_by,
+        backend,
+    )
+
+
+def _mg_app(key_col: str, item_col: str, m: int):
+    """The Misra-Gries per-message fold app, shared by the plain and the
+    windowed (trending) operators."""
+
     def app(txn) -> None:
         env = txn.read_table_entry() or {"n": 0, "c": {}}
         item = str(txn.value()[item_col])
@@ -292,12 +321,56 @@ def streaming_heavy_hitters(
             }
         )
 
-    return _run_keyed_sketch(
-        df,
-        key_col,
+    return app
+
+
+TREND_SEP = "\x1f"
+
+
+def streaming_trending(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    ts_col: str,
+    window: str = "1 hour",
+    m: int = MG_COUNTERS,
+    order_by: list[str] | None = None,
+    window_ttl_ms: int | None = None,
+    backend: str = "v1",
+) -> DataFrame:
+    """Windowed heavy hitters — the "trending now" view: Misra-Gries
+    counters per (key, event-time window), O(m) state per ACTIVE window.
+
+    Composes the proven :func:`streaming_heavy_hitters` fold over a
+    composite (key, window-start) state key, so each tumbling window gets
+    its own independent sketch — what a "top items this hour per
+    category" dashboard maintains. Pass ``window_ttl_ms`` to evict closed
+    windows after idling that long (total state then bounded by
+    m x |keys| x |windows inside the TTL horizon| instead of growing with
+    stream lifetime). Output columns: ``(key_col, window_start, item,
+    est_count, n_seen, n_tracked)`` per arrival.
+    """
+    win_start = F.window(F.col(ts_col), window).getField("start")
+    composite = F.concat_ws(
+        TREND_SEP, F.col(key_col).cast("string"), win_start.cast("string")
+    )
+    keyed = df.withColumn("_trend_key", composite)
+    out = _run_keyed_sketch(
+        keyed,
+        "_trend_key",
         [item_col],
-        app,
+        _mg_app("_trend_key", item_col, m),
         f"{item_col} string, est_count long, n_seen long, n_tracked long",
         order_by,
         backend,
+        timeout_ms=window_ttl_ms,
+    )
+    parts = F.split(F.col("_trend_key"), TREND_SEP)
+    return out.select(
+        parts.getItem(0).alias(key_col),
+        parts.getItem(1).cast("timestamp").alias("window_start"),
+        item_col,
+        "est_count",
+        "n_seen",
+        "n_tracked",
     )

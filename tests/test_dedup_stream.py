@@ -740,3 +740,72 @@ def test_streaming_quantile_survives_restart(spark, sf_dir, tmp_path):
         )
     assert got == want
     assert len(got) == len(rows)
+
+
+def test_streaming_trending_matches_python_fold(spark, sf_dir, tmp_path):
+    """Windowed heavy hitters: each (event_type, hour window) keeps its
+    OWN MG sketch; the emitted trajectory must equal a Python replay of
+    the shared fold keyed by (type, window-start)."""
+    from collections import defaultdict
+
+    from fluvii_spark.streaming.sketch import (
+        misra_gries_fold,
+        streaming_trending,
+    )
+
+    events = load_tables(spark, sf_dir).events.limit(3000)
+    items = events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("user_id") % 9).cast("string").alias("item"),
+    )
+    d = str(tmp_path / "trend_src")
+    items.coalesce(1).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    src = spark.readStream.schema(schema).parquet(d)
+    m_counters = 4
+    out = streaming_trending(
+        src,
+        "event_type",
+        "item",
+        ts_col="ts",
+        window="1 hour",
+        m=m_counters,
+        order_by=["ts", "event_id"],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .outputMode("append")
+        .queryName("trend_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_trend"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["event_type"], r["window_start"], r["n_seen"]): (
+            r["item"],
+            r["est_count"],
+            r["n_tracked"],
+        )
+        for r in spark.table("trend_stream").collect()
+    }
+
+    state: dict = defaultdict(lambda: {"n": 0, "c": {}})
+    want = {}
+    for r in sorted(items.collect(), key=lambda r: (r["ts"], r["event_id"])):
+        wstart = r["ts"].replace(minute=0, second=0, microsecond=0)
+        env = state[(r["event_type"], wstart)]
+        env["c"] = misra_gries_fold(env["c"], r["item"], m_counters)
+        env["n"] += 1
+        want[(r["event_type"], wstart, env["n"])] = (
+            r["item"],
+            env["c"].get(r["item"], 0),
+            len(env["c"]),
+        )
+    assert got == want
+    assert len(got) == items.count()
+    # multiple windows per key actually exist (independent sketches)
+    n_windows = len({(k, w) for (k, w, _) in got})
+    assert n_windows > len({k for (k, _, _) in got})
