@@ -39,7 +39,7 @@ KMV_K = 64
 
 def _run_keyed_sketch(
     df: DataFrame,
-    key_col: str,
+    key_cols: str | list[str],
     value_cols: list[str],
     app,
     out_fields: str,
@@ -50,25 +50,36 @@ def _run_keyed_sketch(
 ) -> DataFrame:
     """Shared dispatch for every sketch fold: backend selection, key-typed
     output schema, and a projection that keeps the order_by columns — one
-    place to fix instead of one copy per sketch. ``timeout_ms``/
-    ``on_timeout`` arm per-key idle timers (v1 backend; v2 uses its own
-    ttl_ms contract)."""
+    place to fix instead of one copy per sketch. Accepts a single key
+    column or a composite key list (the underlying folds group by
+    multi-column keys natively). ``timeout_ms``/``on_timeout`` arm per-key
+    idle timers (v1 backend; v2 maps timeout_ms onto its ttl contract and
+    REJECTS on_timeout, which it cannot honor)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if backend == "v2":  # transformWithStateInPandas (typed state, RocksDB)
+        if on_timeout is not None:
+            raise ValueError(
+                "on_timeout is not supported on the v2 backend (its ttl "
+                "drops state without a callback) — use backend='v1'"
+            )
         from fluvii_spark.streaming.state_v2 import streaming_keyed_fold_v2
 
         fold = streaming_keyed_fold_v2
     else:
         fold = streaming_keyed_fold
-    # derive the key's output type from the input schema — a bigint user_id
-    # must not be silently re-typed to string by the fold's output contract
-    key_type = df.schema[key_col].dataType.simpleString()
+    # derive each key's output type from the input schema — a bigint
+    # user_id must not be silently re-typed to string by the output
+    # contract
+    key_fields = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keys
+    )
     cols = [
-        key_col,
+        *keys,
         *value_cols,
         *(
             c
             for c in (order_by or [])
-            if c != key_col and c not in value_cols
+            if c not in keys and c not in value_cols
         ),
     ]
     kwargs = {}
@@ -81,9 +92,9 @@ def _run_keyed_sketch(
                 kwargs["on_timeout"] = on_timeout
     return fold(
         df.select(*cols),
-        [key_col],
+        keys,
         app,
-        output_schema=f"{key_col} {key_type}, {out_fields}",
+        output_schema=f"{key_fields}, {out_fields}",
         order_by=order_by,
         **kwargs,
     )
@@ -301,9 +312,11 @@ def streaming_heavy_hitters(
     )
 
 
-def _mg_app(key_col: str, item_col: str, m: int):
+def _mg_app(key_cols: str | list[str], item_col: str, m: int):
     """The Misra-Gries per-message fold app, shared by the plain and the
-    windowed (trending) operators."""
+    windowed (trending) operators. ``txn.key`` is a scalar for one key
+    column and a tuple for composite keys."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
 
     def app(txn) -> None:
         env = txn.read_table_entry() or {"n": 0, "c": {}}
@@ -311,20 +324,19 @@ def _mg_app(key_col: str, item_col: str, m: int):
         env["c"] = misra_gries_fold(env["c"], item, m)
         env["n"] += 1
         txn.update_table_entry(env)
-        txn.produce(
+        kv = txn.key if isinstance(txn.key, tuple) else (txn.key,)
+        row = dict(zip(keys, kv))
+        row.update(
             {
-                key_col: txn.key,
                 item_col: item,
                 "est_count": env["c"].get(item, 0),
                 "n_seen": env["n"],
                 "n_tracked": len(env["c"]),
             }
         )
+        txn.produce(row)
 
     return app
-
-
-TREND_SEP = "\x1f"
 
 
 def streaming_trending(
@@ -341,36 +353,31 @@ def streaming_trending(
     """Windowed heavy hitters — the "trending now" view: Misra-Gries
     counters per (key, event-time window), O(m) state per ACTIVE window.
 
-    Composes the proven :func:`streaming_heavy_hitters` fold over a
-    composite (key, window-start) state key, so each tumbling window gets
-    its own independent sketch — what a "top items this hour per
-    category" dashboard maintains. Pass ``window_ttl_ms`` to evict closed
-    windows after idling that long (total state then bounded by
-    m x |keys| x |windows inside the TTL horizon| instead of growing with
-    stream lifetime). Output columns: ``(key_col, window_start, item,
-    est_count, n_seen, n_tracked)`` per arrival.
+    Runs the proven :func:`streaming_heavy_hitters` fold over the NATIVE
+    composite key (key_col, window_start) — the state folds support
+    multi-column keys directly, so NULL keys, arbitrary key contents, and
+    the key's dtype all round-trip exactly (no string-concat encoding).
+    Output columns: ``(key_col, window_start, item, est_count, n_seen,
+    n_tracked)`` per arrival; rows with a NULL event time are dropped
+    (they belong to no window).
+
+    ``window_ttl_ms`` is a PROCESSING-TIME idle timer per (key, window):
+    a sketch that sees no arrivals for that long is evicted, bounding
+    total state by the TTL horizon instead of stream lifetime. Set it
+    comfortably above the window duration plus the largest expected
+    arrival gap — an ACTIVE window that idles past the TTL is evicted
+    too, and its next arrival restarts the sketch from empty.
     """
-    win_start = F.window(F.col(ts_col), window).getField("start")
-    composite = F.concat_ws(
-        TREND_SEP, F.col(key_col).cast("string"), win_start.cast("string")
+    keyed = df.filter(F.col(ts_col).isNotNull()).withColumn(
+        "window_start", F.window(F.col(ts_col), window).getField("start")
     )
-    keyed = df.withColumn("_trend_key", composite)
-    out = _run_keyed_sketch(
+    return _run_keyed_sketch(
         keyed,
-        "_trend_key",
+        [key_col, "window_start"],
         [item_col],
-        _mg_app("_trend_key", item_col, m),
+        _mg_app([key_col, "window_start"], item_col, m),
         f"{item_col} string, est_count long, n_seen long, n_tracked long",
         order_by,
         backend,
         timeout_ms=window_ttl_ms,
-    )
-    parts = F.split(F.col("_trend_key"), TREND_SEP)
-    return out.select(
-        parts.getItem(0).alias(key_col),
-        parts.getItem(1).cast("timestamp").alias("window_start"),
-        item_col,
-        "est_count",
-        "n_seen",
-        "n_tracked",
     )

@@ -794,8 +794,14 @@ def test_streaming_trending_matches_python_fold(spark, sf_dir, tmp_path):
 
     state: dict = defaultdict(lambda: {"n": 0, "c": {}})
     want = {}
-    for r in sorted(items.collect(), key=lambda r: (r["ts"], r["event_id"])):
-        wstart = r["ts"].replace(minute=0, second=0, microsecond=0)
+    # compute the expected window starts IN SPARK so both sides go through
+    # the same epoch-aligned windowing and timestamp-collection path (a
+    # python .replace(minute=0) would assume whole-hour OS tz offsets)
+    wref = items.withColumn(
+        "wstart", F.window("ts", "1 hour").getField("start")
+    )
+    for r in sorted(wref.collect(), key=lambda r: (r["ts"], r["event_id"])):
+        wstart = r["wstart"]
         env = state[(r["event_type"], wstart)]
         env["c"] = misra_gries_fold(env["c"], r["item"], m_counters)
         env["n"] += 1
