@@ -33,6 +33,7 @@ from fluvii_spark.streaming.sketch import (  # noqa: E402
     streaming_heavy_hitters,
     streaming_kmv_distinct,
     streaming_quantile,
+    streaming_trending,
 )
 
 
@@ -96,6 +97,23 @@ def main() -> None:
                 order_by=["ts", "event_id"],
             ),
         ),
+        (
+            "trend",
+            streaming_trending(
+                replay().select(
+                    "event_type",
+                    "ts",
+                    "event_id",
+                    (F.col("user_id") % 10).cast("string").alias("item"),
+                ),
+                "event_type",
+                "item",
+                ts_col="ts",
+                window="1 day",
+                m=3,
+                order_by=["ts", "event_id"],
+            ),
+        ),
     ]
     for name, out in runs:
         q = (
@@ -141,6 +159,19 @@ def main() -> None:
         F.expr("percentile(value, 0.5)").alias("exact_median")
     )
     mrl.join(exact, "event_type").orderBy("event_type").show(truncate=False)
+
+    print("== Trending: top tracked item per (type, day window) ==")
+    spark.sql(
+        """
+        SELECT event_type, window_start,
+               max_by(item, n_seen) AS last_item,
+               max(n_seen) AS n_in_window,
+               max_by(n_tracked, n_seen) AS n_tracked
+        FROM demo_trend
+        GROUP BY event_type, window_start
+        ORDER BY event_type, window_start
+        """
+    ).show(8, truncate=False)
 
 
 if __name__ == "__main__":
