@@ -231,3 +231,45 @@ def test_ngram_pair_stats_matches_set_arithmetic(spark, token_lists):
         c, na, nb = expect[(r["id_a"], r["id_b"])]
         assert r["containment"] == pytest.approx(c / min(na, nb))
     stats.unpersist()
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=600,
+    ),
+    st.sampled_from([4, 8, 16]),
+    st.sampled_from([0.1, 0.5, 0.9]),
+)
+@settings(max_examples=60, deadline=None)
+def test_mrl_fold_rank_error_and_state_bound(xs, k, q):
+    """Property: for ANY finite input stream and probe point, the MRL fold's
+    estimate is an input value whose rank error is within the classic MRL
+    bound, and stored state stays O(k·log n)."""
+    import math
+
+    from fluvii_spark.streaming.sketch import mrl_insert, mrl_quantile
+
+    levels: list[list[float]] = [[]]
+    for x in xs:
+        mrl_insert(levels, float(x), k)
+    est = mrl_quantile(levels, q)
+    n = len(xs)
+    assert est in set(float(x) for x in xs)
+    xs_sorted = sorted(float(x) for x in xs)
+    # rank of the estimate (upper rank over duplicates)
+    rank = sum(1 for v in xs_sorted if v <= est)
+    target = q * n
+    eps = math.log2(max(n / k, 2)) / (2 * k)
+    assert abs(rank - target) <= max(eps * n, 1) + k, (n, k, q, rank)
+    stored = sum(len(b) for b in levels)
+    assert stored <= 2 * k * (math.log2(max(n, 2)) + 2)
+    # levels stay sorted (the invariant the merge-based query relies on)
+    for buf in levels:
+        assert buf == sorted(buf)
