@@ -273,3 +273,33 @@ def test_mrl_fold_rank_error_and_state_bound(xs, k, q):
     # levels stay sorted (the invariant the merge-based query relies on)
     for buf in levels:
         assert buf == sorted(buf)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=30).map(str),
+        min_size=1,
+        max_size=800,
+    ),
+    st.sampled_from([2, 4, 8]),
+)
+@settings(max_examples=60, deadline=None)
+def test_misra_gries_fold_guarantees(items, m):
+    """Property: after ANY stream, (a) every item with true count > n/m is
+    tracked, (b) every tracked estimate lies in [true - n/m, true],
+    (c) at most m counters exist."""
+    from collections import Counter
+
+    from fluvii_spark.streaming.sketch import misra_gries_fold
+
+    st_: dict = {}
+    for it in items:
+        st_ = misra_gries_fold(st_, it, m)
+    n = len(items)
+    truth = Counter(items)
+    assert len(st_) <= m
+    for it, cnt in truth.items():
+        if cnt > n / m:
+            assert it in st_, (it, cnt, n, m)
+    for it, est in st_.items():
+        assert truth[it] - n / m <= est <= truth[it], (it, est, truth[it])
