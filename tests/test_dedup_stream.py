@@ -815,3 +815,81 @@ def test_streaming_trending_matches_python_fold(spark, sf_dir, tmp_path):
     # multiple windows per key actually exist (independent sketches)
     n_windows = len({(k, w) for (k, w, _) in got})
     assert n_windows > len({k for (k, _, _) in got})
+
+
+def test_streaming_trending_with_ttl_still_correct(spark, sf_dir, tmp_path):
+    """TTL armed (long horizon): a fast replay must produce the identical
+    trajectory as the TTL-free run — exercises the timer wiring end to end
+    without any window idling long enough to evict.
+
+    ProcessingTimeTimeout makes the engine spin no-data micro-batches to
+    evaluate timers, so processAllAvailable never settles — poll the sink
+    for the expected row count instead, then stop."""
+    import time as _time
+    from collections import defaultdict
+
+    from fluvii_spark.streaming.sketch import (
+        misra_gries_fold,
+        streaming_trending,
+    )
+
+    events = load_tables(spark, sf_dir).events.limit(800)
+    items = events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("user_id") % 5).cast("string").alias("item"),
+    )
+    d = str(tmp_path / "trend_ttl_src")
+    items.coalesce(1).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    src = spark.readStream.schema(schema).parquet(d)
+    out = streaming_trending(
+        src,
+        "event_type",
+        "item",
+        ts_col="ts",
+        window="1 day",
+        m=3,
+        order_by=["ts", "event_id"],
+        window_ttl_ms=3_600_000,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .outputMode("append")
+        .queryName("trend_ttl")
+        .option("checkpointLocation", str(tmp_path / "ck_trend_ttl"))
+        .start()
+    )
+    n_expected = items.count()
+    deadline = _time.time() + 120
+    try:
+        while _time.time() < deadline:
+            if spark.table("trend_ttl").count() >= n_expected:
+                break
+            _time.sleep(2)
+    finally:
+        q.stop()
+    got = {
+        (r["event_type"], r["window_start"], r["n_seen"]): (
+            r["item"],
+            r["est_count"],
+            r["n_tracked"],
+        )
+        for r in spark.table("trend_ttl").collect()
+    }
+    state: dict = defaultdict(lambda: {"n": 0, "c": {}})
+    want = {}
+    wref = items.withColumn(
+        "wstart", F.window("ts", "1 day").getField("start")
+    )
+    for r in sorted(wref.collect(), key=lambda r: (r["ts"], r["event_id"])):
+        env = state[(r["event_type"], r["wstart"])]
+        env["c"] = misra_gries_fold(env["c"], r["item"], 3)
+        env["n"] += 1
+        want[(r["event_type"], r["wstart"], env["n"])] = (
+            r["item"],
+            env["c"].get(r["item"], 0),
+            len(env["c"]),
+        )
+    assert got == want

@@ -303,3 +303,41 @@ def test_misra_gries_fold_guarantees(items, m):
             assert it in st_, (it, cnt, n, m)
     for it, est in st_.items():
         assert truth[it] - n / m <= est <= truth[it], (it, est, truth[it])
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=0.0,
+            max_value=1.0,
+            exclude_max=True,
+            allow_nan=False,
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_kmv_fold_order_invariance(hashes, rnd):
+    """Property: the KMV k-min state after ANY insertion order (with
+    duplicates re-inserted) equals sorted(set(hashes))[:k] — the
+    commutativity + replay-idempotence claim the streaming operator's
+    exactly-once story rests on."""
+    import bisect
+
+    k = 16
+
+    def fold(seq):
+        st_: list[float] = []
+        for h in seq:
+            i = bisect.bisect_left(st_, h)
+            if not (i < len(st_) and st_[i] == h):
+                st_.insert(i, h)
+                del st_[k:]
+        return st_
+
+    shuffled = list(hashes) + list(hashes)[: len(hashes) // 2]  # replays
+    rnd.shuffle(shuffled)
+    assert fold(shuffled) == sorted(set(hashes))[:k]
+    assert fold(hashes) == fold(sorted(hashes, reverse=True))
