@@ -118,7 +118,11 @@ def ngram_pair_stats(
     key-partitioned. ``max_doc_freq`` as in :func:`ngram_jaccard_pairs`.
     """
     if max_doc_freq == "auto":
-        n_docs = df.count()
+        # Metadata-only estimate (no job at plan-build time). The fallback
+        # over-estimates wide document rows, which errs toward APPLYING the
+        # df-cut — the scale-safe direction (same routing rule as
+        # embedding_near_dup_pairs below).
+        n_docs = _estimate_rows(df)
         max_doc_freq = (
             max(256, int(n_docs * 0.0005))
             if n_docs > AUTO_DF_CUT_MIN_DOCS
@@ -598,17 +602,15 @@ EXACT_EMBED_MAX_ROWS = 200_000
 def _estimate_rows(df: DataFrame) -> int:
     """Metadata-only row estimate — submits NO Spark job.
 
-    Optimized-plan ``rowCount`` when the source carries it (ANALYZE'd tables,
-    in-memory relations); else ``sizeInBytes // 100`` — a deliberate
-    row-count OVER-estimate for wide embedding rows, so size-based routing
-    errs toward the bucketed (scale-safe) path rather than pulling an
-    oversized corpus through one exact GEMM group.
+    Delegates to :func:`fluvii_spark.operators.stats.estimate_rows`; the
+    ``sizeInBytes // 100`` fallback is a deliberate row-count OVER-estimate
+    for wide embedding rows, so size-based routing errs toward the bucketed
+    (scale-safe) path rather than pulling an oversized corpus through one
+    exact GEMM group.
     """
-    stats = df._jdf.queryExecution().optimizedPlan().stats()
-    rc = stats.rowCount()
-    if rc.isDefined():
-        return int(str(rc.get()))
-    return int(str(stats.sizeInBytes())) // 100
+    from fluvii_spark.operators.stats import estimate_rows
+
+    return estimate_rows(df)
 
 
 def _gemm_pairs(

@@ -243,4 +243,13 @@ def grouped_exact_quantiles(
         .distinct()
         .select(*group_cols, F.explode(ps_arr).alias("p"))
     )
-    return universe.join(computed, [*group_cols, "p"], "left")
+    # null-safe equality on the group columns: groupBy treats NULL as a valid
+    # group key, so a NULL-keyed group's computed quantile must match its
+    # universe row (plain `=` would drop it and report quantile NULL).
+    cond = [universe[c].eqNullSafe(computed[c]) for c in group_cols]
+    cond.append(universe["p"] == computed["p"])
+    return universe.join(computed, cond, "left").select(
+        *[universe[c] for c in group_cols],
+        universe["p"],
+        computed["quantile"],
+    )

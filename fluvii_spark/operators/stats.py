@@ -1,0 +1,46 @@
+"""Metadata-only plan statistics — sizing decisions without submitting jobs.
+
+Several operators route between physical strategies based on input size
+(exact GEMM vs LSH buckets, document-frequency cuts, recursion-anchor
+partitioning). Doing that with ``df.count()`` submits a full-scan Spark job
+at *plan-build* time — a scan of the 100 TB input before the query even
+starts. Instead these helpers read Catalyst's optimized-plan statistics
+(``rowCount`` when available, else ``sizeInBytes``), which come from file
+footers / ANALYZE metadata and cost no job.
+
+The ``sizeInBytes // 100`` fallback deliberately OVER-estimates row count
+for wide rows (documents, embeddings): callers use it to decide whether a
+scale-guard (df-cut, bucketing, extra partitions) applies, and over-counting
+errs toward applying the guard — the safe direction at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def estimate_rows(df: DataFrame) -> int:
+    """Metadata-only row estimate — submits NO Spark job.
+
+    Optimized-plan ``rowCount`` when the source carries it (ANALYZE'd tables,
+    in-memory relations); else ``sizeInBytes // 100``.
+    """
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return int(str(rc.get()))
+    return int(str(stats.sizeInBytes())) // 100
+
+
+def partitions_for_rows(
+    rows: int, rows_per_partition: int = 4_000_000, max_partitions: int = 10_000
+) -> int:
+    """Partition count for a relation of ``rows`` rows: ~1 partition per
+    ``rows_per_partition``, clamped to [1, max_partitions].
+
+    Used to size REPARTITION hints whose right value scales with the input —
+    e.g. a recursive-CTE anchor where each UnionLoop iteration is a narrow
+    map and per-task scheduling dominates at small frontiers, while a single
+    partition would serialize the whole frontier at cluster scale.
+    """
+    return max(1, min((rows + rows_per_partition - 1) // rows_per_partition, max_partitions))

@@ -49,29 +49,26 @@ def register(
 
 
 # Queries with a green driver-correctness row (rows+schema+hash all true) in
-# CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json. The driver harness records at
-# most ~50 rows per round, so ordering matters — registry() lists
-# not-yet-driver-proven queries FIRST so a capped harness proves new ground
-# each round, while a full run still covers all. Exact set recomputed from the
-# committed correctness artifacts for round 3 (q57's r1 row was
-# `err: no_oracle` — NOT proven; q56/q58 failed in r2; q80–q99 never got a
-# row because the old lexicographic sort placed q100+ ahead of them).
+# CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json ∪ CORRECTNESS_r03.json. The
+# driver harness records at most ~50 rows per round, so ordering matters —
+# registry() lists not-yet-driver-proven queries FIRST so a capped harness
+# proves new ground each round, while a full run still covers all. After r3
+# every registered query q01..q146 has a green row, BUT q118 and q120 were
+# redefined in r3 *after* their last (r2) green row — their driver proof
+# predates the current code, so they are deliberately re-queued for a fresh
+# r4 row (VERDICT r3 "Next round" #1).
 _DRIVER_PROVEN = {
-    *(f"q{i:02d}" for i in range(1, 56)),   # q01..q55 (r1+r2)
-    "q59", "q60",                            # r1
-    *(f"q{i:02d}" for i in range(61, 80)),  # q61..q79 (r2)
-    *(f"q{i}" for i in range(100, 121)),    # q100..q120 (r2)
-}
+    *(f"q{i:02d}" for i in range(1, 100)),  # q01..q99 (r1+r2+r3)
+    *(f"q{i}" for i in range(100, 147)),    # q100..q146 (r2+r3)
+} - {"q118", "q120", "q135", "q34", "q106"}
 
-# The 23 r1/r2 queries still awaiting a green driver row, in the order we
-# want the driver to attempt them (numeric, so q80..q99 precede nothing
-# important). Round-3 additions (q121+) are likewise unproven and sort right
-# after these by name — 23 + 26 = 49 fits the driver's ~50-row cap.
-# ROUND 4: recompute _DRIVER_PROVEN as the green-row union of
-# CORRECTNESS_r01..r03 (q56-q58, q80-q99, q121-q146 should all be green in
-# r03), refresh _UNPROVEN_ORDER to whatever remains, and keep new queries
-# within the cap headroom.
-_UNPROVEN_ORDER = ["q56", "q57", "q58", *(f"q{i}" for i in range(80, 100))]
+# Queries awaiting a green driver row against their *current* code, in the
+# order the driver should attempt them: q118/q120 (redefined in r3 after
+# their last green row), then the round-4 touch-ups (q135 zero-vector guard;
+# q34/q106 auto df-cut now metadata-only). Any round-4 additions sort right
+# after by name. Keep the total unproven count within the driver's ~50-row
+# cap.
+_UNPROVEN_ORDER = ["q118", "q120", "q135", "q34", "q106"]
 
 
 def _prefix(name: str) -> str:

@@ -96,6 +96,7 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mx AS (
       SELECT vec_id, 127.0 / MAX(abs(x)) AS scale FROM comp GROUP BY vec_id
+      HAVING MAX(abs(x)) > 0
     ),
     q AS (
       SELECT c.vec_id, c.label, c.x, m.scale,
@@ -117,7 +118,10 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
     "[-127,127]) with exact reconstruction-MSE accounting per label — the "
     "compression / recall-budget trade every vector store makes. Pure "
     "explode + hash aggregates; both engines run the identical IEEE "
-    "expression tree so the oracle checks the quantizer itself",
+    "expression tree so the oracle checks the quantizer itself. All-zero "
+    "vectors are excluded identically on both sides (HAVING max_abs > 0): "
+    "their scale is 127/0, where Spark's non-ANSI division yields NULL but "
+    "DuckDB's IEEE float division yields inf — the engines would diverge",
     ("llm", "similarity", "multimodal"),
 )
 def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,8 +133,11 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim", "x"
         ),
     )
-    mx = comp.groupBy("vec_id").agg(
-        (F.lit(127.0) / F.max(F.abs("x"))).alias("scale")
+    mx = (
+        comp.groupBy("vec_id")
+        .agg(F.max(F.abs("x")).alias("max_abs"))
+        .filter(F.col("max_abs") > 0)  # drop all-zero vectors (see oracle)
+        .select("vec_id", (F.lit(127.0) / F.col("max_abs")).alias("scale"))
     )
     q = comp.join(mx, "vec_id").withColumn(
         "qv",

@@ -535,18 +535,22 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     "The anchor carries a REPARTITION hint sized to the frontier: each "
     "UnionLoop iteration is a narrow map whose cost is per-task scheduling, "
     "so a 5k-row frontier in one partition cuts the 17-iteration walk from "
-    "12.6 s to ~0.9 s at sf0.1 (size the hint up with the frontier at "
-    "cluster scale — ~1 partition per few million frontier rows)",
+    "12.6 s to ~0.9 s at sf0.1. The hint is computed from metadata-only "
+    "plan stats (~1 partition per 4M frontier rows, no job submitted), so "
+    "it scales with the input instead of serializing a 100 TB frontier "
+    "through one partition",
     ("relational", "recursive"),
 )
 def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluvii_spark.io.readers import register_temp_views
+    from fluvii_spark.operators.stats import estimate_rows, partitions_for_rows
 
     register_temp_views(spark, sf_dir)
+    anchor_parts = partitions_for_rows(estimate_rows(spark.table("documents")))
     return spark.sql(
-        """
+        f"""
         WITH RECURSIVE chain(doc_id, anc, depth) AS (
-          SELECT /*+ REPARTITION(1) */ doc_id, doc_id, 0 FROM documents
+          SELECT /*+ REPARTITION({anchor_parts}) */ doc_id, doc_id, 0 FROM documents
           UNION ALL
           SELECT c.doc_id, c.anc DIV 2, c.depth + 1 FROM chain c WHERE c.anc > 0
         ),

@@ -294,6 +294,13 @@ def streaming_heavy_hitters(
     (est_count = the arriving item's current counter, 0 if it was absorbed
     by a decrement round).
 
+    NULL items are skipped entirely (no state change, no emission), like
+    :func:`streaming_quantile`'s NULL-skip. Non-string item columns are
+    deliberately stringified in the output: MG counters live as dict keys in
+    the JSON-serialized state entry, so the item's state identity IS its
+    string form — emitting the same form keeps output == state. Cast
+    upstream if a typed item column is required downstream.
+
     Unlike KMV (insertion commutes) the MG fold is order-sensitive, so pass
     ``order_by`` for a deterministic trajectory; state commits atomically
     with each micro-batch so restart/replay re-applies to the pre-batch
@@ -319,8 +326,14 @@ def _mg_app(key_cols: str | list[str], item_col: str, m: int):
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
 
     def app(txn) -> None:
+        raw = txn.value()[item_col]
+        if raw is None:
+            # NULL items are skipped entirely (no state change, no emission),
+            # mirroring streaming_quantile's NULL-skip — str(None) would
+            # count the literal 'None' as a real heavy-hitter key.
+            return
         env = txn.read_table_entry() or {"n": 0, "c": {}}
-        item = str(txn.value()[item_col])
+        item = str(raw)
         env["c"] = misra_gries_fold(env["c"], item, m)
         env["n"] += 1
         txn.update_table_entry(env)

@@ -893,3 +893,40 @@ def test_streaming_trending_with_ttl_still_correct(spark, sf_dir, tmp_path):
             len(env["c"]),
         )
     assert got == want
+
+
+def test_streaming_heavy_hitters_skips_null_items(spark, tmp_path):
+    """NULL items must be skipped (no state change, no emission) — not
+    stringified to the literal 'None' and counted as a real heavy-hitter
+    key (ADVICE r3)."""
+    from fluvii_spark.streaming.sketch import streaming_heavy_hitters
+
+    df = spark.createDataFrame(
+        [
+            ("k", "a", 1),
+            ("k", None, 2),
+            ("k", "a", 3),
+            ("k", None, 4),
+            ("k", "b", 5),
+        ],
+        "g string, item string, seq long",
+    )
+    d = str(tmp_path / "null_items")
+    df.coalesce(1).write.parquet(d)
+    src = spark.readStream.schema(df.schema).parquet(d)
+    out = streaming_heavy_hitters(src, "g", "item", m=4, order_by=["seq"])
+    q = (
+        out.writeStream.format("memory")
+        .outputMode("append")
+        .queryName("mg_nulls")
+        .option("checkpointLocation", str(tmp_path / "ck_nulls"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("mg_nulls").collect()
+    assert len(rows) == 3  # only the 3 non-NULL arrivals emit
+    assert all(r["item"] in ("a", "b") for r in rows)
+    # n_seen counts only non-NULL arrivals, in seq order
+    got = {(r["n_seen"]): (r["item"], r["est_count"]) for r in rows}
+    assert got == {1: ("a", 1), 2: ("a", 2), 3: ("b", 1)}

@@ -709,3 +709,29 @@ def test_grouped_exact_quantiles_match_builtin(spark, sf_dir):
         grouped_exact_quantiles(
             df.withColumnRenamed("g", "p"), ["p"], "x", [0.5]
         )
+
+
+def test_grouped_exact_quantiles_null_group_key(spark):
+    """A NULL group KEY (not value) is a valid group to groupBy — the
+    include_empty_groups universe join must be null-safe on the group
+    columns so the NULL-keyed group's computed quantile survives instead
+    of silently becoming NULL (ADVICE r3)."""
+    from fluvii_spark.operators.ranking import grouped_exact_quantiles
+
+    df = spark.createDataFrame(
+        [(None, 10.0), (None, 20.0), ("a", 4.0), ("a", 6.0)],
+        "g string, x double",
+    )
+    got = {
+        (r["g"], r["p"]): r["quantile"]
+        for r in grouped_exact_quantiles(df, ["g"], "x", [0.5]).collect()
+    }
+    assert got == {(None, 0.5): 15.0, ("a", 0.5): 5.0}
+    # and with include_empty_groups=False the same values come through
+    got2 = {
+        (r["g"], r["p"]): r["quantile"]
+        for r in grouped_exact_quantiles(
+            df, ["g"], "x", [0.5], include_empty_groups=False
+        ).collect()
+    }
+    assert got2 == got

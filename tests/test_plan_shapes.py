@@ -254,3 +254,56 @@ def test_rolling_active_users_equi_join_only(explain):
     assert "Generate" in p, p  # the sequence() explode
     assert "NestedLoop" not in p and "CartesianProduct" not in p, p
     assert p.count("HashAggregate") >= 4, p  # distinct + count partials
+
+
+def test_recursive_anchor_partitions_scale_with_input(spark, sf_dir):
+    """q118's recursion-anchor REPARTITION hint must come from plan stats:
+    ~1 partition per 4M frontier rows, never a hardcoded literal. At test
+    scale that is 1 partition; at 100 TB (simulated row counts) it must
+    grow with the input instead of serializing the frontier."""
+    from fluvii_spark.operators.stats import (
+        estimate_rows,
+        partitions_for_rows,
+    )
+
+    # the helper the query uses: scales and clamps
+    assert partitions_for_rows(5_000) == 1
+    assert partitions_for_rows(4_000_000) == 1
+    assert partitions_for_rows(4_000_001) == 2
+    assert partitions_for_rows(400_000_000) == 100
+    assert partitions_for_rows(10**15) == 10_000  # clamp, never unbounded
+    # estimate_rows is metadata-only and sane on the real table
+    from fluvii_spark.io.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    est = estimate_rows(docs)
+    assert est > 0
+    # the query's anchor hint at this scale: small table -> 1 partition
+    p = plan(spark, sf_dir, "q118_recursive_hierarchy")
+    import re
+
+    hints = re.findall(r"REPARTITION\((\d+)\)", p)
+    # the hint may be folded into an Exchange; assert via the source instead
+    anchor = partitions_for_rows(est)
+    assert anchor == 1, (est, anchor)
+    if hints:
+        assert int(hints[0]) == anchor
+
+
+def test_ngram_auto_cut_submits_no_job(spark, sf_dir):
+    """ngram_pair_stats(max_doc_freq='auto') routing must be metadata-only
+    (plan stats), never an eager df.count() — building the q34/q106 plans
+    submits ZERO Spark jobs."""
+    from fluvii_spark.io.readers import load_table
+    from fluvii_spark.operators.dedup import ngram_pair_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc = spark.sparkContext
+    sc.setJobGroup("ngram-routing-test", "metadata-only df-cut guard")
+    try:
+        df = ngram_pair_stats(docs)  # lazy plan only
+        assert df is not None
+        jobs = sc.statusTracker().getJobIdsForGroup("ngram-routing-test")
+        assert list(jobs) == [], f"auto df-cut submitted jobs: {list(jobs)}"
+    finally:
+        sc.setJobGroup("", "")
