@@ -103,19 +103,59 @@ def consume_cmd(ctx: click.Context, topics_json: str, output: str) -> None:
 
 
 @topics.command("produce")
-@click.option("--input", "input_path", required=True, help="JSON dump path")
+@click.option(
+    "--input",
+    "input_path",
+    default="-",
+    help="JSON dump path, or - to pipe messages via stdin "
+    "(reference parity: fluvii/cli/commands/topics.py:100-111)",
+)
 @click.option("--topic-override", default=None)
+@click.option(
+    "--use-given-partitions",
+    is_flag=True,
+    help="honor each message's explicit partition (reference flag)",
+)
+@click.option(
+    "--binary-base64",
+    is_flag=True,
+    help="key/value are base64 (dumps written by `topics consume`)",
+)
 @click.pass_context
-def produce_cmd(ctx: click.Context, input_path: str, topic_override: str | None) -> None:
+def produce_cmd(
+    ctx: click.Context,
+    input_path: str,
+    topic_override: str | None,
+    use_given_partitions: bool,
+    binary_base64: bool,
+) -> None:
     """A6: bulk produce a JSON dump back to Kafka."""
+    import tempfile
+
     from fluvii_spark.io.kafka import produce_from_json
     from fluvii_spark.session import get_session
 
+    if input_path == "-":
+        # stdin carries a JSON array of message dicts (the reference's
+        # piped form); spark.read.json wants files, so stage to a temp
+        # file as JSON Lines
+        messages = json.load(sys.stdin)
+        if not isinstance(messages, list):
+            messages = [messages]
+        tmp = tempfile.NamedTemporaryFile(
+            "w", suffix=".json", delete=False
+        )
+        with tmp:
+            for m in messages:
+                tmp.write(json.dumps(m) + "\n")
+        input_path = tmp.name
     produce_from_json(
         get_session("fluvii-spark-cli"),
         ctx.obj["bootstrap_servers"],
         input_path,
         topic_override=topic_override,
+        use_given_partitions=use_given_partitions,
+        binary_base64=binary_base64,
     )
     click.echo(json.dumps({"produced_from": input_path}))
 

@@ -31,6 +31,7 @@ from typing import Any
 import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 try:  # ship this module's helpers (murmur3_32) by value to executors
     from pyspark import cloudpickle as _cp
@@ -431,27 +432,96 @@ def dump_topics_to_json(
     out.write.mode("overwrite").json(path)
 
 
+def produce_messages_frame(
+    df: DataFrame,
+    topic_override: str | None = None,
+    use_given_partitions: bool = False,
+    binary_base64: bool = False,
+) -> DataFrame:
+    """Shape a dumped-message frame into the Kafka writer's column contract.
+
+    The pure half of A6 bulk produce (testable without a broker): selects
+    ``key``/``value`` (binary), ``topic`` (with override), ``headers``
+    (string-map dump form → the writer's ``array<struct<key,value:binary>>``),
+    and — when ``use_given_partitions`` — the explicit ``partition`` column,
+    mirroring the reference's keyset
+    (``fluvii/kafka_tools/fluvii_toolbox.py:209-229``). Headers whose value
+    is NULL for a row (keys absent from that message) are dropped, so a
+    dump→produce round-trip preserves exactly the headers each message had.
+
+    ``binary_base64``: Spark's JSON writer base64-encodes binary columns, so
+    a dump produced by :func:`dump_topics_to_json` reads back as base64
+    strings — pass True to ``unbase64`` them back to the original bytes.
+    Hand-authored JSON with plain-string keys/values keeps the default
+    (UTF-8 cast), matching the reference's string-key produce path.
+    """
+    cols = []
+    for name in ("key", "value"):
+        if name in df.columns:
+            src = F.unbase64(F.col(name).cast("string")) if binary_base64 \
+                else F.col(name).cast("binary")
+            cols.append(src.alias(name))
+    if topic_override:
+        cols.append(F.lit(topic_override).alias("topic"))
+    elif "topic" in df.columns:
+        cols.append(F.col("topic"))
+    if "headers" in df.columns:
+        htyp = df.schema["headers"].dataType
+        if isinstance(htyp, T.MapType):
+            entries = F.map_entries("headers")
+        else:  # spark.read.json infers a struct of observed header keys
+            entries = F.array(
+                *[
+                    F.struct(
+                        F.lit(fld.name).alias("key"),
+                        F.col(f"headers.{fld.name}").alias("value"),
+                    )
+                    for fld in htyp.fields
+                ]
+            )
+        cols.append(
+            F.expr(
+                "filter(__hdr_entries, h -> h.value is not null)"
+            ).alias("headers")
+        )
+        df = df.withColumn(
+            "__hdr_entries",
+            F.transform(
+                entries,
+                lambda h: F.struct(
+                    h["key"].alias("key"),
+                    h["value"].cast("string").cast("binary").alias("value"),
+                ),
+            ),
+        )
+    if use_given_partitions and "partition" in df.columns:
+        cols.append(F.col("partition").cast("int").alias("partition"))
+    return df.select(*cols)
+
+
 def produce_from_json(
     spark: SparkSession,
     bootstrap_servers: str,
     path: str,
     topic_override: str | None = None,
+    use_given_partitions: bool = False,
+    binary_base64: bool = False,
     extra_options: dict[str, str] | None = None,
 ) -> None:
-    """A6: bulk produce a JSON dump (list of {key,value,headers,topic})
-    back to Kafka (``fluvii_toolbox.py:209-229``)."""
-    df = spark.read.json(path)
-    cols = []
-    for name, typ in [("key", "binary"), ("value", "binary")]:
-        if name in df.columns:
-            cols.append(F.col(name).cast(typ).alias(name))
-    if topic_override:
-        cols.append(F.lit(topic_override).alias("topic"))
-    elif "topic" in df.columns:
-        cols.append(F.col("topic"))
+    """A6: bulk produce a JSON dump (list of {key,value,headers,topic
+    [,partition]}) back to Kafka (``fluvii_toolbox.py:209-229``). Headers
+    round-trip from the dump's string-map form; ``use_given_partitions``
+    forwards each message's explicit partition like the reference flag;
+    ``binary_base64=True`` for dumps written by :func:`dump_topics_to_json`
+    (binary → base64 in JSON)."""
+    out = produce_messages_frame(
+        spark.read.json(path),
+        topic_override=topic_override,
+        use_given_partitions=use_given_partitions,
+        binary_base64=binary_base64,
+    )
     w = (
-        df.select(*cols)
-        .write.format("kafka")
+        out.write.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
     )
     for k, v in (extra_options or {}).items():

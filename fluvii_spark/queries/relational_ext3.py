@@ -896,6 +896,9 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("relational", "json", "variant"),
 )
 def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.session import require_spark
+
+    require_spark(spark, (4, 0), "q92 VARIANT (parse_json/variant_get)")
     t = load_tables(spark, sf_dir)
     v = t.events.select(
         F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k")

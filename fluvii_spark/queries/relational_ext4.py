@@ -544,7 +544,9 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluvii_spark.io.readers import register_temp_views
     from fluvii_spark.operators.stats import estimate_rows, partitions_for_rows
+    from fluvii_spark.session import require_spark
 
+    require_spark(spark, (4, 0), "q118 recursive CTE (WITH RECURSIVE)")
     register_temp_views(spark, sf_dir)
     anchor_parts = partitions_for_rows(estimate_rows(spark.table("documents")))
     return spark.sql(

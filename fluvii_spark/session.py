@@ -52,6 +52,31 @@ PERF_CONFS: dict[str, tuple[str, frozenset[str]]] = {
 }
 
 
+def require_spark(
+    spark: SparkSession, minimum: tuple[int, int], feature: str
+) -> None:
+    """Fail fast with a clear message when the running Spark predates a
+    feature this engine leans on (q92 ``parse_json``/``variant_get``, q118
+    ``WITH RECURSIVE`` — both Spark 4.0+). Without the guard a 3.5 cluster
+    dies mid-plan with an opaque AttributeError / ParseException.
+
+    ``pyproject.toml`` pins ``pyspark>=4.0``; this is the runtime backstop
+    for deployments that ship their own Spark (spark-submit against a
+    cluster older than the client wheel).
+    """
+    parts = spark.version.split(".")
+    try:
+        running = (int(parts[0]), int(parts[1]))
+    except (ValueError, IndexError):  # vendor builds like "4.x-custom"
+        return
+    if running < minimum:
+        raise RuntimeError(
+            f"{feature} requires Spark {minimum[0]}.{minimum[1]}+ "
+            f"(running {spark.version}); upgrade the cluster or drop the "
+            "query — see pyproject.toml's pyspark pin"
+        )
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an existing session.
 

@@ -333,3 +333,61 @@ def test_register_temp_views(spark, sf_dir):
         "SELECT r_name, count(*) n FROM region GROUP BY r_name"
     ).count()
     assert rev == 5
+
+
+def test_cli_produce_accepts_stdin(monkeypatch, tmp_path):
+    """`topics produce --input -` pipes a JSON message array via stdin,
+    like the reference CLI (fluvii/cli/commands/topics.py:100-111): the
+    messages are staged to a JSON-Lines temp file and every flag reaches
+    produce_from_json."""
+    import json as _json
+
+    from click.testing import CliRunner
+
+    import fluvii_spark.cli as cli_mod
+
+    seen = {}
+
+    def fake_produce(spark_arg, bootstrap, path, **kw):
+        seen["bootstrap"] = bootstrap
+        seen["kwargs"] = kw
+        with open(path) as f:
+            seen["messages"] = [_json.loads(ln) for ln in f if ln.strip()]
+
+    monkeypatch.setattr(
+        "fluvii_spark.io.kafka.produce_from_json", fake_produce
+    )
+    monkeypatch.setattr(
+        "fluvii_spark.session.get_session", lambda name: None
+    )
+    msgs = [
+        {"key": "k1", "value": "v1", "topic": "t", "partition": 2,
+         "headers": {"trace": "abc"}},
+        {"key": "k2", "value": "v2", "topic": "t", "partition": 0},
+    ]
+    result = CliRunner().invoke(
+        cli_mod.cli,
+        [
+            "topics", "--bootstrap-servers", "b:9092", "produce",
+            "--input", "-", "--use-given-partitions",
+        ],
+        input=_json.dumps(msgs),
+    )
+    assert result.exit_code == 0, result.output
+    assert seen["bootstrap"] == "b:9092"
+    assert seen["kwargs"]["use_given_partitions"] is True
+    assert seen["kwargs"]["binary_base64"] is False
+    assert seen["messages"] == msgs
+
+
+def test_require_spark_version_guard(spark):
+    """q92/q118 lean on Spark-4 features (VARIANT, WITH RECURSIVE); the
+    runtime guard must pass on the running 4.x session and produce a clear
+    RuntimeError (not an opaque AttributeError) for an older cluster."""
+    import pytest as _pytest
+
+    from fluvii_spark.session import require_spark
+
+    require_spark(spark, (4, 0), "test-feature")  # running session is 4.x
+    with _pytest.raises(RuntimeError, match="requires Spark 99.0"):
+        require_spark(spark, (99, 0), "test-feature")

@@ -128,3 +128,46 @@ def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
     )
     assert "AQEShuffleRead" in plan, plan
     assert "coalesced" in plan.lower(), plan
+
+
+def test_dump_produce_roundtrip_preserves_headers_and_partition(
+    spark, tmp_path
+):
+    """A6 parity: a topic dump written to JSON and produced back must keep
+    each message's headers (reference produces the full
+    {key,value,headers,topic[,partition]} dict, fluvii_toolbox.py:209-229)
+    and, with use_given_partitions, the explicit partition."""
+    from fluvii_spark.io.kafka import produce_messages_frame
+
+    dumped = normalized_messages(_kafka_rows(spark, n=6))
+    path = str(tmp_path / "dump")
+    dumped.write.json(path)
+
+    back = spark.read.json(path)
+    shaped = produce_messages_frame(
+        back, use_given_partitions=True, binary_base64=True
+    )
+    assert set(shaped.columns) == {
+        "key", "value", "topic", "headers", "partition"
+    }
+    # writer contract: headers is array<struct<key string, value binary>>
+    htyp = shaped.schema["headers"].dataType
+    assert htyp.simpleString() == "array<struct<key:string,value:binary>>"
+    got = {
+        bytes(r["key"]).decode(): (
+            {h["key"]: bytes(h["value"]) for h in r["headers"]},
+            r["partition"],
+            r["topic"],
+        )
+        for r in shaped.collect()
+    }
+    for i in range(6):
+        hdrs, part, topic = got[f"k{i}"]
+        assert hdrs == {"trace": b"abc", "src": f"s{i}".encode()}
+        assert part == i % 3
+        assert topic == "t1"
+
+    # topic override + partitions ignored unless opted in (reference flag)
+    shaped2 = produce_messages_frame(back, topic_override="other")
+    assert "partition" not in shaped2.columns
+    assert shaped2.select("topic").distinct().collect()[0][0] == "other"
