@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Streaming benchmark: throughput + state size for the stateful operators.
+
+The batch inventory has per-query wall evidence in ``BENCH_r*.json``; this
+harness produces the streaming counterpart. It replays the ``events`` table
+at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1, 100k rows) as a file-source
+stream (N staged part files, ``maxFilesPerTrigger`` forcing multiple
+micro-batches) through each stateful pipeline with a ``noop`` sink, and
+records, per pipeline:
+
+- ``rows_per_sec``  — input rows / wall seconds (end-to-end, incl. planning)
+- ``processed_rows_per_sec`` — Spark's own lastProgress rate (per-batch mean)
+- ``state_rows`` / ``state_bytes`` — from the state-store operator metrics
+  (``stateOperators[].numRowsTotal`` / ``memoryUsedBytes``), the number that
+  must stay bounded at 100 TB
+- ``batches`` — micro-batch count actually executed
+
+Pipelines (all per-arrival emission, the reference's per-message contract):
+  keyed_fold     streaming_keyed_fold: running balance per user (ST1-ST3)
+  kmv_distinct   streaming_kmv_distinct: O(k) distinct-user sketch per type
+  heavy_hitters  streaming_heavy_hitters: O(m) Misra-Gries per type
+  trending       streaming_trending: windowed MG on (type, 1h window)
+  tumbling       built-in watermark+window count agg (engine baseline)
+
+Prints ONE JSON line; the driver may record it as BENCH_STREAM_r{N}.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pandas as pd  # noqa: E402  (pandas_udf type hints resolve at import)
+from pyspark.sql import functions as F  # noqa: E402
+
+from fluvii_spark.io.readers import load_table  # noqa: E402
+from fluvii_spark.session import apply_runtime_confs, get_session  # noqa: E402
+
+N_FILES = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "8"))
+FILES_PER_TRIGGER = int(os.environ.get("SPARK_GRAFT_STREAM_FPT", "2"))
+
+
+def stage_events(spark, sf_dir: str, root: str) -> tuple[str, int]:
+    """Write events as N part files a file stream replays as micro-batches."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        # watermarks require TIMESTAMP (not NTZ); session tz is UTC so the
+        # instant is unchanged
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    n = ev.count()
+    path = os.path.join(root, "events_stream")
+    ev.repartition(N_FILES).write.parquet(path)
+    return path, n
+
+
+def run_pipeline(spark, name: str, make_out, src_path: str, n_rows: int,
+                 ckroot: str) -> dict:
+    schema = spark.read.parquet(src_path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+        .parquet(src_path)
+    )
+    out = make_out(src)
+    t0 = time.time()
+    q = (
+        out.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(ckroot, name))
+        .start()
+    )
+    q.processAllAvailable()
+    wall = time.time() - t0
+    progress = q.recentProgress
+    q.stop()
+    state_rows = state_bytes = 0
+    rates = []
+    for p in progress:
+        rates.append(p.get("processedRowsPerSecond") or 0.0)
+        for op in p.get("stateOperators", []):
+            state_rows = max(state_rows, op.get("numRowsTotal", 0))
+            state_bytes = max(state_bytes, op.get("memoryUsedBytes", 0))
+    rates = [r for r in rates if r > 0]
+    return {
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(n_rows / wall, 1),
+        "processed_rows_per_sec": round(
+            sum(rates) / len(rates), 1
+        ) if rates else None,
+        "state_rows": state_rows,
+        "state_bytes": state_bytes,
+        "batches": len([p for p in progress if p.get("numInputRows")]),
+    }
+
+
+def pipelines() -> dict:
+    from fluvii_spark.streaming.sketch import (
+        streaming_heavy_hitters,
+        streaming_kmv_distinct,
+        streaming_trending,
+    )
+    from fluvii_spark.streaming.state import streaming_keyed_fold
+
+    def keyed_fold(src):
+        def app(txn):
+            bal = txn.read_table_entry() or 0.0
+            bal += txn.value()["value"] or 0.0
+            txn.update_table_entry(bal)
+            txn.produce({"user_id": txn.key, "balance": bal})
+
+        return streaming_keyed_fold(
+            src,
+            ["user_id"],
+            app,
+            "user_id long, balance double",
+            order_by=["ts", "event_id"],
+        )
+
+    def kmv(src):
+        hashed = src.withColumn(
+            "h",
+            F.expr(
+                "conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10)"
+                " / 4294967296"
+            ),
+        )
+        return streaming_kmv_distinct(hashed, "event_type", "h", k=256)
+
+    def heavy_hitters(src):
+        return streaming_heavy_hitters(
+            src.withColumn("item", F.col("user_id").cast("string")),
+            "event_type",
+            "item",
+            m=16,
+            order_by=["ts", "event_id"],
+        )
+
+    def trending(src):
+        return streaming_trending(
+            src.withColumn("item", F.col("user_id").cast("string")),
+            "event_type",
+            "item",
+            "ts",
+            window="1 hour",
+            m=16,
+            order_by=["ts", "event_id"],
+        )
+
+    def tumbling(src):
+        return (
+            src.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        )
+
+    return {
+        "keyed_fold": keyed_fold,
+        "kmv_distinct": kmv,
+        "heavy_hitters": heavy_hitters,
+        "trending": trending,
+        "tumbling": tumbling,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(
+        os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1"
+    )
+    spark = get_session("fluvii-spark-bench-streaming")
+    apply_runtime_confs(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="fluvii_stream_bench_")
+    try:
+        src_path, n_rows = stage_events(spark, sf_dir, root)
+        results = {}
+        for name, make_out in pipelines().items():
+            results[name] = run_pipeline(
+                spark, name, make_out, src_path, n_rows,
+                os.path.join(root, "ck"),
+            )
+        total = sum(r["wall_sec"] for r in results.values())
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming_bench_wall_sec",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "rows": n_rows,
+                    "sf": sf,
+                    "n_files": N_FILES,
+                    "files_per_trigger": FILES_PER_TRIGGER,
+                    "pipelines": results,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
