@@ -87,6 +87,7 @@ def registry() -> dict[str, Query]:
         relational_ext3,
         relational_ext4,
         relational_ext5,
+        relational_ext6,
     )
 
     rank = {p: i for i, p in enumerate(_UNPROVEN_ORDER)}

@@ -355,3 +355,70 @@ def test_edit_distance_banding_bounds_candidates(spark, sf_dir):
     # every replica pair of the same source doc is distance 0 → present
     assert pairs >= K * (K - 1) // 2 * n // 2
     assert dt < 120, f"banded edit-distance took {dt:.0f}s at 10x"
+
+
+def test_grouped_exact_quantiles_under_replication(spark, sf_dir):
+    """r3's distributed order statistics at 10x: range-repartition +
+    local-rank + broadcast-offset must stay correct (vs the built-in
+    per-group percentile) and finish sanely on the replicated relation —
+    no single-task window, no per-group value buffer."""
+    from fluvii_spark.operators.ranking import grouped_exact_quantiles
+
+    li = load_tables(spark, sf_dir).lineitem.select(
+        "l_returnflag", "l_extendedprice"
+    )
+    reps = li
+    for _ in range(K - 1):
+        reps = reps.unionByName(li)
+    ps = [0.1, 0.5, 0.9]
+    t0 = time.time()
+    got = {
+        (r["l_returnflag"], r["p"]): r["quantile"]
+        for r in grouped_exact_quantiles(
+            reps, ["l_returnflag"], "l_extendedprice", ps, num_partitions=64
+        ).collect()
+    }
+    wall = time.time() - t0
+    pts = ", ".join(f"{p}D" for p in ps)
+    want = {
+        (r["l_returnflag"], p): v
+        for r in reps.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                f"transform(percentile(l_extendedprice, array({pts})),"
+                " b -> round(b, 6))"
+            ).alias("q")
+        )
+        .collect()
+        for p, v in zip(ps, r["q"])
+    }
+    assert got == want
+    assert wall < 300, f"grouped quantiles blew up: {wall:.0f}s"
+
+
+def test_sweepline_max_concurrent_under_replication(spark, sf_dir, tmp_path):
+    """q122's two-level sweep-line at 10x: replicating every event K times
+    multiplies concurrency exactly by K (identical intervals overlap
+    themselves), giving an exact oracle; and the plan must hold up — the
+    per-(type,hour-bucket) local pass keeps window partitions bounded, the
+    global pass runs on the aggregated per-bucket relation only."""
+    from fluvii_spark.queries import registry
+
+    base = {
+        (r["event_type"]): r["max_concurrent"]
+        for r in registry()["q122_max_concurrent"].fn(spark, sf_dir).collect()
+    }
+    ev = load_tables(spark, sf_dir).events
+    reps = ev
+    for _ in range(K - 1):
+        reps = reps.unionByName(ev)
+    rep_dir = str(tmp_path / "rep_sf")
+    reps.write.parquet(rep_dir + "/events.parquet")
+    t0 = time.time()
+    got = {
+        (r["event_type"]): r["max_concurrent"]
+        for r in registry()["q122_max_concurrent"].fn(spark, rep_dir).collect()
+    }
+    wall = time.time() - t0
+    assert got == {k: K * v for k, v in base.items()}
+    assert wall < 300, f"sweep-line blew up: {wall:.0f}s"
