@@ -85,6 +85,63 @@ def distributed_row_number(
     )
 
 
+def distributed_running_sum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    num_partitions: int = 32,
+    out_col: str = "run_sum",
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Global running sum of ``value_col`` in ``order_cols`` order without a
+    single-task window — the prefix-sum twin of
+    :func:`distributed_row_number`.
+
+    Same construction: range-repartition on the order columns (partition i
+    holds keys strictly below partition i+1), local cumulative sum within
+    each already-sorted partition, then add the broadcast prefix of
+    *partition totals*. Exact for DECIMAL/integer values (addition is
+    associative); for doubles the grouping changes summation order vs a
+    serial scan, so cast money-like columns to DECIMAL first (the package
+    determinism rule). Pass ``rank_col`` to also emit the global rank.
+    """
+    parts = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
+        .withColumn(
+            "_lrn", (F.col("_mid") % F.lit(1 << 33) + F.lit(1)).cast("long")
+        )
+    )
+    # same double-execution hazard as distributed_row_number: the totals
+    # branch and the join branch must see identical range partitions
+    parts = parts.localCheckpoint(eager=False)
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("_lrn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    parts = parts.withColumn("_lsum", F.sum(value_col).over(w_local))
+    totals = parts.groupBy("_pid").agg(
+        F.sum(value_col).alias("_tot"), F.count("*").alias("_cnt")
+    )
+    # <= num_partitions rows: tiny window, then broadcast
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_soff"),
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_coff"),
+    )
+    out = (
+        parts.join(F.broadcast(offs), "_pid")
+        .withColumn(out_col, F.col("_lsum") + F.col("_soff"))
+    )
+    if rank_col is not None:
+        out = out.withColumn(rank_col, F.col("_lrn") + F.col("_coff"))
+    return out.drop("_mid", "_pid", "_lrn", "_lsum", "_soff", "_coff")
+
+
 def exact_quantiles(
     df: DataFrame,
     col: str,

@@ -108,3 +108,453 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hll_estimate"
         ),
     )
+
+
+KMV_K = 64
+KMV_SALTS = 32
+
+
+@register(
+    "q148_kmv_intersection",
+    f"""
+    WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+    hashed AS (
+      SELECT event_type, user_id,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT)
+               / 4294967296.0 AS h
+      FROM pairs
+    ),
+    sk_rows AS (
+      SELECT event_type, user_id, h FROM (
+        SELECT event_type, user_id, h,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY h, user_id) AS rn
+        FROM hashed
+      ) WHERE rn <= {KMV_K}
+    ),
+    est AS (
+      SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS h_k FROM sk_rows
+      GROUP BY event_type
+    ),
+    tp AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b
+        ON a.event_type < b.event_type
+    ),
+    u_rows AS (
+      SELECT DISTINCT tp.ta, tp.tb, s.user_id, s.h
+      FROM tp JOIN sk_rows s
+        ON s.event_type = tp.ta OR s.event_type = tp.tb
+    ),
+    u_ranked AS (
+      SELECT ta, tb, h,
+             row_number() OVER (PARTITION BY ta, tb
+                                ORDER BY h, user_id) AS rn
+      FROM u_rows
+    ),
+    est_u AS (
+      SELECT ta, tb, COUNT(*) AS n_kept, MAX(h) AS h_k FROM u_ranked
+      WHERE rn <= {KMV_K} GROUP BY ta, tb
+    ),
+    exact_i AS (
+      SELECT tp.ta, tp.tb, COUNT(*) AS exact_inter
+      FROM tp
+      JOIN pairs pa ON pa.event_type = tp.ta
+      JOIN pairs pb ON pb.event_type = tp.tb AND pb.user_id = pa.user_id
+      GROUP BY tp.ta, tp.tb
+    )
+    SELECT e.ta, e.tb,
+           CAST(COALESCE(x.exact_inter, 0) AS BIGINT) AS exact_inter,
+           ROUND(
+             (CASE WHEN ea.n_kept < {KMV_K} THEN CAST(ea.n_kept AS DOUBLE)
+                   ELSE ({KMV_K} - 1) / ea.h_k END)
+             + (CASE WHEN eb.n_kept < {KMV_K} THEN CAST(eb.n_kept AS DOUBLE)
+                     ELSE ({KMV_K} - 1) / eb.h_k END)
+             - (CASE WHEN e.n_kept < {KMV_K} THEN CAST(e.n_kept AS DOUBLE)
+                     ELSE ({KMV_K} - 1) / e.h_k END),
+             6) AS kmv_inter_estimate
+    FROM est_u e
+    JOIN est ea ON ea.event_type = e.ta
+    JOIN est eb ON eb.event_type = e.tb
+    LEFT JOIN exact_i x ON x.ta = e.ta AND x.tb = e.tb
+    """,
+    f"KMV set-INTERSECTION estimate via inclusion-exclusion, completing "
+    "the sketch algebra (q102 build, q104 union-merge, q147 HLL second "
+    f"precision): |A∩B| ≈ est(A) + est(B) − est(A∪B), where est(A∪B) "
+    "merges the two k-min sets and re-truncates to k. All arithmetic on "
+    "md5-derived doubles with identical expression trees, so the oracle "
+    "checks the estimator bit-for-bit. Scale shape: the per-type k-min "
+    "build is TWO-LEVEL (k smallest per (type, salt) shard, then k "
+    "smallest of the ≤ salts·k survivors) so no raw-relation window ever "
+    "sees a whole type's rows in one task; every later stage operates on "
+    "≤ k·|types| sketch rows",
+    ("relational", "sketch"),
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    pairs = t.events.select("event_type", "user_id").distinct()
+    hashed = pairs.withColumn(
+        "h",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        / F.lit(4294967296.0),
+    )
+    # two-level exact k-min: the k smallest of a set are always within the
+    # union of each shard's k smallest, so local top-k per (type, salt)
+    # bounds every window partition; the global pass ranks ≤ salts*k rows
+    local = (
+        hashed.withColumn("salt", F.pmod("user_id", F.lit(KMV_SALTS)))
+        .withColumn(
+            "lrn",
+            F.row_number().over(
+                Window.partitionBy("event_type", "salt").orderBy(
+                    "h", "user_id"
+                )
+            ),
+        )
+        .filter(F.col("lrn") <= KMV_K)
+    )
+    sk_rows = (
+        local.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("h", "user_id")
+            ),
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "user_id", "h")
+    )
+    est = sk_rows.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("h_k")
+    )
+    types = t.events.select("event_type").distinct()
+    tp = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+    )
+    u_rows = (
+        F.broadcast(tp)
+        .join(
+            sk_rows,
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .select("ta", "tb", "user_id", "h")
+        .distinct()
+    )
+    est_u = (
+        u_rows.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("ta", "tb").orderBy("h", "user_id")
+            ),
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("n_kept"), F.max("h").alias("h_k"))
+    )
+    exact_i = (
+        F.broadcast(tp)
+        .join(
+            pairs.select(
+                F.col("event_type").alias("ta_t"),
+                F.col("user_id").alias("uid"),
+            ),
+            F.col("ta_t") == F.col("ta"),
+        )
+        .join(
+            pairs.select(
+                F.col("event_type").alias("tb_t"),
+                F.col("user_id").alias("uid2"),
+            ),
+            (F.col("tb_t") == F.col("tb")) & (F.col("uid2") == F.col("uid")),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+
+    def kmv_est(n_kept, h_k):
+        return F.when(n_kept < KMV_K, n_kept.cast("double")).otherwise(
+            F.lit(KMV_K - 1) / h_k
+        )
+
+    ea = est.select(
+        F.col("event_type").alias("ta"),
+        F.col("n_kept").alias("na"),
+        F.col("h_k").alias("ha"),
+    )
+    eb = est.select(
+        F.col("event_type").alias("tb"),
+        F.col("n_kept").alias("nb"),
+        F.col("h_k").alias("hb"),
+    )
+    return (
+        est_u.join(F.broadcast(ea), "ta")
+        .join(F.broadcast(eb), "tb")
+        .join(exact_i, ["ta", "tb"], "left")
+        .select(
+            "ta",
+            "tb",
+            F.coalesce(F.col("exact_inter"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_inter"),
+            F.round(
+                kmv_est(F.col("na"), F.col("ha"))
+                + kmv_est(F.col("nb"), F.col("hb"))
+                - kmv_est(F.col("n_kept"), F.col("h_k")),
+                6,
+            ).alias("kmv_inter_estimate"),
+        )
+    )
+
+
+SAMPLE_PER_LANG = 20
+
+
+@register(
+    "q149_per_group_sample",
+    f"""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, CAST(rn AS BIGINT) AS sample_rank,
+           CAST(doc_id AS BIGINT) AS doc_id
+    FROM ranked WHERE rn <= {SAMPLE_PER_LANG}
+    """,
+    f"deterministic fixed-size sample per group (cap {SAMPLE_PER_LANG} "
+    "docs per language): rank by md5(doc_id) — a uniform, seedless, "
+    "replay-stable permutation — and keep the first n per lang. The "
+    "training-data 'cap each domain' operator, without rand() so retries "
+    "and both engines agree exactly. Per-lang ranks come from DISTRIBUTED "
+    "ranking over the composite (lang, md5, doc_id) order minus broadcast "
+    "per-lang base offsets (operators/ranking.py) — the oracle's "
+    "PARTITION BY lang window would funnel each language through one task "
+    "at 100 TB",
+    ("llm", "sampling"),
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.ranking import distributed_row_number
+
+    t = load_tables(spark, sf_dir)
+    keyed = t.documents.select(
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("hkey"),
+        "doc_id",
+    )
+    ranked = distributed_row_number(keyed, ["lang", "hkey", "doc_id"])
+    base = ranked.groupBy("lang").agg(F.min("rnk").alias("base"))
+    return (
+        ranked.join(F.broadcast(base), "lang")
+        .withColumn("rn", F.col("rnk") - F.col("base") + 1)
+        .filter(F.col("rn") <= SAMPLE_PER_LANG)
+        .select(
+            "lang",
+            F.col("rn").cast("bigint").alias("sample_rank"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+        )
+    )
+
+
+TOKEN_QS = [0.25, 0.5, 0.75]
+
+
+@register(
+    "q150_token_quantiles_by_lang",
+    """
+    WITH counts AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens
+      FROM documents
+    ),
+    qs AS (
+      SELECT lang,
+             unnest([0.25, 0.5, 0.75]) AS p,
+             unnest(quantile_cont(n_tokens, [0.25, 0.5, 0.75])) AS quantile
+      FROM counts GROUP BY lang
+    )
+    SELECT lang, p, ROUND(quantile, 6) AS quantile FROM qs
+    """,
+    "whitespace-token-count quartiles per language — the sequence-length "
+    "profile that sizes packing and truncation budgets. Exact interpolated "
+    "quantiles via the distributed rank-probe operator "
+    "(grouped_exact_quantiles: one composite-order ranking + broadcast "
+    "per-group offsets + 2 probe rows per quantile — no per-group value "
+    "buffers, no per-lang window task), checked against DuckDB's "
+    "quantile_cont which shares the pos = 1+(n-1)p interpolation rule",
+    ("llm", "quantile", "order-statistics"),
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.ranking import grouped_exact_quantiles
+
+    t = load_tables(spark, sf_dir)
+    counts = t.documents.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("n_tokens"),
+    )
+    return grouped_exact_quantiles(counts, ["lang"], "n_tokens", TOKEN_QS)
+
+
+@register(
+    "q151_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    n AS (SELECT COUNT(*) AS n FROM rfm),
+    b AS (
+      SELECT o_custkey, freq, monetary,
+             ((row_number() OVER (ORDER BY last_order, o_custkey) - 1) * 4)
+               // n.n + 1 AS r_bucket,
+             ((row_number() OVER (ORDER BY freq, o_custkey) - 1) * 4)
+               // n.n + 1 AS f_bucket,
+             ((row_number() OVER (ORDER BY monetary, o_custkey) - 1) * 4)
+               // n.n + 1 AS m_bucket
+      FROM rfm, n
+    )
+    SELECT CAST(r_bucket AS BIGINT) AS r_bucket,
+           CAST(f_bucket AS BIGINT) AS f_bucket,
+           CAST(m_bucket AS BIGINT) AS m_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(monetary) AS DOUBLE), 2) AS segment_revenue
+    FROM b GROUP BY 1, 2, 3
+    """,
+    "RFM (recency/frequency/monetary) customer segmentation: quartile "
+    "bucket per dimension via the RANK-based rule bucket = "
+    "floor((rn-1)*4/n)+1 — pure integer arithmetic, no value-boundary "
+    "float membership flips, unique (metric, custkey) tie-breaks. Each of "
+    "the three global ranks is a distributed_row_number pass (range "
+    "repartition + broadcast offsets), never a single-task global window; "
+    "monetary sums are DECIMAL-exact before the final 2-dp rounding",
+    ("relational", "segmentation", "order-statistics"),
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.ranking import distributed_row_number
+
+    t = load_tables(spark, sf_dir)
+    rfm = t.orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    rfm = rfm.localCheckpoint(eager=False)  # three rank passes, one scan
+    # customer count as a broadcast scalar, not an eager .count() job at
+    # plan-build time (the package rule: no jobs before execution)
+    n_row = rfm.agg(F.count("*").alias("_n"))
+
+    def bucket(order_cols: list[str], name: str) -> DataFrame:
+        ranked = distributed_row_number(rfm, order_cols, out_col="_rnk")
+        return ranked.crossJoin(F.broadcast(n_row)).select(
+            "o_custkey",
+            (((F.col("_rnk") - 1) * 4 / F.col("_n")).cast("long") + 1).alias(
+                name
+            ),
+        )
+
+    r = bucket(["last_order", "o_custkey"], "r_bucket")
+    f_ = bucket(["freq", "o_custkey"], "f_bucket")
+    m = bucket(["monetary", "o_custkey"], "m_bucket")
+    return (
+        rfm.join(r, "o_custkey")
+        .join(f_, "o_custkey")
+        .join(m, "o_custkey")
+        .groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.sum("monetary").cast("double"), 2).alias(
+                "segment_revenue"
+            ),
+        )
+        .select(
+            F.col("r_bucket").cast("bigint").alias("r_bucket"),
+            F.col("f_bucket").cast("bigint").alias("f_bucket"),
+            F.col("m_bucket").cast("bigint").alias("m_bucket"),
+            "n_customers",
+            "segment_revenue",
+        )
+    )
+
+
+@register(
+    "q152_pareto_topshare",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT s,
+             row_number() OVER (ORDER BY s DESC, o_custkey) AS rn,
+             SUM(s) OVER (ORDER BY s DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM spend
+    ),
+    tot AS (SELECT SUM(s) AS total, COUNT(*) AS n FROM spend)
+    SELECT CAST(MIN(rn) AS BIGINT) AS top_customers,
+           CAST(MAX(tot.n) AS BIGINT) AS all_customers,
+           ROUND(CAST(MIN(rn) AS DOUBLE) / MAX(tot.n) * 100, 6)
+             AS top_pct
+    FROM ranked, tot WHERE 5 * cum >= 4 * tot.total
+    """,
+    "Pareto concentration: the smallest top-N customers (by total spend) "
+    "covering >= 80% of revenue. The running revenue total in spend-desc "
+    "order comes from distributed_running_sum (range repartition + local "
+    "cumsum + broadcast partition-total prefix — the prefix-sum twin of "
+    "distributed_row_number, exact on DECIMAL), and the 80% gate is the "
+    "integer-exact predicate 5*cum >= 4*total, so no float boundary "
+    "decides membership",
+    ("relational", "order-statistics"),
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.ranking import distributed_running_sum
+
+    t = load_tables(spark, sf_dir)
+    spend = t.orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
+    )
+    spend = spend.localCheckpoint(eager=False)
+    ranked = distributed_running_sum(
+        spend,
+        [F.col("s").desc(), F.col("o_custkey")],
+        "s",
+        out_col="cum",
+        rank_col="rn",
+    )
+    tot = spend.agg(
+        F.sum("s").alias("total"), F.count("*").alias("n_cust")
+    )
+    hit = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.lit(5) * F.col("cum") >= F.lit(4) * F.col("total"))
+        .agg(
+            F.min("rn").cast("bigint").alias("top_customers"),
+            F.max("n_cust").cast("bigint").alias("all_customers"),
+        )
+    )
+    return hit.select(
+        "top_customers",
+        "all_customers",
+        F.round(
+            F.col("top_customers").cast("double")
+            / F.col("all_customers")
+            * 100,
+            6,
+        ).alias("top_pct"),
+    )

@@ -735,3 +735,45 @@ def test_grouped_exact_quantiles_null_group_key(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_distributed_running_sum_matches_global_window(spark, sf_dir):
+    """Prefix-sum twin of distributed_row_number: running DECIMAL sum and
+    rank must equal a single-task global window's, for any partition
+    count, including one partition and more partitions than rows."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window as W
+
+    from fluvii_spark.operators.ranking import distributed_running_sum
+
+    Window = W
+
+    spend = (
+        load_tables(spark, sf_dir)
+        .orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+    )
+    w = Window.orderBy(F.desc("s"), "o_custkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    want = {
+        r["o_custkey"]: (r["cum"], r["rn"])
+        for r in spend.withColumn("cum", F.sum("s").over(w))
+        .withColumn("rn", F.row_number().over(
+            Window.orderBy(F.desc("s"), "o_custkey")))
+        .collect()
+    }
+    for nparts in (1, 7, 64):
+        got = {
+            r["o_custkey"]: (r["cum"], r["rn"])
+            for r in distributed_running_sum(
+                spend,
+                [F.col("s").desc(), F.col("o_custkey")],
+                "s",
+                num_partitions=nparts,
+                out_col="cum",
+                rank_col="rn",
+            ).collect()
+        }
+        assert got == want, f"mismatch at num_partitions={nparts}"
