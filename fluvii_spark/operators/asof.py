@@ -23,8 +23,18 @@ tolerance`` — same semantics as pandas ``merge_asof(tolerance=...)``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _to_seconds(col: Column, dtype: T.DataType) -> Column:
+    """Numeric seconds from a timestamp-or-numeric column (TIMESTAMP_NTZ
+    refuses a direct double cast; the session is pinned to UTC so the
+    NTZ→TIMESTAMP cast preserves the instant)."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(col.cast("timestamp")).cast("double") / 1e6
+    return col.cast("double")
 
 
 def asof_join(
@@ -35,14 +45,23 @@ def asof_join(
     right_ts: str,
     right_payload: list[str] | None = None,
     tolerance_s: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join. Output: every left row + latest right payload
-    columns (null when no right row precedes it / within tolerance).
+    """Left as-of join. Output: every left row + matched right payload
+    columns (null when no right row matches / within tolerance).
+
+    ``direction`` mirrors pandas ``merge_asof``: ``"backward"`` (default)
+    matches the LATEST right row at-or-before the left timestamp;
+    ``"forward"`` the EARLIEST right row at-or-after it (same union-window
+    plan, ordered descending). ``tolerance_s`` bounds |right_ts − left_ts|
+    on the matching side.
 
     Right-side (key, ts) duplicates should be resolved by the caller (e.g.
     keep max payload per ts) — with duplicates the carried row is the last
     in (ts, payload-order), deterministic but possibly surprising.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload = right_payload or [
         c for c in right.columns if c not in set(key_cols) | {right_ts}
     ]
@@ -63,9 +82,13 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in payload],
     )
     unioned = lt.unionByName(rt)
+    # backward: ascending (ts, side) — right (side 0) sorts before left at
+    # equal ts, so <= semantics hold; forward: descending ts with right
+    # still ahead of left at equal ts, so >= semantics hold symmetrically
+    ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy("_ts", "_side", *[f"_r_{c}" for c in payload])
+        .orderBy(ts_order, "_side", *[f"_r_{c}" for c in payload])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -83,13 +106,12 @@ def asof_join(
     )
     out = carried.filter(F.col("_side") == 1)
     if tolerance_s is not None:
-        within = (
-            F.col("_r_ts").isNotNull()
-            & (
-                F.col("_ts").cast("double") - F.col("_r_ts").cast("double")
-                <= float(tolerance_s)
-            )
+        l_secs = _to_seconds(F.col("_ts"), left.schema[left_ts].dataType)
+        r_secs = _to_seconds(F.col("_r_ts"), right.schema[right_ts].dataType)
+        gap = (
+            l_secs - r_secs if direction == "backward" else r_secs - l_secs
         )
+        within = F.col("_r_ts").isNotNull() & (gap <= float(tolerance_s))
         out = out.select(
             *key_cols,
             "_ts",

@@ -558,3 +558,280 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top_pct"),
     )
+
+
+ASOF_FWD_TOL_S = 24 * 3600  # 1 day
+
+
+@register(
+    "q153_asof_forward",
+    f"""
+    WITH l AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'view'),
+         r AS (SELECT user_id, ts, MAX(event_id) AS purchase_id FROM events
+               WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT l.event_id, l.user_id,
+           CASE WHEN epoch_us(r.ts) - epoch_us(l.ts)
+                     <= {ASOF_FWD_TOL_S * 1_000_000}
+                THEN r.purchase_id END AS right_purchase_id
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
+    """,
+    "FORWARD as-of join with tolerance: each view matched to the user's "
+    "EARLIEST purchase at-or-after it, voided beyond 24h — the "
+    "time-to-conversion primitive. Same one-shuffle union+last() window "
+    "strategy as the backward q69, ordered descending (operators/asof.py "
+    "direction='forward'); oracle is DuckDB's native ASOF JOIN with >= "
+    "plus an identical integer-microsecond tolerance gate",
+    ("relational", "join", "asof"),
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events
+    left = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    return asof_join(
+        left,
+        right,
+        ["user_id"],
+        "ts",
+        "ts",
+        right_payload=["purchase_id"],
+        tolerance_s=ASOF_FWD_TOL_S,
+        direction="forward",
+    ).select("event_id", "user_id", "right_purchase_id")
+
+
+@register(
+    "q154_except_all_multiset",
+    """
+    WITH a AS (SELECT user_id, event_type FROM events
+               WHERE value >= 50),
+         b AS (SELECT user_id, event_type FROM events
+               WHERE event_type IN ('view', 'click')),
+         d AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM d GROUP BY event_type
+    """,
+    "EXCEPT ALL multiset difference (bag semantics: each b-occurrence "
+    "cancels ONE a-occurrence, surviving duplicates keep their "
+    "multiplicity) — the set-op q20 doesn't cover (its EXCEPT is "
+    "distinct-based). Spark's exceptAll plans the same "
+    "count-difference-and-replicate shape both engines use; grouped "
+    "counts summarize the surviving bag",
+    ("relational", "setops"),
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    a = t.events.filter(F.col("value") >= 50).select("user_id", "event_type")
+    b = t.events.filter(
+        F.col("event_type").isin("view", "click")
+    ).select("user_id", "event_type")
+    return (
+        a.exceptAll(b)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+NOVELTY_N = 3
+
+
+@register(
+    "q155_shingle_novelty",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, lang, w,
+             unnest(generate_series(1, len(w) - 2)) AS i
+      FROM toks WHERE len(w) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, lang,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM idx
+    ),
+    first_owner AS (
+      SELECT shingle, MIN(doc_id) AS owner FROM sh GROUP BY shingle
+    ),
+    per_doc AS (
+      SELECT s.doc_id, s.lang,
+             COUNT(*) AS n_shingles,
+             COUNT(CASE WHEN f.owner = s.doc_id THEN 1 END) AS n_novel
+      FROM sh s JOIN first_owner f USING (shingle)
+      GROUP BY s.doc_id, s.lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_shingles) AS BIGINT) AS total_shingles,
+           CAST(SUM(n_novel) AS BIGINT) AS novel_shingles,
+           ROUND(CAST(SUM(n_novel) AS DOUBLE) / SUM(n_shingles), 6)
+             AS novelty_rate
+    FROM per_doc GROUP BY lang
+    """,
+    f"corpus novelty curve: per language, the share of each document's "
+    f"distinct {NOVELTY_N}-gram shingles whose FIRST owner (min doc_id "
+    "over the whole corpus) is the document itself — the dataset-ordering "
+    "diagnostic for dedup planning (low novelty = the tail re-treads the "
+    "head). One shingle-explode, one groupBy for first owners, one "
+    "equi-join back — all key-partitioned, no pairing, no window; the "
+    "integer novel/total counts divide once per lang at the end",
+    ("llm", "dedup", "text"),
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    sh = (
+        t.documents.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    first_owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("owner"))
+    per_doc = (
+        sh.join(first_owner, "shingle")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("owner") == F.col("doc_id"), 1)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_shingles").cast("bigint").alias("total_shingles"),
+        F.sum("n_novel").cast("bigint").alias("novel_shingles"),
+        F.round(
+            F.sum("n_novel").cast("double") / F.sum("n_shingles"), 6
+        ).alias("novelty_rate"),
+    )
+
+
+@register(
+    "q156_tokenizer_fertility",
+    r"""
+    WITH m AS (
+      SELECT lang,
+             CAST(strlen(text) AS BIGINT) AS n_bytes,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                  AS BIGINT) AS n_re
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(n_re) AS BIGINT) AS re_tokens,
+           ROUND(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_ws), 6)
+             AS bytes_per_ws_token,
+           ROUND(CAST(SUM(n_re) AS DOUBLE) / SUM(n_ws), 6)
+             AS fertility
+    FROM m GROUP BY lang
+    """,
+    "tokenizer fertility profile per language: bytes per whitespace token "
+    "and the ratio of BPE-ish regex tokens ([A-Za-z0-9]+ runs — identical "
+    "semantics in Java regex and DuckDB RE2) to whitespace tokens — the "
+    "number that converts a byte budget into a token budget per language. "
+    "Pure per-row expressions + one hash aggregate: whole-stage-codegen "
+    "all the way, integer sums divided once per group",
+    ("llm", "text", "tokenization"),
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    m = t.documents.select(
+        "lang",
+        F.length("text").cast("bigint").alias("n_bytes"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_ws"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0))
+        .cast("bigint")
+        .alias("n_re"),
+    )
+    return m.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+        F.sum("n_re").cast("bigint").alias("re_tokens"),
+        F.round(
+            F.sum("n_bytes").cast("double") / F.sum("n_ws"), 6
+        ).alias("bytes_per_ws_token"),
+        F.round(F.sum("n_re").cast("double") / F.sum("n_ws"), 6).alias(
+            "fertility"
+        ),
+    )
+
+
+CTX_LEN = 128
+
+
+@register(
+    "q157_context_window_yield",
+    f"""
+    WITH m AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok // {CTX_LEN}) AS BIGINT) AS full_windows,
+           CAST(SUM(n_tok % {CTX_LEN}) AS BIGINT) AS leftover_tokens,
+           CAST(COUNT(CASE WHEN n_tok < {CTX_LEN} THEN 1 END) AS BIGINT)
+             AS short_docs,
+           ROUND(CAST(SUM(n_tok // {CTX_LEN}) * {CTX_LEN} AS DOUBLE)
+                 / SUM(n_tok), 6) AS yield_rate
+    FROM m GROUP BY lang
+    """,
+    f"context-window yield: with a {CTX_LEN}-token window and "
+    "no-cross-document packing, how many full windows each language "
+    "yields, how many tokens fall off as leftovers, and the share of the "
+    "corpus that survives (the truncate-vs-pack planning number feeding "
+    "q80's packer). Integer floor/mod arithmetic per row + one hash "
+    "aggregate; the single division per group happens after exact integer "
+    "sums",
+    ("llm", "packing", "tokenization"),
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    m = t.documents.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    return m.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.expr(f"n_tok DIV {CTX_LEN}")).cast("bigint").alias(
+            "full_windows"
+        ),
+        F.sum(F.col("n_tok") % CTX_LEN).cast("bigint").alias(
+            "leftover_tokens"
+        ),
+        F.count(F.when(F.col("n_tok") < CTX_LEN, 1))
+        .cast("bigint")
+        .alias("short_docs"),
+        F.round(
+            (F.sum(F.expr(f"n_tok DIV {CTX_LEN}")) * CTX_LEN).cast("double")
+            / F.sum("n_tok"),
+            6,
+        ).alias("yield_rate"),
+    )
