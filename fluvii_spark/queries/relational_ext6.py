@@ -835,3 +835,230 @@ def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yield_rate"),
     )
+
+
+DISC_PS = [0.25, 0.5, 0.75]
+
+
+@register(
+    "q158_percentile_disc",
+    """
+    WITH v AS (
+      SELECT event_type, value, event_id FROM events
+      WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    probes AS (SELECT unnest([0.25, 0.5, 0.75]) AS p)
+    SELECT r.event_type, pr.p, r.value AS value_disc
+    FROM ranked r JOIN probes pr
+      ON r.rn = CAST(ceiling(pr.p * r.n) AS BIGINT)
+    """,
+    "DISCRETE percentiles (percentile_disc semantics: the actual value at "
+    "rank ceil(p*n), never interpolated) per event type — the companion "
+    "to q150's continuous quantiles, needed when the statistic must be an "
+    "observed value (latency SLOs, price points). Rank ceil(p*n) is exact "
+    "integer-adjacent arithmetic (p dyadic, p*n exact in a double). Ranks "
+    "come from distributed_row_number + broadcast per-group offsets, not "
+    "a few-key global window; the probe join touches 3 rows per group",
+    ("relational", "quantile", "order-statistics"),
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.ranking import distributed_row_number
+
+    t = load_tables(spark, sf_dir)
+    v = t.events.filter(F.col("value").isNotNull()).select(
+        "event_type", "value", "event_id"
+    )
+    ranked = distributed_row_number(v, ["event_type", "value", "event_id"])
+    # break lineage ambiguity: the probe side re-aggregates the SAME ranked
+    # frame, so give its columns fresh names before the self-join
+    grp = ranked.groupBy("event_type").agg(
+        F.min("rnk").alias("base"), F.count("*").alias("n")
+    )
+    probes = (
+        grp.select(
+            F.col("event_type").alias("_et"),
+            "base",
+            F.explode(F.array(*[F.lit(p) for p in DISC_PS])).alias("p"),
+            F.col("n"),
+        )
+        .select(
+            "_et",
+            "p",
+            (F.ceil(F.col("p") * F.col("n")) + F.col("base") - 1).alias(
+                "_target"
+            ),
+        )
+    )
+    return (
+        ranked.join(
+            F.broadcast(probes),
+            (F.col("event_type") == F.col("_et"))
+            & (F.col("rnk") == F.col("_target")),
+        )
+        .select(
+            "event_type",
+            "p",
+            F.col("value").alias("value_disc"),
+        )
+    )
+
+
+@register(
+    "q159_trend_slope",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    rebased AS (
+      SELECT event_type,
+             day - MIN(day) OVER (PARTITION BY event_type) AS x, y
+      FROM daily
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(x) AS sx,
+             SUM(y) AS sy,
+             SUM(x * x) AS sxx,
+             SUM(x * y) AS sxy
+      FROM rebased GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_day
+    FROM s WHERE n * sxx - sx * sx > 0
+    """,
+    "daily revenue trend: exact closed-form OLS slope per event type over "
+    "the day index. x is a small rebased integer, y a DECIMAL-exact daily "
+    "sum, so every moment (Sx, Sy, Sxx, Sxy) is exact integer/decimal "
+    "arithmetic — order-independent across both engines — and the single "
+    "double division happens on bit-identical numerators. Two hash "
+    "aggregates over the daily relation; the rebase window runs per type "
+    "over |days| rows, not the raw stream",
+    ("relational", "timeseries", "regression"),
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) DIV 86400000000"
+            ).alias("day"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("y"))
+    )
+    rebased = daily.join(
+        F.broadcast(
+            daily.groupBy("event_type").agg(F.min("day").alias("day0"))
+        ),
+        "event_type",
+    ).select(
+        "event_type", (F.col("day") - F.col("day0")).alias("x"), "y"
+    )
+    s = rebased.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.filter(denom > 0).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / denom.cast("double"),
+            6,
+        ).alias("slope_per_day"),
+    )
+
+
+@register(
+    "q160_degree_assortativity",
+    """
+    WITH edges AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    dp AS (SELECT p, COUNT(*) AS deg_p FROM edges GROUP BY p),
+    ds AS (SELECT s, COUNT(*) AS deg_s FROM edges GROUP BY s),
+    e AS (
+      SELECT dp.deg_p AS x, ds.deg_s AS y
+      FROM edges JOIN dp USING (p) JOIN ds USING (s)
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM e
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             AS assortativity
+    FROM m
+    """,
+    "degree assortativity of the part-supplier bipartite graph: Pearson "
+    "correlation, over edges, between the part's degree and the "
+    "supplier's degree — do well-connected parts ship via well-connected "
+    "suppliers? Every moment is an exact integer sum (degrees are "
+    "counts), the only floats are two IEEE-correctly-rounded sqrts and "
+    "one division on bit-identical inputs. Plan: distinct + two hash-agg "
+    "degree tables joined back on the edge list — all equi-joins on "
+    "graph keys, no adjacency materialization beyond degrees",
+    ("relational", "graph"),
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    edges = t.lineitem.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    dp = edges.groupBy("p").agg(F.count("*").alias("x"))
+    ds = edges.groupBy("s").agg(F.count("*").alias("y"))
+    e = edges.join(dp, "p").join(ds, "s")
+    m = e.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (
+                F.sqrt(
+                    (
+                        F.col("n") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                )
+                * F.sqrt(
+                    (
+                        F.col("n") * F.col("syy")
+                        - F.col("sy") * F.col("sy")
+                    ).cast("double")
+                )
+            ),
+            6,
+        ).alias("assortativity"),
+    )
