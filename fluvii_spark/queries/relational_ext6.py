@@ -1062,3 +1062,291 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@register(
+    "q161_char_gini_impurity",
+    """
+    WITH chars AS (
+      SELECT lang, unnest(string_split_regex(text, '')) AS ch
+      FROM documents
+    ),
+    filtered AS (SELECT lang, ch FROM chars WHERE ch <> ''),
+    cnt AS (
+      SELECT lang, ch, COUNT(*) AS c FROM filtered GROUP BY lang, ch
+    ),
+    tot AS (SELECT lang, SUM(c) AS n, SUM(c * c) AS ss FROM cnt GROUP BY lang)
+    SELECT lang, CAST(n AS BIGINT) AS n_chars,
+           ROUND(1.0 - CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)
+             AS gini_impurity
+    FROM tot
+    """,
+    "character-distribution Gini impurity per language (1 − Σp²): the "
+    "entropy-like diversity score that needs NO logarithm — Σc² and N are "
+    "exact integer sums, so both engines divide bit-identical values once. "
+    "Scripts with few distinct characters (or boilerplate-heavy corpora) "
+    "score low; the language-ID/quality feature exposed as its own "
+    "profile. Char explode → two hash aggregates, codegen throughout",
+    ("llm", "text", "quality"),
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    chars = t.documents.select(
+        "lang", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    cnt = chars.groupBy("lang", "ch").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("lang").agg(
+        F.sum("c").alias("n"), F.sum(F.col("c") * F.col("c")).alias("ss")
+    )
+    return tot.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_chars"),
+        F.round(
+            F.lit(1.0)
+            - F.col("ss").cast("double")
+            / (F.col("n").cast("double") * F.col("n")),
+            6,
+        ).alias("gini_impurity"),
+    )
+
+
+@register(
+    "q162_burstiness",
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS ss
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND(CAST(n * ss - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * s),
+                 6) AS burstiness
+    FROM m WHERE s > 0
+    """,
+    "traffic burstiness per event type: the index of dispersion "
+    "(variance-to-mean ratio of daily counts, (n·Σc² − (Σc)²)/(n·Σc)) — "
+    "1.0 for Poisson arrivals, higher = bursty. All moments are exact "
+    "integer sums over the daily rollup; one double division at the end. "
+    "The capacity-planning companion to q112's anomaly gate",
+    ("relational", "timeseries"),
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) DIV 86400000000"
+            ).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("c"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    return m.filter(F.col("s") > 0).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(
+            (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast(
+                "double"
+            )
+            / (F.col("n").cast("double") * F.col("s")),
+            6,
+        ).alias("burstiness"),
+    )
+
+
+@register(
+    "q163_hapax_ratio",
+    """
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    cnt AS (
+      SELECT lang, w, COUNT(*) AS c FROM toks WHERE w <> ''
+      GROUP BY lang, w
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS hapax_count,
+           ROUND(CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_ratio
+    FROM cnt GROUP BY lang
+    """,
+    "hapax legomena ratio per language: the share of vocabulary occurring "
+    "exactly once — the classic corpus-maturity statistic (high hapax = "
+    "sparse coverage, expect OOV pain; near-zero = heavy duplication). "
+    "Token explode → per-(lang, token) count → one conditional aggregate; "
+    "integer counts divide once per lang",
+    ("llm", "text", "vocabulary"),
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    cnt = toks.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    hap = F.count(F.when(F.col("c") == 1, 1))
+    return cnt.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        hap.cast("bigint").alias("hapax_count"),
+        F.round(hap.cast("double") / F.count("*"), 6).alias("hapax_ratio"),
+    )
+
+
+COVERAGE_KS = [10, 100, 1000]
+
+
+@register(
+    "q164_vocab_coverage_curve",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    cnt AS (
+      SELECT w, COUNT(*) AS c FROM toks WHERE w <> '' GROUP BY w
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn,
+             SUM(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM cnt
+    ),
+    tot AS (SELECT SUM(c) AS total FROM cnt),
+    ks AS (SELECT unnest([10, 100, 1000]) AS k)
+    SELECT ks.k AS top_k,
+           CAST(r.cum AS BIGINT) AS tokens_covered,
+           ROUND(CAST(r.cum AS DOUBLE) / tot.total, 6) AS coverage
+    FROM ks JOIN ranked r ON r.rn = ks.k, tot
+    """,
+    "vocabulary coverage curve: what share of all corpus tokens the top-k "
+    "most frequent words cover, at k = 10/100/1000 — the Zipf head weight "
+    "that sizes tokenizer vocabularies and stopword lists. The "
+    "frequency-descending running total comes from distributed_running_sum "
+    "(range repartition + broadcast partition prefixes, integer-exact), "
+    "probed at 3 ranks; no global single-task window touches the "
+    "vocabulary relation",
+    ("llm", "text", "vocabulary", "order-statistics"),
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.ranking import distributed_running_sum
+
+    t = load_tables(spark, sf_dir)
+    cnt = (
+        t.documents.select(
+            F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    cnt = cnt.localCheckpoint(eager=False)
+    ranked = distributed_running_sum(
+        cnt,
+        [F.col("c").desc(), F.col("w")],
+        "c",
+        out_col="cum",
+        rank_col="rn",
+    )
+    tot = cnt.agg(F.sum("c").alias("total"))
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in COVERAGE_KS])).alias("top_k")
+    )
+    return (
+        ranked.join(F.broadcast(ks), F.col("rn") == F.col("top_k"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("top_k").cast("int").alias("top_k"),
+            F.col("cum").cast("bigint").alias("tokens_covered"),
+            F.round(F.col("cum").cast("double") / F.col("total"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+@register(
+    "q165_ks_distance",
+    """
+    WITH a AS (SELECT value, event_id FROM events
+               WHERE event_type = 'view' AND value IS NOT NULL),
+         b AS (SELECT value, event_id FROM events
+               WHERE event_type = 'purchase' AND value IS NOT NULL),
+    merged AS (
+      SELECT value, event_id, 1 AS ia, 0 AS ib FROM a
+      UNION ALL
+      SELECT value, event_id, 0, 1 FROM b
+    ),
+    ranked AS (
+      SELECT SUM(ia) OVER w AS ca, SUM(ib) OVER w AS cb
+      FROM merged
+      WINDOW w AS (ORDER BY value, event_id, ia ROWS UNBOUNDED PRECEDING)
+    ),
+    n AS (SELECT (SELECT COUNT(*) FROM a) AS na,
+                 (SELECT COUNT(*) FROM b) AS nb)
+    SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+           ROUND(CAST(MAX(abs(n.nb * ranked.ca - n.na * ranked.cb))
+                      AS DOUBLE) / (n.na * n.nb), 6) AS ks_distance
+    FROM ranked, n GROUP BY n.na, n.nb
+    """,
+    "two-sample Kolmogorov-Smirnov distance between the value "
+    "distributions of two event types: D = max |ECDF_a − ECDF_b|, "
+    "computed as the integer-exact max of |n_b·c_a − n_a·c_b| over the "
+    "merged order (one distributed_running_sum pass on the sample-a "
+    "indicator; c_b = global rank − c_a), divided once by n_a·n_b. The "
+    "drift-detection statistic for training-data distribution shift, with "
+    "no single-task window over the merged relation",
+    ("relational", "statistics", "drift"),
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.ranking import distributed_running_sum
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.filter(F.col("value").isNotNull())
+    a = ev.filter(F.col("event_type") == "view").select(
+        "value", "event_id", F.lit(1).alias("ia")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "value", "event_id", F.lit(0).alias("ia")
+    )
+    merged = a.unionByName(b)
+    ranked = distributed_running_sum(
+        merged,
+        ["value", "event_id", F.col("ia").asc()],
+        "ia",
+        out_col="ca",
+        rank_col="rn",
+    )
+    counts = merged.agg(
+        F.sum("ia").alias("na"),
+        (F.count("*") - F.sum("ia")).alias("nb"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(counts))
+        .select(
+            "na",
+            "nb",
+            F.abs(
+                F.col("nb") * F.col("ca")
+                - F.col("na") * (F.col("rn") - F.col("ca"))
+            ).alias("d_int"),
+        )
+        .groupBy("na", "nb")
+        .agg(F.max("d_int").alias("dmax"))
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("dmax").cast("double") / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("ks_distance"),
+        )
+    )
