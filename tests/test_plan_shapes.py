@@ -87,6 +87,11 @@ _BNLJ_ALLOWED = {
     "q143_token_lift_pairs",  # 1-row n_docs broadcast onto bounded pairs
     "q144_decayed_engagement",  # 1-row max-ts aggregate broadcast onto scan
     "q146_knn_classify",  # bounded probe-vector set broadcast (q74's shape)
+    "q148_kmv_intersection",  # ≤C(|types|,2)-row pair scaffold broadcast onto k·|types| sketch rows
+    "q151_rfm_segments",  # 1-row customer-count broadcast (lazy, no eager count)
+    "q152_pareto_topshare",  # 1-row total/count aggregate broadcast
+    "q164_vocab_coverage_curve",  # 1-row corpus-total broadcast onto 3 probe rows
+    "q165_ks_distance",  # 1-row sample-size aggregate broadcast onto ranked rows
 }
 
 
