@@ -1350,3 +1350,84 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_distance"),
         )
     )
+
+
+FRAME_EVERY_MS = 250
+
+
+@register(
+    "q166_frame_sample",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(unnest(generate_series(0, 999, {FRAME_EVERY_MS})) AS INT)
+             AS frame_ms,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+    "video frame-sampling plan (multimodal pipeline stage 3 of 4): one "
+    "output row per sampled frame offset from the typed media metadata "
+    "(duration_ms), payload carried alongside for the downstream decode — "
+    "the cardinality-changing explode is the real plan, the codec is the "
+    "documented stub. Oracle regenerates the frame grid with "
+    "generate_series and checks the payload digest per frame row",
+    ("llm", "multimodal"),
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.multimodal import (
+        frame_sample,
+        media_from_documents,
+    )
+
+    docs = load_tables(spark, sf_dir).documents
+    frames = frame_sample(
+        media_from_documents(docs, kind="video"), every_ms=FRAME_EVERY_MS
+    )
+    return frames.select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        F.col("frame_ms").cast("int").alias("frame_ms"),
+        F.sha2("payload", 256).alias("payload_sha"),
+    )
+
+
+RESIZE_W = RESIZE_H = 32
+
+
+@register(
+    "q167_resize_contract",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST({RESIZE_W} AS INT) AS width,
+           CAST({RESIZE_H} AS INT) AS height,
+           CAST(16 AS BIGINT) AS n_bytes,
+           substr(sha256('resize:{RESIZE_W}x{RESIZE_H}:' || text), 1, 32)
+             AS payload_hex
+    FROM documents
+    """,
+    "image resize plan (multimodal pipeline stage 4 of 4): Arrow-batched "
+    "mapInPandas over (payload, meta) re-encoding to the target "
+    "resolution, output schema = media schema with updated "
+    "width/height/n_bytes, no shuffle, byte-budget partitioning upstream. "
+    "The pixel kernel is the documented digest stub, which makes the "
+    "CONTRACT oracle-checkable: the re-encoded payload must equal the "
+    "first 16 bytes of sha256('resize:WxH:' || payload), which the oracle "
+    "recomputes in SQL and compares as hex — proving the Python stage "
+    "transforms bytes and metadata exactly as declared",
+    ("llm", "multimodal"),
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.multimodal import (
+        media_from_documents,
+        resize,
+    )
+
+    docs = load_tables(spark, sf_dir).documents
+    resized = resize(
+        media_from_documents(docs, kind="image"), RESIZE_W, RESIZE_H
+    )
+    return resized.select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        F.col("meta.width").cast("int").alias("width"),
+        F.col("meta.height").cast("int").alias("height"),
+        F.col("meta.n_bytes").cast("bigint").alias("n_bytes"),
+        F.lower(F.hex("payload")).alias("payload_hex"),
+    )
