@@ -1431,3 +1431,289 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_bytes").cast("bigint").alias("n_bytes"),
         F.lower(F.hex("payload")).alias("payload_hex"),
     )
+
+
+BAL_CAP = 1000.0
+
+
+@register(
+    "q168_capped_running_balance",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, value FROM events
+      WHERE value IS NOT NULL
+      ORDER BY user_id, ts, event_id
+    ),
+    folded AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(value)),
+               (acc, x) -> least(greatest(acc + x, 0.0), {BAL_CAP})
+             ) AS final_balance
+      FROM ordered GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           ROUND(final_balance, 6) AS final_balance
+    FROM folded
+    """,
+    "CLAMPED running balance per user (floor 0, cap 1000): a non-linear "
+    "per-row recurrence no window frame can express — the batch twin of "
+    "the reference's per-message stateful fold (fluvii_table_app), done "
+    "ENGINE-SIDE as F.aggregate over the time-ordered value array "
+    "(whole-stage codegen, no Python). Both engines fold the identical "
+    "IEEE op sequence in the identical order, so results are "
+    "bit-deterministic. Per-user arrays are bounded by per-key activity — "
+    "the same state-size bound the streaming fold carries",
+    ("relational", "stateful", "fold"),
+)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t.events.filter(F.col("value").isNotNull()).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    arr = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("seq"),
+        )
+    )
+    fold = F.aggregate(
+        F.transform(F.col("seq"), lambda s: s["value"]),
+        F.lit(0.0),
+        lambda acc, x: F.least(
+            F.greatest(acc + x, F.lit(0.0)), F.lit(BAL_CAP)
+        ),
+    )
+    return arr.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(fold, 6).alias("final_balance"),
+    )
+
+
+@register(
+    "q169_linear_interpolate",
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(MIN(day), MAX(day))) AS day
+      FROM daily GROUP BY event_type
+    ),
+    joined AS (
+      SELECT s.event_type, s.day, d.v FROM spine s
+      LEFT JOIN daily d USING (event_type, day)
+    ),
+    ctx AS (
+      SELECT event_type, day, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS pd,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS nd
+      FROM joined
+    )
+    SELECT event_type, CAST(day AS BIGINT) AS day,
+           CAST(v IS NULL AS BOOLEAN) AS interpolated,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (day - pd) / (nd - pd)
+           END, 6) AS value_filled
+    FROM ctx
+    """,
+    "time-series gap filling with LINEAR interpolation: build each event "
+    "type's full daily spine, then fill missing days from the previous/"
+    "next known points (pv + (nv−pv)·(day−pd)/(nd−pd); edges forward/"
+    "backward-fill). The four context columns are ignore-nulls window "
+    "lookups over the DAILY rollup (|days| rows per type, never the raw "
+    "stream); daily means divide DECIMAL-exact sums so both engines "
+    "interpolate bit-identical endpoints",
+    ("relational", "timeseries"),
+)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t.events.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) DIV 86400000000"
+            ).alias("day"),
+            F.col("value").cast("decimal(18,6)").alias("v_dec"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            (
+                F.sum("v_dec").cast("double") / F.count("v_dec")
+            ).alias("v")
+        )
+    )
+    spine = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    joined = spine.join(daily, ["event_type", "day"], "left")
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    day_if_v = F.when(F.col("v").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "event_type",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(day_if_v, ignorenulls=True).over(w_back).alias("pd"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(day_if_v, ignorenulls=True).over(w_fwd).alias("nd"),
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("day") - F.col("pd"))
+            / (F.col("nd") - F.col("pd"))
+        )
+    )
+    return ctx.select(
+        "event_type",
+        F.col("day").cast("bigint").alias("day"),
+        F.col("v").isNull().alias("interpolated"),
+        F.round(filled, 6).alias("value_filled"),
+    )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "q170_session_conversion",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_type, t, event_id,
+             CASE WHEN t - lag(t) OVER w > {SESSION_GAP_US}
+                  OR lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, t, event_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    per_session AS (
+      SELECT user_id, sid,
+             COUNT(*) AS n_events,
+             MIN(CASE WHEN event_type = 'view' THEN t END) AS first_view,
+             MAX(CASE WHEN event_type = 'click' THEN t END) AS last_click
+      FROM sess GROUP BY user_id, sid
+    ),
+    bucketed AS (
+      SELECT CASE WHEN n_events = 1 THEN '1'
+                  WHEN n_events <= 3 THEN '2-3' ELSE '4+' END AS depth,
+             CASE WHEN first_view IS NOT NULL AND last_click > first_view
+                  THEN 1 ELSE 0 END AS converted
+      FROM per_session
+    )
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6)
+             AS conversion_rate
+    FROM bucketed GROUP BY depth
+    """,
+    "session-scoped conversion by session depth: 30-min-gap sessionization "
+    "(gaps-and-islands running sum per user), then per session a view "
+    "followed by a later click counts as converted; report rate by "
+    "session-size bucket. Complements the user-scoped funnels (q89/q119) "
+    "with the session-scoped variant; both windows are per-user "
+    "(key-partitioned over that user's events), aggregation collapses to "
+    "one row per session before the tiny bucket rollup — integer-µs "
+    "comparisons throughout",
+    ("relational", "sessionization", "funnel"),
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t.events.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    marked = e.withColumn(
+        "new_s",
+        F.when(
+            (F.col("t") - F.lag("t").over(w) > SESSION_GAP_US)
+            | F.lag("t").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.when(F.col("event_type") == "view", F.col("t"))).alias(
+            "first_view"
+        ),
+        F.max(F.when(F.col("event_type") == "click", F.col("t"))).alias(
+            "last_click"
+        ),
+    )
+    bucketed = per_session.select(
+        F.when(F.col("n_events") == 1, "1")
+        .when(F.col("n_events") <= 3, "2-3")
+        .otherwise("4+")
+        .alias("depth"),
+        F.when(
+            F.col("first_view").isNotNull()
+            & (F.col("last_click") > F.col("first_view")),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    return bucketed.groupBy("depth").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(
+            F.sum("converted").cast("double") / F.count("*"), 6
+        ).alias("conversion_rate"),
+    )
