@@ -1717,3 +1717,164 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("converted").cast("double") / F.count("*"), 6
         ).alias("conversion_rate"),
     )
+
+
+BPE_TOP = 20
+
+
+@register(
+    "q171_bpe_merge_scan",
+    f"""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS w FROM documents
+    ),
+    idx AS (
+      SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+      FROM toks WHERE len(w) >= 2
+    ),
+    pairs AS (
+      SELECT w[i] AS left_sym, w[i+1] AS right_sym FROM idx
+      WHERE w[i] <> '' AND w[i+1] <> ''
+    ),
+    cnt AS (
+      SELECT left_sym, right_sym, COUNT(*) AS pair_count
+      FROM pairs GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT left_sym, right_sym, pair_count,
+             row_number() OVER (ORDER BY pair_count DESC,
+                                left_sym, right_sym) AS rnk
+      FROM cnt
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, left_sym, right_sym,
+           CAST(pair_count AS BIGINT) AS pair_count
+    FROM ranked WHERE rnk <= {BPE_TOP}
+    """,
+    f"one BPE-training merge iteration at word level: count every "
+    "ADJACENT symbol pair across the corpus and rank the top "
+    f"{BPE_TOP} merge candidates (deterministic (count desc, pair) "
+    "tie-break) — the inner loop of tokenizer training as a query. "
+    "Adjacent-pair explode (positions 1..n−1) → hash count → top-k; at "
+    "scale the rank runs on the aggregated pair vocabulary, not the "
+    "corpus, and top-k goes through TakeOrdered, no global window",
+    ("llm", "tokenization"),
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    pairs = t.documents.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+                " i -> struct(element_at(split(text, ' '), i) as left_sym,"
+                "            element_at(split(text, ' '), i + 1) as right_sym))"
+            )
+        ).alias("p")
+    ).select("p.left_sym", "p.right_sym").filter(
+        (F.col("left_sym") != "") & (F.col("right_sym") != "")
+    )
+    cnt = pairs.groupBy("left_sym", "right_sym").agg(
+        F.count("*").alias("pair_count")
+    )
+    top = (
+        cnt.orderBy(
+            F.desc("pair_count"), "left_sym", "right_sym"
+        ).limit(BPE_TOP)
+    )
+    return top.select(
+        F.row_number()
+        .over(
+            Window.orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        )
+        .cast("bigint")
+        .alias("rnk"),
+        "left_sym",
+        "right_sym",
+        F.col("pair_count").cast("bigint").alias("pair_count"),
+    )
+
+
+@register(
+    "q172_spearman_length_quality",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tok,
+             CAST(list_unique(string_split(text, ' ')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr
+      FROM documents
+    ),
+    rx AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_tok, doc_id) AS r_len
+      FROM scored
+    ),
+    ry AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY ttr, doc_id) AS r_ttr
+      FROM scored
+    ),
+    d AS (
+      SELECT rx.lang, rx.r_len - ry.r_ttr AS dd
+      FROM rx JOIN ry USING (doc_id)
+    ),
+    m AS (
+      SELECT lang, COUNT(*) AS n, SUM(dd * dd) AS sd2
+      FROM d GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           ROUND(1.0 - 6.0 * sd2 / (CAST(n AS DOUBLE) * (n * n - 1)), 6)
+             AS spearman_rho
+    FROM m WHERE n > 1
+    """,
+    "Spearman rank correlation between document length and type-token "
+    "ratio per language: does verbosity predict lexical quality? Both "
+    "rank lists use unique (value, doc_id) tie-breaks, so Σd² is an "
+    "EXACT integer and ρ = 1 − 6Σd²/(n(n²−1)) divides bit-identical "
+    "values once — rank correlation without any float moment. Ranks come "
+    "from distributed_row_number + broadcast per-lang offsets (two "
+    "composite-order passes), never a per-lang window over the corpus",
+    ("llm", "statistics", "order-statistics"),
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.ranking import distributed_row_number
+
+    t = load_tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    scored = t.documents.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tok"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "ttr"
+        ),
+    )
+    scored = scored.localCheckpoint(eager=False)  # two rank passes, one scan
+
+    def lang_rank(order_cols, out):
+        ranked = distributed_row_number(scored, order_cols, out_col="_g")
+        base = ranked.groupBy("lang").agg(F.min("_g").alias("_b"))
+        return ranked.join(F.broadcast(base), "lang").select(
+            "doc_id", "lang", (F.col("_g") - F.col("_b") + 1).alias(out)
+        )
+
+    rx = lang_rank(["lang", "n_tok", "doc_id"], "r_len")
+    ry = lang_rank(["lang", "ttr", "doc_id"], "r_ttr").drop("lang")
+    d = rx.join(ry, "doc_id").select(
+        "lang", (F.col("r_len") - F.col("r_ttr")).alias("dd")
+    )
+    m = d.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum(F.col("dd") * F.col("dd")).alias("sd2")
+    )
+    return m.filter(F.col("n") > 1).select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(
+            F.lit(1.0)
+            - F.lit(6.0)
+            * F.col("sd2")
+            / (F.col("n").cast("double") * (F.col("n") * F.col("n") - 1)),
+            6,
+        ).alias("spearman_rho"),
+    )
