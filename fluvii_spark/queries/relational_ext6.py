@@ -1878,3 +1878,201 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+# Benford first-digit probabilities log10(1+1/d), fixed 6-dp literals so both
+# engines compare against identical constants (no runtime libm log)
+BENFORD_P = {
+    1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910,
+    5: 0.079181, 6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+@register(
+    "q173_benford_deviation",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT d, COUNT(*) AS c FROM digits GROUP BY d),
+    tot AS (SELECT SUM(c) AS n FROM obs),
+    exp_t AS (
+      SELECT unnest([{', '.join(str(d) for d in BENFORD_P)}]) AS d,
+             unnest([{', '.join(str(p) for p in BENFORD_P.values())}]) AS p
+    )
+    SELECT e.d AS digit, CAST(COALESCE(o.c, 0) AS BIGINT) AS observed,
+           ROUND(e.p * t.n, 6) AS expected,
+           ROUND((COALESCE(o.c, 0) - e.p * t.n)
+                 * (COALESCE(o.c, 0) - e.p * t.n) / (e.p * t.n), 6)
+             AS chi2_term
+    FROM exp_t e LEFT JOIN obs o ON o.d = e.d, tot t
+    """,
+    "Benford's-law first-digit audit of order totals: observed counts per "
+    "leading digit vs the Benford expectation, with per-digit chi-square "
+    "terms — the classic synthetic-data / fraud smoke test. The log10 "
+    "probabilities are FIXED 6-dp literals (no runtime libm), digit "
+    "extraction is integer/string arithmetic, so both engines compare "
+    "identical numbers. One scan + 9-row arithmetic",
+    ("relational", "statistics", "audit"),
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    digits = t.orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").alias("c"))
+    tot = obs.agg(F.sum("c").alias("n"))
+    exp_t = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("bigint").alias("d"),
+                        F.lit(p).alias("p"),
+                    )
+                    for d, p in BENFORD_P.items()
+                ]
+            )
+        ).alias("e")
+    ).select("e.d", "e.p")
+    joined = (
+        exp_t.join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("observed"),
+            (F.col("p") * F.col("n")).alias("_exp"),
+        )
+    )
+    diff = F.col("observed") - F.col("_exp")
+    return joined.select(
+        "digit",
+        "observed",
+        F.round(F.col("_exp"), 6).alias("expected"),
+        F.round(diff * diff / F.col("_exp"), 6).alias("chi2_term"),
+    )
+
+
+@register(
+    "q174_referential_audit",
+    """
+    SELECT 'orders->customer' AS fk, CAST(COUNT(*) AS BIGINT) AS orphans
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem->orders', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    """,
+    "referential-integrity audit across the star schema: orphan-row "
+    "counts for five foreign-key relations in one result — the "
+    "data-quality gate run before any pipeline trusts its joins. Each "
+    "check is a LEFT ANTI join (broadcast for the small parents, shuffle "
+    "hash for fact-to-fact), counts only — no payload movement",
+    ("relational", "audit", "join"),
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+
+    def orphans(child, ckey, parent, pkey, label):
+        return (
+            child.join(
+                parent.select(F.col(pkey).alias(ckey)), ckey, "left_anti"
+            )
+            .agg(F.count("*").cast("bigint").alias("orphans"))
+            .select(F.lit(label).alias("fk"), "orphans")
+        )
+
+    checks = [
+        orphans(t.orders, "o_custkey", t.customer, "c_custkey",
+                "orders->customer"),
+        orphans(t.lineitem, "l_orderkey", t.orders, "o_orderkey",
+                "lineitem->orders"),
+        orphans(t.lineitem, "l_partkey", t.part, "p_partkey",
+                "lineitem->part"),
+        orphans(t.lineitem, "l_suppkey", t.supplier, "s_suppkey",
+                "lineitem->supplier"),
+        orphans(t.customer, "c_nationkey", t.nation, "n_nationkey",
+                "customer->nation"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@register(
+    "q175_seasonality_index",
+    """
+    WITH monthly AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS y,
+             EXTRACT(month FROM o_orderdate) AS m,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    yearly AS (
+      SELECT y, SUM(rev) AS yrev, COUNT(*) AS n_months FROM monthly
+      GROUP BY y
+    ),
+    idx AS (
+      SELECT m.m, m.rev / y.yrev * y.n_months AS season_idx
+      FROM monthly m JOIN yearly y USING (y)
+    )
+    SELECT CAST(m AS BIGINT) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_years,
+           ROUND(CAST(AVG(season_idx) AS DOUBLE), 6) AS seasonality_index
+    FROM idx GROUP BY m
+    """,
+    "monthly seasonality index of order revenue: each month's share of "
+    "its year's revenue scaled by the months observed that year (1.0 = "
+    "neutral), averaged across years — the de-trended seasonal profile. "
+    "DECIMAL-exact monthly and yearly sums; the per-(year,month) ratio "
+    "and final average are the only float ops, on bit-identical inputs; "
+    "aggregation collapses to |years|·12 rows before any division",
+    ("relational", "timeseries"),
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    monthly = t.orders.groupBy(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    yearly = monthly.groupBy("y").agg(
+        F.sum("rev").alias("yrev"), F.count("*").alias("n_months")
+    )
+    idx = monthly.join(yearly, "y").select(
+        "m",
+        (F.col("rev") / F.col("yrev") * F.col("n_months")).alias(
+            "season_idx"
+        ),
+    )
+    return idx.groupBy("m").agg(
+        F.count("*").cast("bigint").alias("n_years"),
+        F.round(F.avg("season_idx").cast("double"), 6).alias(
+            "seasonality_index"
+        ),
+    ).select(
+        F.col("m").cast("bigint").alias("month"),
+        "n_years",
+        "seasonality_index",
+    )
