@@ -92,6 +92,7 @@ _BNLJ_ALLOWED = {
     "q152_pareto_topshare",  # 1-row total/count aggregate broadcast
     "q164_vocab_coverage_curve",  # 1-row corpus-total broadcast onto 3 probe rows
     "q165_ks_distance",  # 1-row sample-size aggregate broadcast onto ranked rows
+    "q173_benford_deviation",  # 1-row grand-total broadcast onto 9 digit rows
 }
 
 
