@@ -142,6 +142,61 @@ def distributed_running_sum(
     return out.drop("_mid", "_pid", "_lrn", "_lsum", "_soff", "_coff")
 
 
+def distributed_running_max(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    num_partitions: int = 32,
+    out_col: str = "run_max",
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Global running MAX of ``value_col`` in ``order_cols`` order — the
+    prefix-max member of the prefix family (:func:`distributed_row_number`,
+    :func:`distributed_running_sum`).
+
+    Same construction: range repartition + local cumulative max within each
+    sorted partition + ``greatest`` with the broadcast prefix of preceding
+    partitions' maxima. Max is associative and idempotent, so the result is
+    exact for any type with a total order. The building block for
+    "high-watermark so far" analytics (e.g. event-time watermark
+    simulation over an ingest sequence).
+    """
+    parts = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
+        .withColumn(
+            "_lrn", (F.col("_mid") % F.lit(1 << 33) + F.lit(1)).cast("long")
+        )
+    )
+    parts = parts.localCheckpoint(eager=False)  # same double-exec hazard
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("_lrn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    parts = parts.withColumn("_lmax", F.max(value_col).over(w_local))
+    totals = parts.groupBy("_pid").agg(
+        F.max(value_col).alias("_pmax"), F.count("*").alias("_cnt")
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "_pid",
+        F.max("_pmax").over(w_off).alias("_moff"),  # NULL for partition 0
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_coff"),
+    )
+    out = parts.join(F.broadcast(offs), "_pid").withColumn(
+        out_col,
+        F.when(F.col("_moff").isNull(), F.col("_lmax")).otherwise(
+            F.greatest(F.col("_lmax"), F.col("_moff"))
+        ),
+    )
+    if rank_col is not None:
+        out = out.withColumn(rank_col, F.col("_lrn") + F.col("_coff"))
+    return out.drop("_mid", "_pid", "_lrn", "_lmax", "_moff", "_coff")
+
+
 def exact_quantiles(
     df: DataFrame,
     col: str,

@@ -2076,3 +2076,220 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_years",
         "seasonality_index",
     )
+
+
+@register(
+    "q176_incremental_rollup",
+    f"""
+    WITH ev AS (
+      SELECT event_type, user_id, value,
+             CASE WHEN event_id % 5 = 4 THEN 'delta' ELSE 'old' END AS part
+      FROM events
+    ),
+    part_stats AS (
+      SELECT event_type, part, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS sv
+      FROM ev GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT event_type, SUM(n) AS n, SUM(sv) AS sv FROM part_stats
+      GROUP BY event_type
+    ),
+    hashed AS (
+      SELECT DISTINCT event_type, part, user_id,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT)
+               / 4294967296.0 AS h
+      FROM ev
+    ),
+    part_kmv AS (
+      SELECT event_type, part, user_id, h FROM (
+        SELECT event_type, part, user_id, h,
+               row_number() OVER (PARTITION BY event_type, part
+                                  ORDER BY h, user_id) AS rn
+        FROM hashed
+      ) WHERE rn <= {KMV_K}
+    ),
+    merged_kmv AS (
+      SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS h_k FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY h, user_id) AS rn
+        FROM (SELECT DISTINCT event_type, user_id, h FROM part_kmv)
+      ) WHERE rn <= {KMV_K} GROUP BY event_type
+    ),
+    direct_kmv AS (
+      SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS h_k FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY h, user_id) AS rn
+        FROM (SELECT DISTINCT event_type, user_id, h FROM hashed)
+      ) WHERE rn <= {KMV_K} GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(m.n AS BIGINT) AS n_events,
+           ROUND(CAST(m.sv AS DOUBLE), 2) AS sum_value,
+           ROUND(CASE WHEN mk.n_kept < {KMV_K}
+                      THEN CAST(mk.n_kept AS DOUBLE)
+                      ELSE ({KMV_K} - 1) / mk.h_k END, 6) AS kmv_merged,
+           ROUND(CASE WHEN dk.n_kept < {KMV_K}
+                      THEN CAST(dk.n_kept AS DOUBLE)
+                      ELSE ({KMV_K} - 1) / dk.h_k END, 6) AS kmv_direct,
+           (mk.n_kept = dk.n_kept AND mk.h_k = dk.h_k) AS sketch_mergeable
+    FROM merged m
+    JOIN merged_kmv mk USING (event_type)
+    JOIN direct_kmv dk USING (event_type)
+    """,
+    "incremental-view-maintenance proof: partition events into an 80% "
+    "'old' slice and a 20% 'delta', aggregate each, MERGE the partials "
+    "(counts add, DECIMAL sums add, KMV k-min sets union + re-truncate), "
+    "and emit the merged results next to a direct full recompute with a "
+    "per-group sketch_mergeable flag — true because the k smallest of a "
+    "union of per-part k-smallest IS the global k smallest. This is the "
+    "algebra that makes continuous aggregates / delta pipelines correct "
+    "at 100 TB: the delta path touches |delta| rows + O(k) state, never "
+    "the full history",
+    ("relational", "rollup", "sketch", "incremental"),
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_type",
+        "user_id",
+        "value",
+        F.when(F.col("event_id") % 5 == 4, "delta")
+        .otherwise("old")
+        .alias("part"),
+    )
+    part_stats = ev.groupBy("event_type", "part").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    merged = part_stats.groupBy("event_type").agg(
+        F.sum("n").alias("n"), F.sum("sv").alias("sv")
+    )
+    hashed = ev.select("event_type", "part", "user_id").distinct().withColumn(
+        "h",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        / F.lit(4294967296.0),
+    )
+
+    def kmv(df, keys):
+        return (
+            df.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy(*keys).orderBy("h", "user_id")
+                ),
+            )
+            .filter(F.col("rn") <= KMV_K)
+            .drop("rn")
+        )
+
+    part_kmv = kmv(hashed, ["event_type", "part"])
+    merged_kmv = (
+        kmv(
+            part_kmv.select("event_type", "user_id", "h").distinct(),
+            ["event_type"],
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("mk_n"), F.max("h").alias("mk_h"))
+    )
+    direct_kmv = (
+        kmv(
+            hashed.select("event_type", "user_id", "h").distinct(),
+            ["event_type"],
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("dk_n"), F.max("h").alias("dk_h"))
+    )
+
+    def est(n, h):
+        return F.round(
+            F.when(n < KMV_K, n.cast("double")).otherwise(
+                F.lit(KMV_K - 1) / h
+            ),
+            6,
+        )
+
+    return (
+        merged.join(merged_kmv, "event_type")
+        .join(direct_kmv, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(F.col("sv").cast("double"), 2).alias("sum_value"),
+            est(F.col("mk_n"), F.col("mk_h")).alias("kmv_merged"),
+            est(F.col("dk_n"), F.col("dk_h")).alias("kmv_direct"),
+            (
+                (F.col("mk_n") == F.col("dk_n"))
+                & (F.col("mk_h") == F.col("dk_h"))
+            ).alias("sketch_mergeable"),
+        )
+    )
+
+
+LATE_1H_US = 3600 * 1_000_000
+LATE_24H_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "q177_late_data_report",
+    f"""
+    WITH seq AS (
+      SELECT event_type, event_id, epoch_us(ts) AS t FROM events
+    ),
+    wm AS (
+      SELECT event_type, t,
+             MAX(t) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+               AS high_watermark
+      FROM seq
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN t < high_watermark - {LATE_1H_US}
+                      THEN 1 END) AS BIGINT) AS late_1h,
+           CAST(COUNT(CASE WHEN t < high_watermark - {LATE_24H_US}
+                      THEN 1 END) AS BIGINT) AS late_24h,
+           ROUND(CAST(COUNT(CASE WHEN t < high_watermark - {LATE_1H_US}
+                           THEN 1 END) AS DOUBLE) / COUNT(*), 6)
+             AS late_1h_rate
+    FROM wm GROUP BY event_type
+    """,
+    "watermark-tuning report: replay the ingest sequence (event_id order), "
+    "track the event-time HIGH WATERMARK via a distributed prefix-max "
+    "(range repartition + local cummax + broadcast partition-max prefix — "
+    "the prefix-max member of the ranking family, no single-task global "
+    "window), and count per type how many events arrive more than "
+    "1h/24h behind it — exactly the rows a streaming watermark of that "
+    "delay would drop. Integer-µs comparisons; the number that sizes "
+    "`withWatermark` before deploying the streaming twin",
+    ("relational", "streaming-adjacent", "timeseries"),
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.ranking import distributed_running_max
+
+    t = load_tables(spark, sf_dir)
+    seq = t.events.select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t"),
+    )
+    wm = distributed_running_max(
+        seq, ["event_id"], "t", out_col="high_watermark"
+    )
+    late1 = F.count(
+        F.when(F.col("t") < F.col("high_watermark") - LATE_1H_US, 1)
+    )
+    late24 = F.count(
+        F.when(F.col("t") < F.col("high_watermark") - LATE_24H_US, 1)
+    )
+    return wm.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        late1.cast("bigint").alias("late_1h"),
+        late24.cast("bigint").alias("late_24h"),
+        F.round(late1.cast("double") / F.count("*"), 6).alias(
+            "late_1h_rate"
+        ),
+    )

@@ -777,3 +777,35 @@ def test_distributed_running_sum_matches_global_window(spark, sf_dir):
             ).collect()
         }
         assert got == want, f"mismatch at num_partitions={nparts}"
+
+
+def test_distributed_running_max_matches_global_window(spark, sf_dir):
+    """Prefix-max member of the prefix family: running max and rank must
+    equal a single-task global window's for any partition count."""
+    from pyspark.sql import Window as W
+
+    from fluvii_spark.operators.ranking import distributed_running_max
+
+    seq = load_tables(spark, sf_dir).events.select(
+        "event_id", F.expr("unix_micros(cast(ts as timestamp))").alias("t")
+    )
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        r["event_id"]: (r["hm"], r["rn"])
+        for r in seq.withColumn("hm", F.max("t").over(w))
+        .withColumn("rn", F.row_number().over(W.orderBy("event_id")))
+        .collect()
+    }
+    for nparts in (1, 7, 64):
+        got = {
+            r["event_id"]: (r["hm"], r["rn"])
+            for r in distributed_running_max(
+                seq,
+                ["event_id"],
+                "t",
+                num_partitions=nparts,
+                out_col="hm",
+                rank_col="rn",
+            ).collect()
+        }
+        assert got == want, f"mismatch at num_partitions={nparts}"
