@@ -2293,3 +2293,184 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
             "late_1h_rate"
         ),
     )
+
+
+HORIZONS_US = {"1h": 3600 * 10**6, "24h": 24 * 3600 * 10**6,
+               "7d": 7 * 24 * 3600 * 10**6}
+
+
+@register(
+    "q178_conversion_horizons",
+    f"""
+    WITH v AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+      WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'purchase'
+    ),
+    firstp AS (
+      SELECT v.user_id, v.event_id, v.t,
+             MIN(p.t) AS tp
+      FROM v LEFT JOIN p ON p.user_id = v.user_id AND p.t > v.t
+      GROUP BY v.user_id, v.event_id, v.t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(COUNT(CASE WHEN tp - t <= {HORIZONS_US['1h']} THEN 1 END)
+                AS BIGINT) AS conv_1h,
+           CAST(COUNT(CASE WHEN tp - t <= {HORIZONS_US['24h']} THEN 1 END)
+                AS BIGINT) AS conv_24h,
+           CAST(COUNT(CASE WHEN tp - t <= {HORIZONS_US['7d']} THEN 1 END)
+                AS BIGINT) AS conv_7d,
+           ROUND(CAST(COUNT(CASE WHEN tp - t <= {HORIZONS_US['24h']}
+                            THEN 1 END) AS DOUBLE) / COUNT(*), 6)
+             AS rate_24h
+    FROM firstp
+    """,
+    "multi-horizon conversion matrix: for every view, the user's FIRST "
+    "later purchase, bucketed by time-to-convert at 1h/24h/7d — one "
+    "forward as-of pass answers all horizons (the cumulative-funnel "
+    "companion to q153's single-tolerance join). Spark side reuses "
+    "asof_join(direction='forward') — one key-partitioned union+window "
+    "shuffle, no per-horizon rescans; integer-µs horizon gates",
+    ("relational", "funnel", "asof"),
+)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t"),
+        "event_id",
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "t", "event_id"
+    )
+    # strict > : shift purchases one microsecond earlier so at-or-after
+    # becomes strictly-after, matching the oracle's p.t > v.t
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "t")
+        .agg(F.min("t").alias("tp"))
+        .select("user_id", (F.col("t") - 1).alias("t_join"), "tp")
+    )
+    matched = asof_join(
+        views,
+        purchases,
+        ["user_id"],
+        "t",
+        "t_join",
+        right_payload=["tp"],
+        direction="forward",
+    )
+    gap = F.col("right_tp") - F.col("t")
+    conv = lambda us: F.count(F.when(gap <= us, 1))  # noqa: E731
+    return matched.agg(
+        F.count("*").cast("bigint").alias("n_views"),
+        conv(HORIZONS_US["1h"]).cast("bigint").alias("conv_1h"),
+        conv(HORIZONS_US["24h"]).cast("bigint").alias("conv_24h"),
+        conv(HORIZONS_US["7d"]).cast("bigint").alias("conv_7d"),
+        F.round(
+            conv(HORIZONS_US["24h"]).cast("double") / F.count("*"), 6
+        ).alias("rate_24h"),
+    )
+
+
+@register(
+    "q179_weekday_hour_heatmap",
+    """
+    WITH g AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS weekday,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n) AS total FROM g)
+    SELECT weekday, hour, CAST(n AS BIGINT) AS n_events,
+           ROUND(CAST(n AS DOUBLE) / tot.total, 6) AS share
+    FROM g, tot
+    """,
+    "weekday × hour traffic heatmap with global share — the load-shaping "
+    "matrix behind capacity planning and trigger scheduling. duckdb "
+    "dayofweek (0=Sunday) differs from Spark's dayofweek (1=Sunday), so "
+    "the Spark side subtracts 1 to match; one hash aggregate + a 1-row "
+    "total broadcast over ≤168 cells",
+    ("relational", "timeseries"),
+)
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    g = t.events.groupBy(
+        (F.dayofweek(F.col("ts").cast("timestamp")) - 1)
+        .cast("bigint")
+        .alias("weekday"),
+        F.hour(F.col("ts").cast("timestamp")).cast("bigint").alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    tot = g.agg(F.sum("n").alias("total"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "weekday",
+        "hour",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+            "share"
+        ),
+    )
+
+
+@register(
+    "q180_market_concentration",
+    """
+    WITH rev AS (
+      SELECT p.p_brand AS brand, l.l_suppkey AS supp,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT brand,
+             COUNT(*) AS n_suppliers,
+             SUM(r) AS total,
+             SUM(CAST(r AS DECIMAL(38,4)) * r) AS ss
+      FROM rev GROUP BY brand
+    )
+    SELECT brand, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           ROUND(CAST(ss AS DOUBLE)
+                 / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6)
+             AS hhi
+    FROM m
+    """,
+    "Herfindahl-Hirschman market concentration per part brand: HHI = "
+    "Σ(supplier revenue share)² computed as Σr²/total² so every sum is "
+    "DECIMAL-exact (shares are never summed as floats) — 1/n for perfect "
+    "competition, 1.0 for monopoly. The supply-chain-risk companion to "
+    "q125's Gini; two hash aggregates on the brand-supplier rollup",
+    ("relational", "statistics"),
+)
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t.lineitem.join(
+            t.part.select("p_partkey", "p_brand"),
+            t.lineitem["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"), "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
+        )
+    )
+    m = rev.groupBy("brand").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("r").alias("total"),
+        F.sum(F.col("r").cast("decimal(38,4)") * F.col("r")).alias("ss"),
+    )
+    return m.select(
+        "brand",
+        F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+        F.round(
+            F.col("ss").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double")),
+            6,
+        ).alias("hhi"),
+    )

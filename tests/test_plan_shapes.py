@@ -93,6 +93,7 @@ _BNLJ_ALLOWED = {
     "q164_vocab_coverage_curve",  # 1-row corpus-total broadcast onto 3 probe rows
     "q165_ks_distance",  # 1-row sample-size aggregate broadcast onto ranked rows
     "q173_benford_deviation",  # 1-row grand-total broadcast onto 9 digit rows
+    "q179_weekday_hour_heatmap",  # 1-row total broadcast onto ≤168 cells
 }
 
 
