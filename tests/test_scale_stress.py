@@ -422,3 +422,53 @@ def test_sweepline_max_concurrent_under_replication(spark, sf_dir, tmp_path):
     wall = time.time() - t0
     assert got == {k: K * v for k, v in base.items()}
     assert wall < 300, f"sweep-line blew up: {wall:.0f}s"
+
+
+def test_prefix_family_under_replication(spark, sf_dir):
+    """The prefix family (distributed_running_sum / _running_max) at 10x:
+    the range-repartition + broadcast-prefix construction must stay exact
+    against Spark's global-window reference on the replicated relation,
+    and finish sanely — no single-task window over the big input."""
+    from pyspark.sql import Window as W
+
+    from fluvii_spark.operators.ranking import (
+        distributed_running_max,
+        distributed_running_sum,
+    )
+
+    # micros-within-day keeps the 10x global cumsum inside LONG range
+    ev = load_tables(spark, sf_dir).events.select(
+        "event_id",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) % 86400000000"
+        ).alias("t"),
+    )
+    reps = ev.withColumn("event_id", F.col("event_id") * 100)
+    for i in range(1, K):
+        reps = reps.unionByName(
+            ev.withColumn("event_id", F.col("event_id") * 100 + i)
+        )
+    t0 = time.time()
+    got = {
+        r["event_id"]: (r["cum"], r["hm"])
+        for r in distributed_running_sum(
+            reps, ["event_id"], "t", num_partitions=64, out_col="cum"
+        )
+        .join(
+            distributed_running_max(
+                reps, ["event_id"], "t", num_partitions=64, out_col="hm"
+            ).select("event_id", "hm"),
+            "event_id",
+        )
+        .collect()
+    }
+    wall = time.time() - t0
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        r["event_id"]: (r["cum"], r["hm"])
+        for r in reps.withColumn("cum", F.sum("t").over(w))
+        .withColumn("hm", F.max("t").over(w))
+        .collect()
+    }
+    assert got == want
+    assert wall < 300, f"prefix family blew up: {wall:.0f}s"
