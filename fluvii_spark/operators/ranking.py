@@ -104,6 +104,11 @@ def distributed_running_sum(
     associative); for doubles the grouping changes summation order vs a
     serial scan, so cast money-like columns to DECIMAL first (the package
     determinism rule). Pass ``rank_col`` to also emit the global rank.
+
+    Like :func:`distributed_row_number`, ties across ``order_cols`` get an
+    arbitrary-but-stable order — include a unique tie-break column when
+    per-row prefix values (not just per-distinct-key totals) must be
+    deterministic. Every in-repo caller does (q152/q164/q165).
     """
     parts = (
         df.repartitionByRange(num_partitions, *order_cols)
