@@ -39,7 +39,12 @@ CONCURRENCY = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "16"))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    try:
+        sf = float(
+            os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1"
+        )
+    except ValueError:  # non-sfN dir names still benchmark fine
+        sf = None
     spark = get_session("fluvii-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -135,10 +135,11 @@ def produce_cmd(
     from fluvii_spark.io.kafka import produce_from_json
     from fluvii_spark.session import get_session
 
+    staged: str | None = None
     if input_path == "-":
         # stdin carries a JSON array of message dicts (the reference's
         # piped form); spark.read.json wants files, so stage to a temp
-        # file as JSON Lines
+        # file as JSON Lines (removed after the produce completes)
         messages = json.load(sys.stdin)
         if not isinstance(messages, list):
             messages = [messages]
@@ -148,15 +149,21 @@ def produce_cmd(
         with tmp:
             for m in messages:
                 tmp.write(json.dumps(m) + "\n")
-        input_path = tmp.name
-    produce_from_json(
-        get_session("fluvii-spark-cli"),
-        ctx.obj["bootstrap_servers"],
-        input_path,
-        topic_override=topic_override,
-        use_given_partitions=use_given_partitions,
-        binary_base64=binary_base64,
-    )
+        input_path = staged = tmp.name
+    try:
+        produce_from_json(
+            get_session("fluvii-spark-cli"),
+            ctx.obj["bootstrap_servers"],
+            input_path,
+            topic_override=topic_override,
+            use_given_partitions=use_given_partitions,
+            binary_base64=binary_base64,
+        )
+    finally:
+        if staged is not None:
+            import os
+
+            os.unlink(staged)
     click.echo(json.dumps({"produced_from": input_path}))
 
 

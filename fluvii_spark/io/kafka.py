@@ -465,11 +465,13 @@ def produce_messages_frame(
         cols.append(F.lit(topic_override).alias("topic"))
     elif "topic" in df.columns:
         cols.append(F.col("topic"))
-    if "headers" in df.columns:
+    has_headers = "headers" in df.columns
+    if has_headers:
         htyp = df.schema["headers"].dataType
         if isinstance(htyp, T.MapType):
             entries = F.map_entries("headers")
-        else:  # spark.read.json infers a struct of observed header keys
+        elif isinstance(htyp, T.StructType) and htyp.fields:
+            # spark.read.json infers a struct of observed header keys
             entries = F.array(
                 *[
                     F.struct(
@@ -479,6 +481,12 @@ def produce_messages_frame(
                     for fld in htyp.fields
                 ]
             )
+        else:
+            # every dumped message had empty headers → JSON infers a
+            # zero-field struct (or a degenerate scalar); producing
+            # headerless messages is the faithful round-trip
+            has_headers = False
+    if has_headers:
         cols.append(
             F.expr(
                 "filter(__hdr_entries, h -> h.value is not null)"

@@ -28,13 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _to_seconds(col: Column, dtype: T.DataType) -> Column:
-    """Numeric seconds from a timestamp-or-numeric column (TIMESTAMP_NTZ
-    refuses a direct double cast; the session is pinned to UTC so the
-    NTZ→TIMESTAMP cast preserves the instant)."""
-    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        return F.unix_micros(col.cast("timestamp")).cast("double") / 1e6
-    return col.cast("double")
+def _is_ts(dtype: T.DataType) -> bool:
+    return isinstance(dtype, (T.TimestampType, T.TimestampNTZType))
 
 
 def asof_join(
@@ -106,12 +101,24 @@ def asof_join(
     )
     out = carried.filter(F.col("_side") == 1)
     if tolerance_s is not None:
-        l_secs = _to_seconds(F.col("_ts"), left.schema[left_ts].dataType)
-        r_secs = _to_seconds(F.col("_r_ts"), right.schema[right_ts].dataType)
-        gap = (
-            l_secs - r_secs if direction == "backward" else r_secs - l_secs
-        )
-        within = F.col("_r_ts").isNotNull() & (gap <= float(tolerance_s))
+        # integer-microsecond gate when both sides are timestamps — a float
+        # seconds comparison can flip <= at an exact-tolerance boundary
+        # (unix_micros/1e6 rounds ~0.24 µs at current epochs), violating
+        # the package rule that integer predicates decide membership.
+        # TIMESTAMP_NTZ refuses a direct double cast; the session is pinned
+        # to UTC so the NTZ→TIMESTAMP cast preserves the instant.
+        if _is_ts(left.schema[left_ts].dataType) and _is_ts(
+            right.schema[right_ts].dataType
+        ):
+            l_v = F.unix_micros(F.col("_ts").cast("timestamp"))
+            r_v = F.unix_micros(F.col("_r_ts").cast("timestamp"))
+            tol = F.lit(int(round(float(tolerance_s) * 1e6)))
+        else:
+            l_v = F.col("_ts").cast("double")
+            r_v = F.col("_r_ts").cast("double")
+            tol = F.lit(float(tolerance_s))
+        gap = l_v - r_v if direction == "backward" else r_v - l_v
+        within = F.col("_r_ts").isNotNull() & (gap <= tol)
         out = out.select(
             *key_cols,
             "_ts",

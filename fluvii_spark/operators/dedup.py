@@ -118,11 +118,13 @@ def ngram_pair_stats(
     key-partitioned. ``max_doc_freq`` as in :func:`ngram_jaccard_pairs`.
     """
     if max_doc_freq == "auto":
-        # Metadata-only estimate (no job at plan-build time). The fallback
-        # over-estimates wide document rows, which errs toward APPLYING the
-        # df-cut — the scale-safe direction (same routing rule as
-        # embedding_near_dup_pairs below).
-        n_docs = _estimate_rows(df)
+        # Metadata-only estimate (no job at plan-build time), calibrated at
+        # ~1KB/document so a 100k-doc corpus of KB-scale texts is not
+        # mistaken for a million-doc one; a residual over-estimate still
+        # errs toward APPLYING the df-cut — the scale-safe direction.
+        from fluvii_spark.operators.stats import estimate_rows
+
+        n_docs = estimate_rows(df, fallback_bytes_per_row=1000)
         max_doc_freq = (
             max(256, int(n_docs * 0.0005))
             if n_docs > AUTO_DF_CUT_MIN_DOCS

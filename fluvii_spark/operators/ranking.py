@@ -29,6 +29,51 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _indexed_partitions(
+    df: DataFrame, order_cols: list[str | Column], num_partitions: int
+) -> DataFrame:
+    """Shared scaffold of the prefix family (row_number / running sum /
+    running max): range-shuffled, locally-sorted partitions with the
+    partition id ``_pid`` and 1-based local rank ``_lrn`` extracted — and
+    localCheckpointed so every consumer sees IDENTICAL partitions.
+
+    sortWithinPartitions + monotonically_increasing_id is zipWithIndex in
+    DataFrame-land: the id packs (partitionId << 33) | rowIndexInPartition,
+    so local rank AND partition id come out of the ALREADY range-shuffled,
+    locally-sorted data with zero further shuffles — a window partitioned
+    by spark_partition_id would re-exchange the whole relation by
+    hash(_pid) just to regroup rows that are already colocated.
+
+    The checkpoint is load-bearing: the per-partition-totals branch and the
+    join branch must see the SAME partitioning — column pruning makes the
+    two exchange subtrees non-identical (no ReusedExchange), and
+    RangePartitioner's sampling depends on upstream row order, which is not
+    deterministic below a shuffle; two independent executions could pick
+    different boundaries, silently corrupting prefix = local + offset.
+    Availability tradeoff (same as RDD.zipWithIndex): locally checkpointed
+    blocks die with their executor, so on a lossy cluster swap this for
+    df.checkpoint() against a reliable checkpoint dir — correctness of the
+    construction is identical either way.
+    """
+    parts = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
+        .withColumn(
+            "_lrn", (F.col("_mid") % F.lit(1 << 33) + F.lit(1)).cast("long")
+        )
+        .drop("_mid")
+    )
+    return parts.localCheckpoint(eager=False)
+
+
+# the offsets window in each prefix op runs over <= num_partitions rows —
+# driver-free tiny; this frame is the only thing a global Window ever sees
+def _offsets_window():
+    return Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+
+
 def distributed_row_number(
     df: DataFrame,
     order_cols: list[str | Column],
@@ -45,43 +90,18 @@ def distributed_row_number(
     tie-invariant (q124 does: the value AT a rank is unique even when the
     rank WITHIN a tie group is not).
     """
-    # sortWithinPartitions + monotonically_increasing_id is zipWithIndex in
-    # DataFrame-land: the id packs (partitionId << 33) | rowIndexInPartition,
-    # so local rank AND partition id come out of the ALREADY range-shuffled,
-    # locally-sorted data with zero further shuffles — a window partitioned
-    # by spark_partition_id would re-exchange the whole relation by
-    # hash(_pid) just to regroup rows that are already colocated
-    parts = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_mid", F.monotonically_increasing_id())
-        .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
-        .withColumn(
-            "_lrn", (F.col("_mid") % F.lit(1 << 33) + F.lit(1)).cast("long")
-        )
-    )
-    # the counts branch and the join branch must see the SAME partitioning:
-    # column pruning makes the two exchange subtrees non-identical (no
-    # ReusedExchange), and RangePartitioner's sampling depends on upstream
-    # row order, which is not deterministic below a shuffle — two
-    # independent executions could pick different boundaries, silently
-    # corrupting rank = local + offset. localCheckpoint materializes the
-    # shuffled+sorted partitions once; both branches read the same data.
-    # Availability tradeoff (same as RDD.zipWithIndex): locally
-    # checkpointed blocks die with their executor, so on a lossy cluster
-    # swap this for df.checkpoint() against a reliable checkpoint dir —
-    # correctness of the rank construction is identical either way.
-    parts = parts.localCheckpoint(eager=False)
+    parts = _indexed_partitions(df, order_cols, num_partitions)
     counts = parts.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    # the offsets window runs over <= num_partitions rows — driver-free tiny
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.select(
-        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(_offsets_window()), F.lit(0)).alias(
+            "_off"
+        ),
     )
     return (
         parts.join(F.broadcast(offs), "_pid")
         .withColumn(out_col, F.col("_lrn") + F.col("_off"))
-        .drop("_mid", "_pid", "_lrn", "_off")
+        .drop("_pid", "_lrn", "_off")
     )
 
 
@@ -110,18 +130,7 @@ def distributed_running_sum(
     per-row prefix values (not just per-distinct-key totals) must be
     deterministic. Every in-repo caller does (q152/q164/q165).
     """
-    parts = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_mid", F.monotonically_increasing_id())
-        .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
-        .withColumn(
-            "_lrn", (F.col("_mid") % F.lit(1 << 33) + F.lit(1)).cast("long")
-        )
-    )
-    # same double-execution hazard as distributed_row_number: the totals
-    # branch and the join branch must see identical range partitions
-    parts = parts.localCheckpoint(eager=False)
+    parts = _indexed_partitions(df, order_cols, num_partitions)
     w_local = (
         Window.partitionBy("_pid")
         .orderBy("_lrn")
@@ -131,8 +140,7 @@ def distributed_running_sum(
     totals = parts.groupBy("_pid").agg(
         F.sum(value_col).alias("_tot"), F.count("*").alias("_cnt")
     )
-    # <= num_partitions rows: tiny window, then broadcast
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_off = _offsets_window()
     offs = totals.select(
         "_pid",
         F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_soff"),
@@ -144,7 +152,7 @@ def distributed_running_sum(
     )
     if rank_col is not None:
         out = out.withColumn(rank_col, F.col("_lrn") + F.col("_coff"))
-    return out.drop("_mid", "_pid", "_lrn", "_lsum", "_soff", "_coff")
+    return out.drop("_pid", "_lrn", "_lsum", "_soff", "_coff")
 
 
 def distributed_running_max(
@@ -166,16 +174,7 @@ def distributed_running_max(
     "high-watermark so far" analytics (e.g. event-time watermark
     simulation over an ingest sequence).
     """
-    parts = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_mid", F.monotonically_increasing_id())
-        .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
-        .withColumn(
-            "_lrn", (F.col("_mid") % F.lit(1 << 33) + F.lit(1)).cast("long")
-        )
-    )
-    parts = parts.localCheckpoint(eager=False)  # same double-exec hazard
+    parts = _indexed_partitions(df, order_cols, num_partitions)
     w_local = (
         Window.partitionBy("_pid")
         .orderBy("_lrn")
@@ -185,7 +184,7 @@ def distributed_running_max(
     totals = parts.groupBy("_pid").agg(
         F.max(value_col).alias("_pmax"), F.count("*").alias("_cnt")
     )
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_off = _offsets_window()
     offs = totals.select(
         "_pid",
         F.max("_pmax").over(w_off).alias("_moff"),  # NULL for partition 0
@@ -199,7 +198,7 @@ def distributed_running_max(
     )
     if rank_col is not None:
         out = out.withColumn(rank_col, F.col("_lrn") + F.col("_coff"))
-    return out.drop("_mid", "_pid", "_lrn", "_lmax", "_moff", "_coff")
+    return out.drop("_pid", "_lrn", "_lmax", "_moff", "_coff")
 
 
 def exact_quantiles(

@@ -19,17 +19,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def estimate_rows(df: DataFrame) -> int:
+def estimate_rows(df: DataFrame, fallback_bytes_per_row: int = 100) -> int:
     """Metadata-only row estimate — submits NO Spark job.
 
     Optimized-plan ``rowCount`` when the source carries it (ANALYZE'd tables,
-    in-memory relations); else ``sizeInBytes // 100``.
+    in-memory relations); else ``sizeInBytes // fallback_bytes_per_row``.
+    Callers pick the divisor to match their rows: 100 over-counts wide
+    embedding rows (safe for GEMM-vs-LSH routing), while document-corpus
+    callers pass ~1000 so a 100k-doc corpus of KB-scale texts is not
+    mistaken for a million-doc one.
     """
     stats = df._jdf.queryExecution().optimizedPlan().stats()
     rc = stats.rowCount()
     if rc.isDefined():
         return int(str(rc.get()))
-    return int(str(stats.sizeInBytes())) // 100
+    return int(str(stats.sizeInBytes())) // fallback_bytes_per_row
 
 
 def partitions_for_rows(

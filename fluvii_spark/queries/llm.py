@@ -625,10 +625,10 @@ def doc_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cached is not None:
             return cached
         t = load_tables(spark, sf_dir)
-        # max_doc_freq=None: the oracle-checked variants need exact semantics
-        # (module docstring in operators.dedup), and "auto" resolves to None
-        # below 1M docs anyway — passing it explicitly skips the blocking
-        # df.count() the auto-probe would run while this lock is held.
+        # max_doc_freq=None: the oracle-checked variants need exact
+        # semantics (module docstring in operators.dedup) — "auto" routes
+        # through a metadata-only ESTIMATE (no job) that may enable the
+        # df-cut and change pair stats, so exactness must be explicit.
         stats = D.ngram_pair_stats(t.documents, max_doc_freq=None).persist()
         return _memo_swap(_NGRAM_STATS_CACHE, key, stats)
 

@@ -1439,19 +1439,19 @@ BAL_CAP = 1000.0
 @register(
     "q168_capped_running_balance",
     f"""
-    WITH ordered AS (
-      SELECT user_id, value FROM events
+    WITH ev AS (
+      SELECT user_id, ts, event_id, value FROM events
       WHERE value IS NOT NULL
-      ORDER BY user_id, ts, event_id
     ),
     folded AS (
       SELECT user_id,
              COUNT(*) AS n_events,
              list_reduce(
-               list_prepend(CAST(0.0 AS DOUBLE), list(value)),
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(value ORDER BY ts, event_id)),
                (acc, x) -> least(greatest(acc + x, 0.0), {BAL_CAP})
              ) AS final_balance
-      FROM ordered GROUP BY user_id
+      FROM ev GROUP BY user_id
     )
     SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
            ROUND(final_balance, 6) AS final_balance

@@ -171,3 +171,25 @@ def test_dump_produce_roundtrip_preserves_headers_and_partition(
     shaped2 = produce_messages_frame(back, topic_override="other")
     assert "partition" not in shaped2.columns
     assert shaped2.select("topic").distinct().collect()[0][0] == "other"
+
+
+def test_produce_frame_with_empty_headers_dump(spark, tmp_path):
+    """A dump where every message had empty headers infers a zero-field
+    struct from JSON — the shaping must produce headerless messages, not
+    crash building an array<null> of struct fields."""
+    from fluvii_spark.io.kafka import produce_messages_frame
+
+    rows = [(f"k{i}".encode(), f"v{i}".encode(), "t1", i % 3, i,
+             __import__("datetime").datetime(2026, 1, 1), [])
+            for i in range(3)]
+    dumped = normalized_messages(spark.createDataFrame(rows, KAFKA_SCHEMA))
+    path = str(tmp_path / "empty_hdrs")
+    dumped.write.json(path)
+    back = spark.read.json(path)
+    shaped = produce_messages_frame(
+        back, use_given_partitions=True, binary_base64=True
+    )
+    assert "headers" not in shaped.columns
+    got = {bytes(r["key"]).decode(): r["partition"]
+           for r in shaped.collect()}
+    assert got == {"k0": 0, "k1": 1, "k2": 2}
