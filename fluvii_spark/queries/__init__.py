@@ -60,15 +60,19 @@ def register(
 _DRIVER_PROVEN = {
     *(f"q{i:02d}" for i in range(1, 100)),  # q01..q99 (r1+r2+r3)
     *(f"q{i}" for i in range(100, 147)),    # q100..q146 (r2+r3)
-} - {"q118", "q120", "q135", "q34", "q106"}
+} - {"q118", "q120", "q135", "q34", "q106", "q105", "q124", "q125"}
 
 # Queries awaiting a green driver row against their *current* code, in the
 # order the driver should attempt them: q118/q120 (redefined in r3 after
-# their last green row), then the round-4 touch-ups (q135 zero-vector guard;
-# q34/q106 auto df-cut now metadata-only). Any round-4 additions sort right
-# after by name. Keep the total unproven count within the driver's ~50-row
+# their last green row), then the round-4 touch-ups (q135 zero-vector
+# guard; q34/q106 auto df-cut now metadata-only; q105/q124/q125 ride on
+# the refactored ranking scaffold — results identical per the 1/7/64-
+# partition parity tests, re-proven for freshness). Round-4 additions
+# (q147+) sort right after by name: 8 + 34 = 42 fits the driver's ~50-row
 # cap.
-_UNPROVEN_ORDER = ["q118", "q120", "q135", "q34", "q106"]
+_UNPROVEN_ORDER = [
+    "q118", "q120", "q135", "q34", "q106", "q105", "q124", "q125",
+]
 
 
 def _prefix(name: str) -> str:
