@@ -809,3 +809,67 @@ def test_distributed_running_max_matches_global_window(spark, sf_dir):
             ).collect()
         }
         assert got == want, f"mismatch at num_partitions={nparts}"
+
+
+def test_asof_join_forward_direction(spark):
+    """Forward as-of: earliest right row at-or-after each left timestamp;
+    tolerance voids too-far-future matches; numeric and timestamp ts
+    columns both gate deterministically (integer-µs for timestamps)."""
+    import datetime as dt
+
+    from fluvii_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 100.0, 1), ("a", 160.0, 2), ("b", 50.0, 3), ("c", 10.0, 4)],
+        "k STRING, ts DOUBLE, lid INT",
+    )
+    right = spark.createDataFrame(
+        [("a", 100.0, 10), ("a", 150.0, 11), ("b", 500.0, 12)],
+        "k STRING, ts DOUBLE, rid INT",
+    )
+    out = {
+        r["lid"]: r["right_rid"]
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts",
+            right_payload=["rid"], direction="forward",
+        ).collect()
+    }
+    # lid=1: right@100 (equal ts, >= semantics); lid=2: nothing later for
+    # a after 160 except none -> None... right@150 < 160 so None;
+    # lid=3: right@500; lid=4: no rows for c
+    assert out == {1: 10, 2: None, 3: 12, 4: None}
+
+    tol = {
+        r["lid"]: r["right_rid"]
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts",
+            right_payload=["rid"], direction="forward", tolerance_s=100.0,
+        ).collect()
+    }
+    # lid=3's match is 450s in the future -> voided
+    assert tol == {1: 10, 2: None, 3: None, 4: None}
+
+    # timestamp dtype path: exact-boundary tolerance must INCLUDE the match
+    base = dt.datetime(2026, 1, 1)
+    lts = spark.createDataFrame(
+        [("a", base, 1)], "k STRING, ts TIMESTAMP, lid INT"
+    )
+    rts = spark.createDataFrame(
+        [("a", base + dt.timedelta(seconds=86400), 10)],
+        "k STRING, ts TIMESTAMP, rid INT",
+    )
+    got = asof_join(
+        lts, rts, ["k"], "ts", "ts",
+        right_payload=["rid"], direction="forward", tolerance_s=86400,
+    ).collect()
+    assert got[0]["right_rid"] == 10  # exactly at tolerance -> kept
+    got2 = asof_join(
+        lts, rts, ["k"], "ts", "ts",
+        right_payload=["rid"], direction="forward", tolerance_s=86399.999999,
+    ).collect()
+    assert got2[0]["right_rid"] is None  # 1µs under -> voided
+
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(
+            left, right, ["k"], "ts", "ts", direction="nearest"
+        )
