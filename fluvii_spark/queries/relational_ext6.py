@@ -2474,3 +2474,146 @@ def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hhi"),
     )
+
+
+@register(
+    "q181_point_in_time_join",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE event_type = 'click'
+    ),
+    d AS (
+      SELECT *, LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS pk
+      FROM c
+    ),
+    versions AS (
+      SELECT user_id, ts AS valid_from, k FROM d
+      WHERE pk IS NULL OR k <> pk
+    ),
+    p AS (
+      SELECT user_id, ts, event_id,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    joined AS (
+      SELECT p.event_id, ver.k, p.v
+      FROM p ASOF LEFT JOIN versions ver
+        ON p.user_id = ver.user_id AND ver.valid_from <= p.ts
+    )
+    SELECT k AS attr_k,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(CAST(SUM(v) AS DOUBLE), 2) AS total_value
+    FROM joined GROUP BY k
+    """,
+    "POINT-IN-TIME (SCD2 lookup) join: purchases joined to the user's "
+    "attribute version VALID AT purchase time — the temporal-correctness "
+    "join that prevents leakage in feature pipelines (training rows must "
+    "see dimension state as-of the event, not today's). Versions come "
+    "from q126's collapse-consecutive CDC fold; the PIT lookup is the "
+    "backward as-of operator (one key-partitioned union+window shuffle), "
+    "NOT a range join — duckdb's native ASOF JOIN is the oracle. "
+    "Purchases before any version group under NULL",
+    ("relational", "scd", "asof", "temporal"),
+)
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir)
+    c = t.events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        c.withColumn("pk", F.lag("k").over(w))
+        .filter(F.col("pk").isNull() | (F.col("k") != F.col("pk")))
+        .select("user_id", F.col("ts").alias("valid_from"), "k")
+    )
+    p = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    joined = asof_join(
+        p, versions, ["user_id"], "ts", "valid_from", right_payload=["k"]
+    )
+    return joined.groupBy(F.col("right_k").alias("attr_k")).agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.round(F.sum("v").cast("double"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "q182_cdc_apply",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'upsert' END AS op,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    last_op AS (
+      SELECT user_id, op, v FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log
+      ) WHERE rn = 1
+    )
+    SELECT CAST(COUNT(CASE WHEN op = 'upsert' THEN 1 END) AS BIGINT)
+             AS live_keys,
+           CAST(COUNT(CASE WHEN op = 'delete' THEN 1 END) AS BIGINT)
+             AS tombstoned_keys,
+           ROUND(CAST(SUM(CASE WHEN op = 'upsert' THEN v END) AS DOUBLE), 2)
+             AS live_value_total
+    FROM last_op
+    """,
+    "CDC changelog materialization: apply an ordered upsert/delete log "
+    "(views/clicks upsert the key's value, purchases are tombstones) and "
+    "report the final table — live keys, tombstoned keys, DECIMAL-exact "
+    "live value total. Last-writer-wins is one arg-max window per key "
+    "(the same micro-batch apply a MERGE-based lakehouse sink runs); the "
+    "reference's state-table semantics (upsert/delete verbs, "
+    "streaming/state.py) expressed as a batch query",
+    ("relational", "cdc", "stateful"),
+)
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    log = t.events.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    last = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return last.agg(
+        F.count(F.when(F.col("op") == "upsert", 1))
+        .cast("bigint")
+        .alias("live_keys"),
+        F.count(F.when(F.col("op") == "delete", 1))
+        .cast("bigint")
+        .alias("tombstoned_keys"),
+        F.round(
+            F.sum(F.when(F.col("op") == "upsert", F.col("v"))).cast(
+                "double"
+            ),
+            2,
+        ).alias("live_value_total"),
+    )
