@@ -89,7 +89,9 @@ def main() -> None:
     # BENCH history; unknown names just run in name order afterwards).
     heavy_first = [
         "q100_dedup_keep_best", "q60_dedup_clusters", "q35_dedup_minhash_lsh",
-        "q120_prefix_filter_pairs", "q118_recursive_hierarchy",
+        "q120_prefix_filter_pairs", "q124_equi_depth_histogram",
+        "q155_shingle_novelty", "q151_rfm_segments", "q143_token_lift_pairs",
+        "q171_bpe_merge_scan", "q146_knn_classify", "q118_recursive_hierarchy",
         "q34_dedup_ngram_jaccard", "q106_containment_pairs",
         "q107_semantic_rep_select", "q37_simhash_pairs", "q36_simhash",
         "q38_dedup_embedding_cosine", "q39_ann_lsh_topk", "q57_ann_ivf_topk",

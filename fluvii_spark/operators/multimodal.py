@@ -28,6 +28,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from fluvii_spark.session import ensure_package_on_workers
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -137,6 +138,7 @@ def extract_features(
     count is sized from the payload byte budget so a partition's Arrow
     batches fit executor memory even with multi-MB media blobs.
     """
+    ensure_package_on_workers(media.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -187,6 +189,7 @@ def resize(
     MEDIA_SCHEMA with updated (width, height, n_bytes), no shuffle, and
     byte-budget partitioning upstream exactly as extract_features.
     """
+    ensure_package_on_workers(media.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -68,8 +68,8 @@ _DRIVER_PROVEN = {
 # guard; q34/q106 auto df-cut now metadata-only; q105/q124/q125 ride on
 # the refactored ranking scaffold — results identical per the 1/7/64-
 # partition parity tests, re-proven for freshness). Round-4 additions
-# (q147+) sort right after by name: 8 + 34 = 42 fits the driver's ~50-row
-# cap.
+# (q147+) sort right after by name: 8 + 36 + 6 = 50 exactly fills the
+# driver's ~50-row cap.
 _UNPROVEN_ORDER = [
     "q118", "q120", "q135", "q34", "q106", "q105", "q124", "q125",
 ]
@@ -92,6 +92,7 @@ def registry() -> dict[str, Query]:
         relational_ext4,
         relational_ext5,
         relational_ext6,
+        relational_ext7,
     )
 
     rank = {p: i for i, p in enumerate(_UNPROVEN_ORDER)}

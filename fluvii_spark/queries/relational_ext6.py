@@ -686,9 +686,11 @@ NOVELTY_N = 3
     f"distinct {NOVELTY_N}-gram shingles whose FIRST owner (min doc_id "
     "over the whole corpus) is the document itself — the dataset-ordering "
     "diagnostic for dedup planning (low novelty = the tail re-treads the "
-    "head). One shingle-explode, one groupBy for first owners, one "
-    "equi-join back — all key-partitioned, no pairing, no window; the "
-    "integer novel/total counts divide once per lang at the end",
+    "head). One shingle-explode feeding two hash aggregates (per-doc "
+    "shingle counts; first-owner counts per owner) joined at DOC "
+    "granularity — the join never touches the exploded relation, no "
+    "pairing, no window; the integer novel/total counts divide once per "
+    "lang at the end",
     ("llm", "dedup", "text"),
 )
 def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,15 +710,21 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     first_owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("owner"))
-    per_doc = (
-        sh.join(first_owner, "shingle")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.count(F.when(F.col("owner") == F.col("doc_id"), 1)).alias(
-                "n_novel"
-            ),
-        )
+    # n_novel per doc is just a count over first_owner grouped by owner, so
+    # the join happens at DOC granularity (|docs| rows), never at shingle
+    # granularity — the shingle-level equi-join back would shuffle the whole
+    # exploded relation a second time for values two tiny aggregates carry.
+    per_doc_counts = sh.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_shingles")
+    )
+    novel_counts = first_owner.groupBy(
+        F.col("owner").alias("doc_id")
+    ).agg(F.count("*").alias("n_novel"))
+    per_doc = per_doc_counts.join(novel_counts, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
     )
     return per_doc.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs"),

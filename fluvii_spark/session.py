@@ -77,6 +77,62 @@ def require_spark(
         )
 
 
+_PKG_ZIP: str | None = None
+
+
+def _package_zip() -> str:
+    """Zip the installed fluvii_spark package once per process (sources only)."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        import tempfile
+        import zipfile
+
+        import fluvii_spark
+
+        pkg_dir = os.path.dirname(os.path.abspath(fluvii_spark.__file__))
+        fd, path = tempfile.mkstemp(prefix="fluvii_spark_pkg_", suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for fn in sorted(files):
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            "fluvii_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        _PKG_ZIP = path
+    return _PKG_ZIP
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to Python workers via ``addPyFile``.
+
+    Arrow-UDF operators (``operators/multimodal.py``'s mapInPandas stages and
+    friends) reference module-level helpers, which cloudpickle serializes BY
+    REFERENCE — the worker process must be able to ``import fluvii_spark``.
+    When the driving process starts outside the repo (different cwd, no
+    PYTHONPATH), that import fails only on the WORKER, at execution time.
+    Shipping a zip of the package through ``SparkContext.addPyFile`` makes
+    worker-side imports independent of the driver's cwd — exactly how the
+    package would deploy on a real cluster (``--py-files``). Idempotent per
+    session; the zip is built once per process (~sources only, no pycache).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_fluvii_pkg_shipped", False):
+        return
+    try:
+        sc.addPyFile(_package_zip())
+    except Exception:
+        # a session that forbids addPyFile (or a same-name re-add after
+        # restart) falls back to the ambient import path — the pre-r4 status
+        # quo, correct whenever the driver runs from the repo root.
+        pass
+    sc._fluvii_pkg_shipped = True
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an existing session.
 
@@ -84,6 +140,7 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     same whether the session was built by :func:`get_session` or handed to us
     by an external driver.
     """
+    ensure_package_on_workers(spark)
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)

@@ -34,6 +34,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from fluvii_spark.session import ensure_package_on_workers
+
 from fluvii_spark.operators.dedup import (
     MINHASH_P,
     MINHASH_PERMS,
@@ -96,6 +98,7 @@ def streaming_minhash_candidates(
     index (≈4 rows per distinct document), which is the exact-recall mode
     for bounded backfills.
     """
+    ensure_package_on_workers(doc_stream.sparkSession)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def to_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -23,6 +23,8 @@ import math
 import sys
 
 from pyspark.sql import DataFrame
+
+from fluvii_spark.session import ensure_package_on_workers
 from pyspark.sql import functions as F
 
 from fluvii_spark.streaming.state import streaming_keyed_fold
@@ -55,6 +57,7 @@ def _run_keyed_sketch(
     multi-column keys natively). ``timeout_ms``/``on_timeout`` arm per-key
     idle timers (v1 backend; v2 maps timeout_ms onto its ttl contract and
     REJECTS on_timeout, which it cannot honor)."""
+    ensure_package_on_workers(df.sparkSession)
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if backend == "v2":  # transformWithStateInPandas (typed state, RocksDB)
         if on_timeout is not None:

@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import StructType
 
+from fluvii_spark.session import ensure_package_on_workers
+
 # The fold closures shipped to executors reference this module's helpers
 # (TableTransaction, _fold_rows). Workers generally can't import fluvii_spark
 # (it is not pip-installed on executors), so have cloudpickle serialize this
@@ -172,6 +174,7 @@ def streaming_keyed_fold(
     state to drop the key (bounded state at 100 TB), and rows to emit a
     final record (session-close semantics).
     """
+    ensure_package_on_workers(df.sparkSession)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(
@@ -252,6 +255,7 @@ def batch_keyed_fold(
     ``emit_state=True`` returns one row per key with the final JSON state
     instead of the produced messages (the "table dump" view).
     """
+    ensure_package_on_workers(df.sparkSession)
 
     def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         k = key[0] if len(key) == 1 else key

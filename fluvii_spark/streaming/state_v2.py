@@ -30,6 +30,7 @@ from pyspark.sql.streaming.stateful_processor import (
 from pyspark.sql.types import StringType, StructField, StructType
 
 from fluvii_spark.streaming.state import _DELETED, _fold_rows, _sorted_records
+from fluvii_spark.session import ensure_package_on_workers
 
 try:  # ship by value — executors lack the package (see state.py)
     from pyspark import cloudpickle as _cp
@@ -111,6 +112,7 @@ def streaming_keyed_fold_v2(
     native per-value TTL — expired state simply reads as absent (unlike the
     v1 ``timeout_ms`` path there is no expiry callback).
     """
+    ensure_package_on_workers(df.sparkSession)
     return df.groupBy(*key_cols).transformWithStateInPandas(
         statefulProcessor=_FoldProcessor(
             app_function, order_by, initial_state, ttl_ms

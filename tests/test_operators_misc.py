@@ -873,3 +873,57 @@ def test_asof_join_forward_direction(spark):
         asof_join(
             left, right, ["k"], "ts", "ts", direction="nearest"
         )
+
+
+def test_largest_remainder_allocation_sums_exactly(spark, sf_dir):
+    """q186 invariant the oracle comparison can't express: Hamilton
+    apportionment must hand out EXACTLY the 1000 budget units, every seat
+    count non-negative, and no nation's seats off its exact quota by >= 1."""
+    from fluvii_spark.queries import registry
+
+    rows = registry()["q186_largest_remainder_alloc"].fn(spark, sf_dir).collect()
+    assert sum(r["seats"] for r in rows) == 1000
+    total_cents = sum(r["rev_cents"] for r in rows)
+    for r in rows:
+        assert r["seats"] >= 0
+        quota = 1000 * r["rev_cents"] / total_cents
+        assert abs(r["seats"] - quota) < 1.0  # Hamilton stays within 1 of quota
+
+
+def test_kaplan_meier_monotone_survival(spark, sf_dir):
+    """q184 invariant: the product-limit curve is non-increasing in t and
+    stays inside (0, 1]; at-risk counts are non-increasing too."""
+    from fluvii_spark.queries import registry
+
+    rows = sorted(
+        registry()["q184_kaplan_meier"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["t"],
+    )
+    assert rows, "expected at least one event time"
+    prev_s, prev_n = 1.0 + 1e-12, None
+    for r in rows:
+        assert 0.0 < r["survival"] <= prev_s + 1e-12
+        assert 0 < r["d_events"] < r["n_risk"]
+        if prev_n is not None:
+            assert r["n_risk"] <= prev_n
+        prev_s, prev_n = r["survival"], r["n_risk"]
+
+
+def test_priority_sample_is_weight_biased(spark, sf_dir):
+    """q183 invariant: priority sampling with w = price must overselect
+    expensive orders — the sampled mean price exceeds the population mean."""
+    from fluvii_spark.queries import registry
+    from fluvii_spark.io.readers import load_tables
+    import pyspark.sql.functions as F
+
+    sample = registry()["q183_priority_sample_topk"].fn(spark, sf_dir).collect()
+    assert len(sample) == 64
+    keys = [r["sample_key"] for r in sample]
+    assert keys == sorted(keys)
+    pop_mean = (
+        load_tables(spark, sf_dir)
+        .orders.agg(F.avg("o_totalprice"))
+        .collect()[0][0]
+    )
+    samp_mean = sum(r["o_totalprice"] for r in sample) / len(sample)
+    assert samp_mean > pop_mean
