@@ -16,9 +16,6 @@ from pyspark.sql import functions as F
 from fluvii_spark.io.readers import load_tables
 from fluvii_spark.queries import register
 
-_U32 = 4294967296.0  # 2^32 as an exact double
-
-
 def _md5_u32(prefix: str, col):
     """First 8 hex chars of md5(prefix || col) as a BIGINT in [0, 2^32)."""
     return (
@@ -311,19 +308,21 @@ def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q187_bootstrap_ci",
     """
-    WITH reps AS (
-      SELECT g.b,
-             (('0x' || substr(md5('bs' || CAST(g.b AS VARCHAR) || '_'
-                 || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT)
-               / 4294967296.0 AS u,
+    WITH digests AS (
+      SELECT g.g, md5('bs' || CAST(g.g AS VARCHAR) || '_'
+                 || CAST(o_orderkey AS VARCHAR)) AS hx,
              CAST(o_totalprice AS DECIMAL(18,2)) AS p
-      FROM orders CROSS JOIN generate_series(0, 31) AS g(b)
+      FROM orders CROSS JOIN generate_series(0, 7) AS g(g)
+    ),
+    reps AS (
+      SELECT g * 4 + l.l AS b, substr(hx, 1 + 8 * l.l, 8) AS hs, p
+      FROM digests CROSS JOIN generate_series(0, 3) AS l(l)
     ),
     mult AS (
       SELECT b,
-             CASE WHEN u < 0.367879441 THEN 0 WHEN u < 0.735758882 THEN 1
-                  WHEN u < 0.919698603 THEN 2 WHEN u < 0.981011843 THEN 3
-                  WHEN u < 0.996340153 THEN 4 ELSE 5 END AS m,
+             CASE WHEN hs < '5e2d58d8' THEN 0 WHEN hs < 'bc5ab1b0' THEN 1
+                  WHEN hs < 'eb715e1f' THEN 2 WHEN hs < 'fb239797' THEN 3
+                  WHEN hs < 'ff1025f5' THEN 4 ELSE 5 END AS m,
              p
       FROM reps
     ),
@@ -350,51 +349,56 @@ def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic Poisson bootstrap (Chamandy et al., the standard "
     "single-pass bootstrap for massive data): 32 resample replicas where "
     "each row's multiplicity in replica b is Poisson(1) via the inverse "
-    "CDF of an md5 uniform keyed on (b, orderkey) — no rand(), identical "
-    "multiplicities in both engines. Replica means are exact-DECIMAL "
-    "weighted sums divided once (bit-identical doubles); the ~94% CI is "
-    "rank-selected from the 32 sorted means. At 100 TB: the 32x explode "
-    "contracts immediately in map-side partial aggregation (32 groups), "
-    "so the shuffle carries 32 rows per partition, not 32x the data",
+    "CDF of an md5 uniform — no rand(), identical multiplicities in both "
+    "engines. Every digest is consumed fully: 4 independent 32-bit "
+    "uniforms per md5 (8 digests cover all 32 replicas), quartering the "
+    "per-row hash cost vs one digest per replica. Replica means are "
+    "exact-DECIMAL weighted sums divided once (bit-identical doubles); "
+    "the ~94% CI is rank-selected from the 32 sorted means. At 100 TB: "
+    "the 32x explode contracts immediately in map-side partial "
+    "aggregation (32 groups), so the shuffle carries 32 rows per "
+    "partition, not 32x the data",
     ("relational", "stats", "sampling"),
 )
 def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    reps = t.orders.select(
+    digests = t.orders.select(
         "o_orderkey",
         F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("g"),
     ).select(
-        "b",
+        "g",
         "p",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("bs"),
-                            F.col("b").cast("string"),
-                            F.lit("_"),
-                            F.col("o_orderkey").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            / F.lit(_U32)
-        ).alias("u"),
+        F.md5(
+            F.concat(
+                F.lit("bs"),
+                F.col("g").cast("string"),
+                F.lit("_"),
+                F.col("o_orderkey").cast("string"),
+            )
+        ).alias("hx"),
+    )
+    # the lane explode happens AFTER the md5 projection, so each digest is
+    # computed once and sliced four ways — 8 digests serve 32 replicas
+    lanes = digests.select(
+        "g", "p", "hx", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("l")
+    )
+    # hex-order trick: fixed-width lowercase hex compares lexicographically
+    # exactly like the integer it encodes, so the inverse-CDF thresholds are
+    # 8-char hex literals (floor(T * 2^32) + 1) — no conv(), no division
+    reps = lanes.select(
+        (F.col("g") * 4 + F.col("l")).alias("b"),
+        "p",
+        F.expr("substring(hx, 1 + 8 * l, 8)").alias("hs"),
     )
     mult = reps.select(
         "b",
         "p",
-        F.when(F.col("u") < 0.367879441, 0)
-        .when(F.col("u") < 0.735758882, 1)
-        .when(F.col("u") < 0.919698603, 2)
-        .when(F.col("u") < 0.981011843, 3)
-        .when(F.col("u") < 0.996340153, 4)
+        F.when(F.col("hs") < "5e2d58d8", 0)
+        .when(F.col("hs") < "bc5ab1b0", 1)
+        .when(F.col("hs") < "eb715e1f", 2)
+        .when(F.col("hs") < "fb239797", 3)
+        .when(F.col("hs") < "ff1025f5", 4)
         .otherwise(5)
         .alias("m"),
     )

@@ -472,3 +472,48 @@ def test_prefix_family_under_replication(spark, sf_dir):
     }
     assert got == want
     assert wall < 300, f"prefix family blew up: {wall:.0f}s"
+
+
+def test_shingle_novelty_under_replication(spark, sf_dir, tmp_path):
+    """q155 at 10x with an EXACT oracle: replicas carry identical text with
+    shifted doc_ids, so every shingle's first owner stays the replica-0
+    document — novel counts are invariant under replication while totals
+    multiply exactly by K. Also guards the doc-granularity join rewrite:
+    wall must stay sane because the exploded shingle relation is aggregated
+    (twice) but never re-joined at shingle granularity."""
+    from fluvii_spark.queries import registry
+
+    q = registry()["q155_shingle_novelty"].fn
+    base = {
+        r["lang"]: (r["n_docs"], r["total_shingles"], r["novel_shingles"])
+        for r in q(spark, sf_dir).collect()
+    }
+    rep_dir = str(tmp_path / "rep_sf")
+    _replicated_docs_with_lang(spark, sf_dir).write.parquet(
+        rep_dir + "/documents.parquet"
+    )
+    t0 = time.time()
+    got = {
+        r["lang"]: (r["n_docs"], r["total_shingles"], r["novel_shingles"])
+        for r in q(spark, rep_dir).collect()
+    }
+    wall = time.time() - t0
+    assert got == {
+        lang: (K * nd, K * tot, nov) for lang, (nd, tot, nov) in base.items()
+    }
+    assert wall < 300, f"novelty blew up at {K}x: {wall:.0f}s"
+
+
+def _replicated_docs_with_lang(spark, sf_dir):
+    d = load_tables(spark, sf_dir).documents.select("doc_id", "lang", "text")
+    n = d.count()
+    reps = [
+        d.select(
+            (F.col("doc_id") + i * n * 10).alias("doc_id"), "lang", "text"
+        )
+        for i in range(K)
+    ]
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    return out
