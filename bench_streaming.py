@@ -21,6 +21,9 @@ Pipelines (all per-arrival emission, the reference's per-message contract):
   heavy_hitters  streaming_heavy_hitters: O(m) Misra-Gries per type
   trending       streaming_trending: windowed MG on (type, 1h window)
   tumbling       built-in watermark+window count agg (engine baseline)
+  minhash_dedup  streaming_minhash_candidates over the documents table:
+                 per-arrival near-dup candidates from the stateful banded
+                 inverted index (state = the index itself, ~4 rows/doc)
 
 Prints ONE JSON line; the driver may record it as BENCH_STREAM_r{N}.json.
 """
@@ -57,6 +60,15 @@ def stage_events(spark, sf_dir: str, root: str) -> tuple[str, int]:
     n = ev.count()
     path = os.path.join(root, "events_stream")
     ev.repartition(N_FILES).write.parquet(path)
+    return path, n
+
+
+def stage_documents(spark, sf_dir: str, root: str) -> tuple[str, int]:
+    """Documents as N part files — the text stream for the dedup pipeline."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    path = os.path.join(root, "documents_stream")
+    docs.repartition(N_FILES).write.parquet(path)
     return path, n
 
 
@@ -169,6 +181,17 @@ def pipelines() -> dict:
     }
 
 
+def doc_pipelines() -> dict:
+    from fluvii_spark.streaming.dedup_stream import (
+        streaming_minhash_candidates,
+    )
+
+    def minhash_dedup(src):
+        return streaming_minhash_candidates(src, "doc_id", "text")
+
+    return {"minhash_dedup": minhash_dedup}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -188,6 +211,12 @@ def main() -> None:
         for name, make_out in pipelines().items():
             results[name] = run_pipeline(
                 spark, name, make_out, src_path, n_rows,
+                os.path.join(root, "ck"),
+            )
+        doc_path, n_docs = stage_documents(spark, sf_dir, root)
+        for name, make_out in doc_pipelines().items():
+            results[name] = run_pipeline(
+                spark, name, make_out, doc_path, n_docs,
                 os.path.join(root, "ck"),
             )
         total = sum(r["wall_sec"] for r in results.values())
