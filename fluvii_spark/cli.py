@@ -195,6 +195,58 @@ def run_query_cmd(name: str, sf_dir: str, limit: int) -> None:
     reg[name].fn(spark, sf_dir).show(limit, truncate=False)
 
 
+@cli.command("plan")
+@click.argument("name")
+@click.option("--sf-dir", default="/root/testdata/sf0.001", envvar="SPARK_GRAFT_SF_DIR")
+@click.option(
+    "--mode",
+    default="formatted",
+    type=click.Choice(["formatted", "extended", "cost", "codegen"]),
+)
+def plan_cmd(name: str, sf_dir: str, mode: str) -> None:
+    """Print one inventory query's physical plan + a shape summary.
+
+    The summary counts shuffle Exchanges, join strategies, parquet filter
+    pushdown and whole-stage codegen — the same audit `tools/plan_audit.py`
+    writes to PLANS.md for the whole inventory.
+    """
+    import re
+
+    from fluvii_spark.queries import registry
+    from fluvii_spark.session import get_session
+
+    reg = registry()
+    if name not in reg:
+        raise click.ClickException(
+            f"unknown query {name!r}; run `fluvii-spark queries` to list"
+        )
+    spark = get_session("fluvii-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = reg[name].fn(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )
+    click.echo(plan)
+    body = plan.split("== Physical Plan ==")[-1]
+    joins = {
+        op: len(re.findall(rf"\(\d+\) {op}\b", body))
+        for op in (
+            "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin", "CartesianProduct",
+        )
+    }
+    click.echo(
+        "-- shape: exchanges=%d reused=%d joins=[%s] pushdown=%s codegen=%s"
+        % (
+            len(re.findall(r"\(\d+\) Exchange", body)),
+            len(re.findall(r"ReusedExchange", body)),
+            ", ".join(f"{k}x{v}" for k, v in joins.items() if v) or "none",
+            "yes" if re.search(r"PushedFilters: \[[^\]]", body) else "no",
+            "yes" if "codegen id" in body else "no",
+        )
+    )
+
+
 @cli.command("bench")
 def bench_cmd() -> None:
     """Run the benchmark harness (same as `python bench.py`)."""

@@ -391,3 +391,24 @@ def test_require_spark_version_guard(spark):
     require_spark(spark, (4, 0), "test-feature")  # running session is 4.x
     with _pytest.raises(RuntimeError, match="requires Spark 99.0"):
         require_spark(spark, (99, 0), "test-feature")
+
+
+def test_cli_plan_prints_shape_summary(spark, sf_dir):
+    """`plan <query>` prints the formatted physical plan plus the audit
+    summary line (exchange count, join strategies, pushdown, codegen) —
+    the per-query form of tools/plan_audit.py."""
+    from click.testing import CliRunner
+
+    from fluvii_spark.cli import cli
+
+    result = CliRunner().invoke(
+        cli, ["plan", "q02_filter", "--sf-dir", sf_dir]
+    )
+    assert result.exit_code == 0, result.output
+    assert "== Physical Plan ==" in result.output
+    assert "-- shape:" in result.output
+    assert "pushdown=yes" in result.output  # q02's filter reaches the scan
+
+    bad = CliRunner().invoke(cli, ["plan", "nope"])
+    assert bad.exit_code != 0
+    assert "unknown query" in bad.output
