@@ -207,11 +207,11 @@ def plan_cmd(name: str, sf_dir: str, mode: str) -> None:
     """Print one inventory query's physical plan + a shape summary.
 
     The summary counts shuffle Exchanges, join strategies, parquet filter
-    pushdown and whole-stage codegen — the same audit `tools/plan_audit.py`
-    writes to PLANS.md for the whole inventory.
+    pushdown and whole-stage codegen — the SAME audit `tools/plan_audit.py`
+    writes to PLANS.md (shared `fluvii_spark.planshape`). Only `formatted`
+    plans number operators, so the summary is printed for that mode only.
     """
-    import re
-
+    from fluvii_spark.planshape import audit, explain_str
     from fluvii_spark.queries import registry
     from fluvii_spark.session import get_session
 
@@ -222,29 +222,21 @@ def plan_cmd(name: str, sf_dir: str, mode: str) -> None:
         )
     spark = get_session("fluvii-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    df = reg[name].fn(spark, sf_dir)
-    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-        df._jdf.queryExecution(), mode
-    )
+    plan = explain_str(reg[name].fn(spark, sf_dir), mode)
     click.echo(plan)
-    body = plan.split("== Physical Plan ==")[-1]
-    joins = {
-        op: len(re.findall(rf"\(\d+\) {op}\b", body))
-        for op in (
-            "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
-            "BroadcastNestedLoopJoin", "CartesianProduct",
+    if mode == "formatted":
+        a = audit(plan)
+        click.echo(
+            "-- shape: exchanges=%d reused=%d joins=[%s] pushdown=%s"
+            " codegen=%s"
+            % (
+                a["exchanges"],
+                a["reused"],
+                a["joins"] or "none",
+                a["pushdown"] or "no",
+                a["codegen"] or "no",
+            )
         )
-    }
-    click.echo(
-        "-- shape: exchanges=%d reused=%d joins=[%s] pushdown=%s codegen=%s"
-        % (
-            len(re.findall(r"\(\d+\) Exchange", body)),
-            len(re.findall(r"ReusedExchange", body)),
-            ", ".join(f"{k}x{v}" for k, v in joins.items() if v) or "none",
-            "yes" if re.search(r"PushedFilters: \[[^\]]", body) else "no",
-            "yes" if "codegen id" in body else "no",
-        )
-    )
 
 
 @cli.command("bench")

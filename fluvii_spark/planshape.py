@@ -1,0 +1,48 @@
+"""Physical-plan shape summary — one implementation for every consumer.
+
+Used by ``tools/plan_audit.py`` (writes PLANS.md for the whole inventory),
+the CLI ``plan`` command, and available to tests: counts shuffle Exchanges
+(distinguishing AQE ReusedExchange), join strategies, parquet filter
+pushdown on the scan, and whole-stage codegen. Only the ``formatted``
+explain mode numbers operators as ``(n) Op``, so :func:`audit` is only
+meaningful on formatted plans.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+JOIN_OPS = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The plan string ``df.explain(mode)`` would print, returned not printed."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )
+
+
+def audit(plan: str) -> dict[str, object]:
+    """Shape summary of a FORMATTED plan string (see module docstring)."""
+    body = plan.split("== Physical Plan ==")[-1]
+    joins = {
+        op: len(re.findall(rf"\(\d+\) {op}\b", body)) for op in JOIN_OPS
+    }
+    joins = {k: v for k, v in joins.items() if v}
+    return {
+        "exchanges": len(re.findall(r"\(\d+\) Exchange", body)),
+        "reused": len(re.findall(r"ReusedExchange", body)),
+        "joins": ", ".join(
+            f"{k}×{v}" if v > 1 else k for k, v in joins.items()
+        ),
+        "pushdown": "yes" if re.search(r"PushedFilters: \[[^\]]", body) else "",
+        "codegen": "yes" if "codegen id" in body else "",
+    }

@@ -166,14 +166,17 @@ def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     clean AS (SELECT * FROM toks WHERE token <> ''),
-    vocab AS (SELECT token, COUNT(*) AS cnt FROM clean GROUP BY token),
+    dt AS (
+      SELECT doc_id, lang, token, COUNT(*) AS tf
+      FROM clean GROUP BY 1, 2, 3
+    ),
+    vocab AS (SELECT token, SUM(tf) AS cnt FROM dt GROUP BY token),
     tot AS (SELECT SUM(cnt) AS n FROM vocab),
     doc_nll AS (
-      SELECT c.doc_id, c.lang,
-             AVG(-LN(CAST(v.cnt AS DOUBLE) / n)) AS nll,
-             COUNT(*) AS n_tok
-      FROM clean c JOIN vocab v USING (token) CROSS JOIN tot
-      GROUP BY c.doc_id, c.lang
+      SELECT d.doc_id, d.lang,
+             SUM(d.tf * -LN(CAST(v.cnt AS DOUBLE) / n)) / SUM(d.tf) AS nll
+      FROM dt d JOIN vocab v USING (token) CROSS JOIN tot
+      GROUP BY d.doc_id, d.lang
     )
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
            AVG(nll) AS avg_nll, MIN(nll) AS min_nll, MAX(nll) AS max_nll
@@ -181,11 +184,13 @@ def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "unigram language-model scoring — the perplexity-style quality filter "
     "used in C4/CCNet-class pipelines: train a unigram LM on the corpus "
-    "itself (token counts / total), score each document by its mean "
-    "negative log-probability, aggregate per language. Per-token ln differs "
-    "<= 1 ulp between engines; per-doc AVG error ~1e-14 << the 6-dp gate. "
-    "At 100 TB: explode -> two hash aggregations (token counts, then "
-    "per-doc means) joined on token — the LM 'model' is itself a "
+    "itself (token counts / total), score each document by its tf-weighted "
+    "mean negative log-probability, aggregate per language. Per-token ln "
+    "differs <= 1 ulp between engines; per-doc weighted-mean error ~1e-14 "
+    "<< the 6-dp gate. At 100 TB: the explode contracts IMMEDIATELY into "
+    "per-(doc, token) term frequencies, localCheckpointed once for its two "
+    "consumers (vocab aggregation and the per-doc scoring join), so the "
+    "full-corpus explode runs exactly once; the LM 'model' stays a "
     "distributed relation, never collected; the 1-row total is a broadcast "
     "scalar join (no eager count)",
     ("llm", "text", "quality"),
@@ -198,17 +203,28 @@ def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("token") != "")
     )
-    vocab = clean.groupBy("token").agg(F.count("*").alias("cnt"))
+    # contract to (doc, token) term frequencies BEFORE fanning out to the
+    # two consumers, and checkpoint so the corpus explode runs exactly once
+    # (same multi-consumer pattern as q120's elems)
+    dt = (
+        clean.groupBy("doc_id", "lang", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = dt.groupBy("token").agg(F.sum("tf").alias("cnt"))
     tot = vocab.agg(F.sum("cnt").alias("n"))
     doc_nll = (
-        clean.join(vocab, "token")
+        dt.join(vocab, "token")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id", "lang")
         .agg(
-            F.avg(-F.log(F.col("cnt").cast("double") / F.col("n"))).alias(
-                "nll"
-            ),
-            F.count("*").alias("n_tok"),
+            (
+                F.sum(
+                    F.col("tf")
+                    * -F.log(F.col("cnt").cast("double") / F.col("n"))
+                )
+                / F.sum("tf")
+            ).alias("nll")
         )
     )
     return doc_nll.groupBy("lang").agg(
@@ -256,8 +272,9 @@ def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1000*cents fits BIGINT up to ~$9.2e16 total revenue — widen to "
     "DECIMAL(38,0) beyond); quotas compared via integer div/mod, so both "
     "engines agree bit-for-bit with zero float ops. The output provably "
-    "sums to exactly 1000. At 100 TB: the star join broadcasts "
-    "customer/nation dims, the window runs on the 25-row aggregate",
+    "sums to exactly 1000. At 100 TB: the star join (broadcast dims) runs "
+    "ONCE; total, leftover and remainder ranks are whole-frame windows "
+    "over the 25-row aggregate, never re-derivations of the fact scan",
     ("relational", "allocation"),
 )
 def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,17 +298,25 @@ def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    tot = rev.agg(F.sum("cents").alias("total"))
-    base = rev.crossJoin(F.broadcast(tot)).select(
-        "n_name",
-        "cents",
-        F.expr("(1000 * cents) DIV total").alias("floor_alloc"),
-        ((F.lit(1000) * F.col("cents")) % F.col("total")).alias("rem"),
-    )
-    short = base.agg((F.lit(1000) - F.sum("floor_alloc")).alias("leftover"))
-    ranked = base.crossJoin(F.broadcast(short)).withColumn(
-        "rnk",
-        F.row_number().over(Window.orderBy(F.desc("rem"), "n_name")),
+    # the star join runs ONCE: total, leftover, and remainder ranks are all
+    # windows over the 25-row aggregate (whole-frame windows on a contracted
+    # relation — never the fact table), not separate re-derivations of rev
+    w_all = Window.partitionBy()
+    ranked = (
+        rev.withColumn("total", F.sum("cents").over(w_all))
+        .select(
+            "n_name",
+            "cents",
+            F.expr("(1000 * cents) DIV total").alias("floor_alloc"),
+            ((F.lit(1000) * F.col("cents")) % F.col("total")).alias("rem"),
+        )
+        .withColumn(
+            "leftover", F.lit(1000) - F.sum("floor_alloc").over(w_all)
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("rem"), "n_name")),
+        )
     )
     return ranked.select(
         "n_name",

@@ -95,7 +95,6 @@ _BNLJ_ALLOWED = {
     "q173_benford_deviation",  # 1-row grand-total broadcast onto 9 digit rows
     "q179_weekday_hour_heatmap",  # 1-row total broadcast onto ≤168 cells
     "q185_unigram_logprob",  # 1-row corpus-token-total broadcast onto token rows
-    "q186_largest_remainder_alloc",  # 1-row total + 1-row leftover broadcasts onto 25 nations
     "q187_bootstrap_ci",  # 1-row point-estimate broadcast onto 32 replica rows
     "q188_mixture_epochs",  # 1-row share-normalizer broadcast onto |sources| rows
 }
