@@ -44,3 +44,31 @@ def test_arrow_udf_query_runs_from_foreign_cwd(sf_dir, tmp_path):
     )
     assert out.returncode == 0, out.stderr[-3000:]
     assert "WORKER_IMPORT_OK" in out.stdout
+
+
+import pytest
+
+
+@pytest.mark.skipif(
+    os.environ.get("FLUVII_SPARK_STRESS") != "1",
+    reason="set FLUVII_SPARK_STRESS=1 (spawns a second JVM, ~90s)",
+)
+def test_streaming_restart_from_foreign_cwd(tmp_path):
+    """The full verify-recipe streaming drive (tools/stream_drive.py):
+    stage -> stream through the keyed fold -> parquet sink -> stop ->
+    restage -> restart on the same checkpoint -> exactly-once output,
+    all with the driver cwd OUTSIDE the repo (the environment that
+    exposes worker-side pickling/import failures)."""
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [sys.executable, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools", "stream_drive.py")],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=400,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "STREAM_DRIVE_OK" in out.stdout
