@@ -816,19 +816,34 @@ def prefix_filter_jaccard_pairs(
     prefix_len = (
         F.col("m") - F.ceil(F.lit(threshold) * F.col("m")).cast("int") + 1
     )
-    # candidates join ONLY (id, prefix-element); the (heavier) element
-    # arrays join back onto the deduped candidate ids for the verify
+    # candidates join ONLY (id, prefix-element, set size); the (heavier)
+    # element arrays join back onto the deduped candidate ids for the verify
     prefixes = ranked.filter(F.col("rn") <= prefix_len).select(
-        id_col, "shingle"
+        id_col, "shingle", "m"
     )
-    a = prefixes.select(F.col(id_col).alias("id_a"), "shingle")
-    b = prefixes.select(F.col(id_col).alias("id_b"), "shingle")
+    a = prefixes.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("m").alias("ma")
+    )
+    b = prefixes.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("m").alias("mb")
+    )
     docs = elems.groupBy(id_col).agg(
         F.sort_array(F.collect_list("shingle")).alias("_elems")
     )
+    # ppjoin LENGTH FILTER: J(A,B) <= |A|/|B| for |A| <= |B|, so any pair
+    # with min/max size ratio below t is pruned BEFORE the array verify.
+    # The ratio form (division, then >= t) is LOSSLESS under IEEE rounding:
+    # the correctly-rounded quotient of a rational >= t can never land
+    # strictly below the double t (it rounds to t or above), while the
+    # product form t*|B| could round UP past an integer |A| and wrongly
+    # drop an exactly-threshold pair.
     cand = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("ma", "mb").cast("double") / F.greatest("ma", "mb")
+            >= F.lit(threshold)
+        )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
         .join(
