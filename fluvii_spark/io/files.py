@@ -64,17 +64,27 @@ def write_files(
     """
     if file_format not in _FORMATS:
         raise ValueError(f"format must be one of {_FORMATS}, got {file_format!r}")
+    # sizing uses METADATA-ONLY estimates (operators/stats.py) — a df.count()
+    # here would execute the entire upstream plan once for the count and
+    # again for the write, doubling job cost at scale. The estimate sets
+    # parallelism; the writer's maxRecordsPerFile (set below) is the HARD
+    # per-file cap, so an over-estimate just means slightly smaller files —
+    # the safe direction — and never many-rows-per-file blowups.
+    from fluvii_spark.operators.stats import estimate_rows
+
     if cluster_by:
         if target_file_rows:
-            n = df.count()
+            n = estimate_rows(df)
             parts = max(1, (n + target_file_rows - 1) // target_file_rows)
             df = df.repartitionByRange(parts, *cluster_by)
         else:
             df = df.repartitionByRange(*cluster_by)
         df = df.sortWithinPartitions(*cluster_by)
     elif target_file_rows:
-        n = df.count()
+        n = estimate_rows(df)
         df = df.repartition(max(1, (n + target_file_rows - 1) // target_file_rows))
+    if target_file_rows:
+        options.setdefault("maxRecordsPerFile", str(target_file_rows))
     w = df.write.format(file_format).mode(mode)
     if file_format == "csv":
         options.setdefault("header", "true")

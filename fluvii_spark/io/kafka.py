@@ -92,11 +92,17 @@ def mmh3_partition_col(key_col: Column | str, num_partitions: int) -> Column:
 
     @F.pandas_udf("int")
     def _part(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda k: None
-            if k is None
-            else murmur3_32(str(k).encode("utf-8")) % num_partitions
-        )
+        def one(k):
+            if k is None:
+                return None
+            # Kafka key columns are BINARY: hash the raw bytes the broker
+            # sees (str(b'x') would hash the literal "b'x'" and break
+            # co-partitioning with reference-written topics); str keys are
+            # utf-8 encoded exactly as mmh3.hash(str) does in the reference
+            b = bytes(k) if isinstance(k, (bytes, bytearray)) else str(k).encode("utf-8")
+            return murmur3_32(b) % num_partitions
+
+        return s.map(one)
 
     return _part(F.col(key_col) if isinstance(key_col, str) else key_col)
 
@@ -106,12 +112,23 @@ def mmh3_partition_col(key_col: Column | str, num_partitions: int) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def offsets_json(consume_topics_dict: dict[str, dict[int, Any] | str]) -> str:
+def offsets_json(
+    consume_topics_dict: dict[str, dict[int, Any] | str],
+    partition_counts: dict[str, int] | None = None,
+) -> str:
     """fluvii offset dict → Spark ``startingOffsets`` JSON.
 
     Accepts the reference's shape (``topic_dumper.py:12-17``):
     ``{"topic": {0: 100, 2: "earliest"}}`` or ``{"topic": "earliest"}``.
     Spark encodes earliest=-2, latest=-1 per partition.
+
+    CAVEAT (Spark contract, not the reference's): specific startingOffsets
+    must cover EVERY partition of a subscribed topic, or the Kafka source
+    fails at load time. The reference's consumer fills unlisted partitions
+    from broker metadata; here pass ``partition_counts={"topic": n}``
+    (e.g. from ``toolbox.list_topics``) and unlisted partitions are filled
+    with earliest — without it, a partial dict is passed through as-is and
+    it is the caller's job that it is complete.
     """
     out: dict[str, dict[str, int]] = {}
     for topic, parts in consume_topics_dict.items():
@@ -131,6 +148,9 @@ def offsets_json(consume_topics_dict: dict[str, dict[int, Any] | str]) -> str:
                 enc[str(p)] = -1
             else:
                 enc[str(p)] = int(off)
+        if partition_counts and topic in partition_counts:
+            for p in range(partition_counts[topic]):
+                enc.setdefault(str(p), -2)  # earliest for unlisted
         out[topic] = enc
     return json.dumps(out)
 
@@ -163,7 +183,12 @@ def kafka_stream_reader(
         .option("subscribe", ",".join(topics))
         .option("startingOffsets", starting_offsets)
         # the reference reads committed data only (isolation.level=
-        # read_committed, transactions/consumer.py:36) — Spark's default too
+        # read_committed, transactions/consumer.py:36); the Kafka consumer
+        # DEFAULT is read_uncommitted, so set it explicitly or aborted
+        # transactional writes would surface as phantom duplicates
+        .option("kafka.isolation.level", "read_committed")
+        # headers flow through the stream (K2 passthrough parity)
+        .option("includeHeaders", "true")
         .option("failOnDataLoss", "false")
     )
     if max_offsets_per_trigger is not None:
@@ -194,6 +219,13 @@ def kafka_batch_reader(
         .option("subscribe", ",".join(topics or []))
         .option("startingOffsets", starting_offsets)
         .option("endingOffsets", ending_offsets)
+        # reference parity on both fronts: committed reads only (its
+        # consumer pins isolation.level=read_committed) and headers in the
+        # source frame — without includeHeaders the dump path's
+        # normalized_messages never sees a headers column and a
+        # dump -> produce round-trip silently strips every header
+        .option("kafka.isolation.level", "read_committed")
+        .option("includeHeaders", "true")
     )
     for k, v in (extra_options or {}).items():
         r = r.option(k, v)
@@ -320,14 +352,24 @@ def stamp_eos_headers(batch_df: DataFrame, batch_id: int) -> DataFrame:
 
     if "headers" not in batch_df.columns:
         batch_df = batch_df.withColumn("headers", F.expr(_EMPTY_HEADERS))
+    # keyless streams are legal Kafka (round-robin partitioning): guid
+    # content and the occurrence multiset then key on value alone
+    key_b64 = (
+        F.coalesce(F.base64("key"), F.lit(""))
+        if "key" in batch_df.columns
+        else F.lit("")
+    )
+    occ_parts = (
+        ["key", "value"] if "key" in batch_df.columns else ["value"]
+    )
     occ = F.row_number().over(
-        Window.partitionBy("key", "value").orderBy(F.lit(1))
+        Window.partitionBy(*occ_parts).orderBy(F.lit(1))
     )
     guid = F.sha2(
         F.concat_ws(
             "|",
             F.lit(str(batch_id)),
-            F.coalesce(F.base64("key"), F.lit("")),
+            key_b64,
             F.base64("value"),
             F.col("_occ").cast("string"),
         ),

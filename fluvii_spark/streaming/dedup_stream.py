@@ -54,7 +54,11 @@ except Exception:  # pragma: no cover
 def band_signatures_py(text: str, n: int = 3) -> list[tuple[int, str]] | None:
     """Pure-Python band signatures, bit-identical to the batch SQL pipeline
     (md5 first-8-hex shingle hash; (a·h + b) mod P minima; comma-joined
-    bands). Returns None for texts with no n-shingle."""
+    bands). Returns None for NULL text or texts with no n-shingle — the
+    batch operator's SQL split propagates NULL and explode drops the row,
+    so the streaming twin must drop, not crash the query."""
+    if text is None:
+        return None
     toks = text.split(" ")
     if len(toks) < n:
         return None
@@ -105,6 +109,10 @@ def streaming_minhash_candidates(
         for pdf in batches:
             out_ids, out_bands, out_sigs = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                # NULL ids can't participate in pairs (batch joins drop
+                # them); NULL text is dropped inside band_signatures_py
+                if doc_id is None or pd.isna(doc_id):
+                    continue
                 sigs = band_signatures_py(text, n)
                 if not sigs:
                     continue

@@ -101,8 +101,15 @@ def stream_stream_interval_join(
         rw[right_ts] <= lw[left_ts] + hi,
     ]
     joined = lw.join(rw, cond, how)
-    # drop the duplicated key columns from the right side
-    return joined.drop(*[rw[k] for k in key_cols])
+    # collapse the duplicated key columns: under rightOuter/fullOuter the
+    # LEFT copy is NULL for unmatched right rows, so dropping the right copy
+    # outright would null out the key — coalesce keeps whichever side
+    # matched, and non-key columns keep their side's values (NULL-padded by
+    # the outer join as usual)
+    keys = [F.coalesce(lw[k], rw[k]).alias(k) for k in key_cols]
+    left_rest = [lw[c] for c in left.columns if c not in key_cols]
+    right_rest = [rw[c] for c in right.columns if c not in key_cols]
+    return joined.select(*keys, *left_rest, *right_rest)
 
 
 def foreach_batch_join_writer(

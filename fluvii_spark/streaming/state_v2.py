@@ -119,5 +119,7 @@ def streaming_keyed_fold_v2(
         ),
         outputStructType=output_schema,
         outputMode="append",
-        timeMode="none",
+        # state TTL is clocked by processing time: Spark REJECTS a TTL'd
+        # value state under timeMode="none", so the mode must follow ttl_ms
+        timeMode="processingTime" if ttl_ms is not None else "none",
     )

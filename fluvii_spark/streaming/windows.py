@@ -121,7 +121,16 @@ def streaming_dedup(
     With ``ts_col``+``within`` the dedup state is bounded by the watermark
     (``dropDuplicatesWithinWatermark``) — the only form that survives
     unbounded streams at 100 TB; the unbounded form keeps every key seen.
+    Supplying only ONE of the pair is almost certainly a mistaken attempt
+    at the bounded form, so it raises instead of silently keeping
+    every-key-ever state.
     """
+    if (ts_col is None) != (within is None):
+        raise ValueError(
+            "streaming_dedup: pass BOTH ts_col and within for "
+            "watermark-bounded dedup, or neither for the unbounded form "
+            f"(got ts_col={ts_col!r}, within={within!r})"
+        )
     if ts_col is not None and within is not None:
         return df.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(
             key_cols

@@ -412,3 +412,35 @@ def test_cli_plan_prints_shape_summary(spark, sf_dir):
     bad = CliRunner().invoke(cli, ["plan", "nope"])
     assert bad.exit_code != 0
     assert "unknown query" in bad.output
+
+
+def test_offsets_json_partition_counts_fill():
+    """Spark's Kafka source requires specific startingOffsets to cover ALL
+    partitions; partition_counts fills unlisted partitions with earliest."""
+    import json as _json
+
+    s = offsets_json({"t": {0: 100}}, partition_counts={"t": 4})
+    d = _json.loads(s)
+    assert d["t"] == {"0": 100, "1": -2, "2": -2, "3": -2}
+    # explicit entries win over the fill
+    s2 = offsets_json(
+        {"t": {0: 100, 3: "latest"}}, partition_counts={"t": 4}
+    )
+    assert _json.loads(s2)["t"] == {"0": 100, "1": -2, "2": -2, "3": -1}
+
+
+def test_streaming_dedup_partial_args_raise(spark):
+    """Regression: ts_col without within (or vice versa) used to silently
+    fall back to UNBOUNDED dropDuplicates — every-key-ever state growth on
+    the streams the bounded form exists for. Now it raises."""
+    import pytest as _pytest
+
+    from fluvii_spark.streaming.windows import streaming_dedup
+
+    df = spark.createDataFrame([(1, "a")], "id INT, ts STRING")
+    with _pytest.raises(ValueError, match="BOTH ts_col and within"):
+        streaming_dedup(df, ["id"], ts_col="ts")
+    with _pytest.raises(ValueError, match="BOTH ts_col and within"):
+        streaming_dedup(df, ["id"], within="10 minutes")
+    # both-or-neither forms still work
+    assert streaming_dedup(df, ["id"]).count() == 1

@@ -193,3 +193,59 @@ def test_produce_frame_with_empty_headers_dump(spark, tmp_path):
     got = {bytes(r["key"]).decode(): r["partition"]
            for r in shaped.collect()}
     assert got == {"k0": 0, "k1": 1, "k2": 2}
+
+
+def test_mmh3_partition_col_binary_keys_hash_raw_bytes(spark):
+    """Regression: a BINARY key column went through str(b'...') and hashed
+    the repr — breaking co-partitioning with reference-written topics.
+    Raw bytes must hash identically to the utf-8 string they encode."""
+    df = spark.createDataFrame(
+        [(f"key-{i}".encode(),) for i in range(20)], "k BINARY"
+    ).withColumn("p", mmh3_partition_col("k", 7))
+    for r in df.collect():
+        assert r["p"] == murmur3_32(bytes(r["k"])) % 7
+
+
+def test_stamp_eos_headers_keyless_stream(spark):
+    """Regression: keyless Kafka messages (legal — round-robin partitioning)
+    crashed stamp_eos_headers on the missing `key` column; guids must still
+    be replay-stable and occurrence-distinct per value."""
+    from fluvii_spark.io.kafka import stamp_eos_headers
+
+    df = spark.createDataFrame(
+        [("v1",), ("v1",), ("v2",)], "value STRING"
+    ).select(F.col("value").cast("binary").alias("value"))
+    out1 = {
+        (bytes(r["value"]), tuple(
+            (h["key"], bytes(h["value"])) for h in r["headers"]
+        ))
+        for r in stamp_eos_headers(df, 7).collect()
+    }
+    out2 = {
+        (bytes(r["value"]), tuple(
+            (h["key"], bytes(h["value"])) for h in r["headers"]
+        ))
+        for r in stamp_eos_headers(df, 7).collect()
+    }
+    assert out1 == out2  # replay-stable
+    guids = {hs for _, hs in out1}
+    assert len(guids) == 3  # occurrence index separates the duplicate v1
+
+
+def test_kafka_readers_set_parity_options(spark):
+    """The stream/batch readers must pin reference-parity source options:
+    read_committed isolation (the Kafka consumer default is
+    read_uncommitted, so aborted transactional writes would surface as
+    phantom duplicates) and includeHeaders (dumps silently lose headers
+    without it). Reader options aren't introspectable through a public
+    API without a broker, so this asserts the option calls in the source —
+    a tripwire against their removal, paired with the live-broker smoke
+    these readers get on a real cluster."""
+    import inspect
+
+    import fluvii_spark.io.kafka as K
+
+    for fn in (K.kafka_stream_reader, K.kafka_batch_reader):
+        src = inspect.getsource(fn)
+        assert '"kafka.isolation.level", "read_committed"' in src, fn
+        assert '"includeHeaders", "true"' in src, fn

@@ -90,3 +90,53 @@ def test_v2_fold_matches_batch(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_v2_fold_with_ttl_starts_and_folds(spark, sf_dir, tmp_path):
+    """Regression: ttl_ms requires timeMode='processingTime' — under the old
+    hard-coded timeMode='none' Spark rejected the TTL'd value state at
+    startup, so the documented native-TTL path could never run. With a TTL
+    far beyond the test window, results must equal the no-TTL fold."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        d = str(tmp_path / "ev")
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).limit(200)
+        ev.coalesce(1).write.parquet(d)
+        schema = spark.read.parquet(d).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        out = streaming_keyed_fold_v2(
+            src,
+            ["user_id"],
+            _mk_fold(),
+            "user_id BIGINT, event_id BIGINT, running DOUBLE",
+            order_by=["ts", "event_id"],
+            ttl_ms=3_600_000,  # 1h — never expires within the test
+        )
+        q = (
+            out.writeStream.format("memory")
+            .outputMode("append")
+            .queryName("v2_fold_ttl")
+            .option("checkpointLocation", str(tmp_path / "ck_ttl"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        n = spark.sql("SELECT count(*) c FROM v2_fold_ttl").collect()[0]["c"]
+        assert n == spark.read.parquet(d).count()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

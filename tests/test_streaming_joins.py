@@ -352,3 +352,33 @@ def test_streaming_hourly_grain_feeds_anomaly_gate(
     got = sorted(tuple(r) for r in stream_out.collect())
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want and len(want) > 0
+
+
+def test_interval_join_outer_keeps_keys(spark):
+    """Regression: stream_stream_interval_join dropped the RIGHT key copy
+    after an outer join, nulling the key for unmatched right rows (the left
+    copy is NULL there). Keys must survive via coalesce on every side."""
+    import datetime as dt
+
+    from fluvii_spark.streaming.joins import stream_stream_interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("a", base, 1)], "k STRING, lts TIMESTAMP, lv INT"
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", base + dt.timedelta(seconds=5), 10),   # in-window match
+            ("b", base + dt.timedelta(seconds=5), 20),   # unmatched key
+        ],
+        "k STRING, rts TIMESTAMP, rv INT",
+    )
+    out = {
+        r["k"]: (r["lv"], r["rv"])
+        for r in stream_stream_interval_join(
+            left, right, ["k"], "lts", "rts", 0, 60, how="fullOuter"
+        ).collect()
+    }
+    assert out["a"] == (1, 10)
+    assert out["b"] == (None, 20)  # key kept, left side NULL-padded
+    assert None not in out  # no nulled-out keys
