@@ -32,14 +32,24 @@ class GaugeSet:
         self.app_name = app_name
         self._lock = threading.Lock()
         self._values: dict[tuple[str, str], float] = {}
+        #: the prometheus CollectorRegistry owning this set's gauges (None
+        #: without prometheus_client) — hand it to MetricsPusher
+        self.registry = None
         self._prom = self._init_prometheus()
 
     def _init_prometheus(self):
         try:  # pragma: no cover - optional dependency
-            from prometheus_client import Gauge
+            from prometheus_client import CollectorRegistry, Gauge
 
+            # a PRIVATE registry per GaugeSet: registering in the library's
+            # process-global default REGISTRY raises "Duplicated timeseries"
+            # the moment a second GaugeSet exists (session restart, two
+            # apps in one driver) — and that ValueError escaped the old
+            # ImportError-only guard
+            self.registry = CollectorRegistry()
             return {
-                n: Gauge(n, n, ["app", "topic"]) for n in self.NAMES
+                n: Gauge(n, n, ["app", "topic"], registry=self.registry)
+                for n in self.NAMES
             }
         except ImportError:
             return None

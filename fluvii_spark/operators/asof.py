@@ -7,9 +7,11 @@ Physical strategy — the union trick, all built-ins:
 1. tag both sides, union them (left carries null right-payload columns);
 2. one window per key ordered by (ts, side) — right rows sort before left
    rows at equal timestamps so ``<=`` semantics hold;
-3. ``last(right_col, ignorenulls=True)`` over the unbounded-preceding frame
-   carries the latest right payload forward;
-4. keep only left rows.
+3. ``last(struct(right_row), ignorenulls=True)`` over the unbounded-
+   preceding frame carries the latest right ROW forward as a unit — the
+   struct is null exactly on left rows, so a NULL field inside a matched
+   right row stays NULL instead of leaking an older row's value;
+4. keep only left rows, unpack the struct.
 
 Cost: ONE shuffle on the key (the window), no join at all — compare a naive
 range-join (shuffle both sides + per-key quadratic probe) or per-key
@@ -86,20 +88,33 @@ def asof_join(
         .orderBy(ts_order, "_side", *[f"_r_{c}" for c in payload])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the matched right row is carried as ONE struct (null only on left
+    # rows), never column-by-column: independent last(ignorenulls) per
+    # payload column would let a NULL field in the matched row fall back to
+    # a STALE older row's value — and with several payload columns could
+    # stitch together a right row that never existed, while the tolerance
+    # gate below validates against the newest row's timestamp only.
+    r_row = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col("_ts").alias("ts"),
+            *[F.col(f"_r_{c}").alias(c) for c in payload],
+        ),
+    )
     carried = unioned.select(
         *key_cols,
         "_ts",
         "_side",
         *[F.col(c) for c in l_cols if c != left_ts],
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
-            for c in payload
-        ],
-        F.last(
-            F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True
-        ).over(w).alias("_r_ts"),
+        F.last(r_row, ignorenulls=True).over(w).alias("_r"),
     )
-    out = carried.filter(F.col("_side") == 1)
+    out = carried.filter(F.col("_side") == 1).select(
+        *key_cols,
+        "_ts",
+        *[F.col(c) for c in l_cols if c != left_ts],
+        *[F.col(f"_r.{c}").alias(f"_r_{c}") for c in payload],
+        F.col("_r.ts").alias("_r_ts"),
+    )
     if tolerance_s is not None:
         # integer-microsecond gate when both sides are timestamps — a float
         # seconds comparison can flip <= at an exact-tolerance boundary

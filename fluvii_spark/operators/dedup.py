@@ -754,7 +754,16 @@ def embedding_near_dup_pairs(
             else min(128, math.ceil(math.log(1 - target_recall) / math.log(1 - p_table)))
         )
 
-    dims = len(df.select(vec_col).head()[0])
+    # one-ROW probe for the vector width (bounded driver transfer; the
+    # routing above stayed metadata-only). An empty/fully-filtered input
+    # has no pairs by definition — return the empty frame instead of
+    # dereferencing head()'s None.
+    first = df.select(vec_col).head()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dims = len(first[0])
     buckets = lsh_bucket_tables(df, dims, id_col, vec_col, planes, n_tables)
     in_bucket = df.join(buckets, id_col)
     pairs = _block_pairs(in_bucket, id_col, vec_col, n_blocks,
@@ -813,6 +822,13 @@ def prefix_filter_jaccard_pairs(
         .withColumn("rn", F.row_number().over(w_doc))
         .withColumn("m", F.count("*").over(w_all))
     )
+    # The double product is SAFE here: round-to-nearest can land fl(t*m)
+    # at-or-above the next integer k only when the real product t*m is
+    # already within ulp/2 below k (then ceil of both is k) or exactly k
+    # (then the product is exact) — so ceil(fl(t*m)) <= ceil(t*m) always,
+    # and the only possible misrounding makes the prefix one LONGER (extra
+    # candidates; the verify is exact). No epsilon guard needed; the tight
+    # pigeonhole case is pinned by test_prefix_filter_threshold_rounding.
     prefix_len = (
         F.col("m") - F.ceil(F.lit(threshold) * F.col("m")).cast("int") + 1
     )

@@ -168,7 +168,13 @@ def frame_sample(media: DataFrame, every_ms: int = 250) -> DataFrame:
     The decode itself is stubbed; the explode of frame offsets (the part that
     changes cardinality and therefore the plan) is real.
     """
-    return media.filter(F.col("kind") == "video").select(
+    # duration_ms <= 0 (corrupt/zero-length video) would make
+    # sequence(0, -1, step) an illegal-boundaries runtime error that kills
+    # the whole job; filtering mirrors DuckDB's generate_series, which
+    # returns empty for start > stop, and the NULL-duration drop
+    return media.filter(
+        (F.col("kind") == "video") & (F.col("meta.duration_ms") > 0)
+    ).select(
         "media_id",
         F.explode(
             F.sequence(F.lit(0), F.col("meta.duration_ms") - 1, F.lit(every_ms))

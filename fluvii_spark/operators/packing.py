@@ -42,9 +42,17 @@ def pack_sequences(
     within each shard).
     """
     keys = list(group_cols)
+    # the applyInPandas schema mirrors the INPUT types (a hardcoded
+    # "group STRING, size BIGINT" would Arrow-error on int group keys or
+    # double size estimates the signature otherwise accepts)
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_schema = ", ".join(
-        [f"{c} STRING" for c in group_cols]
-        + [f"{order_col} BIGINT", f"{size_col} BIGINT", "bin BIGINT"]
+        [f"{c} {in_types[c]}" for c in group_cols]
+        + [
+            f"{order_col} {in_types[order_col]}",
+            f"{size_col} {in_types[size_col]}",
+            "bin BIGINT",
+        ]
     )
     if shard_mod is not None:
         df = df.withColumn("_shard", (F.col(order_col) % shard_mod).cast("long"))
@@ -55,7 +63,10 @@ def pack_sequences(
         pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
         bins, fill, b = [], 0, 0
         for n in pdf[size_col]:
-            n = int(n)
+            # float, not int: int(1.5) would silently truncate DOUBLE size
+            # estimates and overpack; integer sizes stay exact as floats
+            # (< 2^53)
+            n = float(n)
             if fill > 0 and fill + n > capacity:
                 b, fill = b + 1, n
             else:

@@ -54,12 +54,18 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds n_tokens, n_distinct_tokens, avg_token_len, punct_ratio."""
     t = tokens(text_col)
     n_alnum = F.length(F.regexp_replace(text_col, r"[^\w]", ""))
+    n_nospace = F.length(F.regexp_replace(text_col, r"\s", ""))
     return (
         df.withColumn("n_tokens", F.size(t).cast("bigint"))
         .withColumn("n_distinct_tokens", F.size(F.array_distinct(t)).cast("bigint"))
         .withColumn(
             "avg_token_len",
             (n_alnum.cast("double") / F.size(t)),
+        )
+        .withColumn(
+            "punct_ratio",
+            (n_nospace - n_alnum).cast("double")
+            / F.greatest(n_nospace, F.lit(1)),
         )
     )
 

@@ -23,6 +23,28 @@ from fluvii_spark.serde.avro_codec import AvroCodec
 from fluvii_spark.serde.schema_loader import load_schema
 from fluvii_spark.serde.wire import WIRE_HEADER_BYTES, add_frame, frame_header
 
+
+def _json_default(v: Any) -> Any:
+    """JSON bridge for the codec's non-JSON-native outputs.
+
+    AvroCodec returns Decimal (decimal logical type), date / datetime
+    (date / timestamp-millis / timestamp-micros), and bytes (bytes/fixed
+    primitives) — json.dumps rejects all four without a handler. Decimals
+    render as strings (exactness survives the trip; from_json casts them
+    back), temporals as ISO-8601, bytes as latin-1 strings (the byte-
+    preserving convention Avro's own JSON encoding uses).
+    """
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    if isinstance(v, _Dec):
+        return str(v)
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("latin-1")
+    raise TypeError(f"not JSON-serializable: {type(v).__name__}")
+
 try:  # ship this module's helpers by value (executors lack the package)
     from pyspark import cloudpickle as _cp
 
@@ -32,11 +54,21 @@ except Exception:  # pragma: no cover
 
 
 def spark_avro_available(spark) -> bool:
-    """True when the spark-avro module is on the JVM classpath."""
-    try:
-        spark._jvm.org.apache.spark.sql.avro.functions  # noqa: SLF001
-        from pyspark.sql.avro.functions import from_avro  # noqa: F401
+    """True when the spark-avro module is on the JVM classpath.
 
+    Neither an attribute probe nor Class.forName answers this: py4j
+    returns a ``JavaPackage`` placeholder (not an exception) for missing
+    classes, the ``pyspark.sql.avro.functions`` wrapper always imports,
+    and Spark 4 registers the SQL function stubs even without the
+    spark-avro datasource jar — they throw AVRO_NOT_LOADED at ANALYSIS.
+    So the truthful probe IS analysis: build a one-row to_avro projection
+    (DataFrame analysis is eager — no job runs) and see whether the
+    analyzer accepts it.
+    """
+    try:
+        from pyspark.sql.avro.functions import to_avro
+
+        spark.range(1).select(to_avro(F.struct(F.lit(1).alias("x"))))
         return True
     except Exception:
         return False
@@ -62,7 +94,10 @@ def decode_framed_json(
         def one(b: Any) -> str | None:
             if b is None:
                 return None
-            return json.dumps(codec.decode(bytes(b)[WIRE_HEADER_BYTES:]))
+            return json.dumps(
+                codec.decode(bytes(b)[WIRE_HEADER_BYTES:]),
+                default=_json_default,
+            )
 
         return s.map(one)
 

@@ -341,3 +341,21 @@ def test_kmv_fold_order_invariance(hashes, rnd):
     rnd.shuffle(shuffled)
     assert fold(shuffled) == sorted(set(hashes))[:k]
     assert fold(hashes) == fold(sorted(hashes, reverse=True))
+
+
+def test_two_gaugesets_coexist():
+    """Regression: gauges registered in prometheus_client's default
+    REGISTRY raised 'Duplicated timeseries' on the second GaugeSet in one
+    process (session restart, two apps per driver). Each set now owns a
+    private CollectorRegistry exposed for the pusher."""
+    from fluvii_spark.metrics import GaugeSet
+
+    g1 = GaugeSet("app-one")
+    g2 = GaugeSet("app-one")  # same name — the old code crashed here
+    g1.inc("messages_consumed", 2, topic="t")
+    g2.inc("messages_consumed", 5, topic="t")
+    assert g1.get("messages_consumed", "t") == 2
+    assert g2.get("messages_consumed", "t") == 5
+    # private registries (or None without prometheus_client), never shared
+    if g1.registry is not None:
+        assert g1.registry is not g2.registry

@@ -927,3 +927,120 @@ def test_priority_sample_is_weight_biased(spark, sf_dir):
     )
     samp_mean = sum(r["o_totalprice"] for r in sample) / len(sample)
     assert samp_mean > pop_mean
+
+
+def test_asof_join_null_payload_not_replaced_by_stale_row(spark):
+    """Regression: per-column last(ignorenulls) let a NULL payload field in
+    the MATCHED right row fall back to a stale older row's value (and could
+    stitch fields from different right rows). The matched row must be
+    carried as a unit: NULL fields stay NULL, multi-column payloads agree."""
+    import datetime as dt
+
+    from fluvii_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("k", base + dt.timedelta(seconds=25))], "k STRING, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", base + dt.timedelta(seconds=10), 100, 2),
+            ("k", base + dt.timedelta(seconds=20), None, None),
+        ],
+        "k STRING, ts TIMESTAMP, price INT, qty INT",
+    )
+    got = asof_join(
+        left, right, ["k"], "ts", "ts",
+        right_payload=["price", "qty"], tolerance_s=10,
+    ).collect()[0]
+    # correct match is ts=20 whose price/qty are NULL — ts=10 is outside
+    # tolerance and must not leak through the per-column carry
+    assert got["right_price"] is None and got["right_qty"] is None
+
+    # mixed NULLs: the emitted (price, qty) must come from ONE right row
+    right2 = spark.createDataFrame(
+        [
+            ("k", base + dt.timedelta(seconds=10), 1, 2),
+            ("k", base + dt.timedelta(seconds=20), 3, None),
+        ],
+        "k STRING, ts TIMESTAMP, price INT, qty INT",
+    )
+    got2 = asof_join(
+        left, right2, ["k"], "ts", "ts", right_payload=["price", "qty"]
+    ).collect()[0]
+    assert (got2["right_price"], got2["right_qty"]) == (3, None)
+
+
+def test_prefix_filter_threshold_rounding_lossless(spark):
+    """Pin the TIGHT pigeonhole case: doc A has m=11 elements, ALL shared
+    with doc B (m=110, J = 11/110 = 0.1 exactly); B's 99 unique tokens
+    have freq 1 and sort before the freq-2 shared tokens, so every shared
+    element sits at B-ranks 100-110 — a prefix even ONE shorter than the
+    bound (e.g. from a ceil(t*m) that rounded up past an integer) would
+    contain no shared element and silently lose the pair. The operator's
+    comment carries the proof that IEEE ceil can't do that; this test is
+    the executable witness at the exact boundary."""
+    from fluvii_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    shared = [f"s{i:03d}" for i in range(11)]
+    only_b = [f"b{i:03d}" for i in range(99)]
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(shared)),           # m=11, fully shared
+            (2, " ".join(only_b + shared)),  # m=110
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = prefix_filter_jaccard_pairs(df, threshold=0.1, n=1).collect()
+    assert len(got) == 1, got
+    assert abs(got[0]["jaccard"] - 0.1) < 1e-12
+
+
+def test_frame_sample_zero_duration_drops_row(spark):
+    """Regression: duration_ms=0 made sequence(0,-1,step) an illegal-
+    boundaries runtime error killing the job; the row must drop instead
+    (matching NULL-duration behavior and DuckDB generate_series)."""
+    from fluvii_spark.operators.multimodal import frame_sample
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(b"x"), {"duration_ms": 1000}),
+            (2, "video", bytearray(b"y"), {"duration_ms": 0}),
+            (3, "video", bytearray(b"z"), {"duration_ms": None}),
+        ],
+        "media_id LONG, kind STRING, payload BINARY, "
+        "meta MAP<STRING, BIGINT>",
+    )
+    rows = frame_sample(media, every_ms=250).collect()
+    assert {r["media_id"] for r in rows} == {1}
+    assert sorted(r["frame_ms"] for r in rows) == [0, 250, 500, 750]
+
+
+def test_pack_sequences_nonstring_group_and_double_size(spark):
+    """Regression: the applyInPandas schema hardcoded STRING group cols and
+    BIGINT sizes; INT group keys / DOUBLE size estimates must pack too."""
+    from fluvii_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(7, i, 1.5) for i in range(4)],
+        "tenant INT, seq LONG, est DOUBLE",
+    )
+    got = pack_sequences(df, ["tenant"], "seq", "est", capacity=3).collect()
+    assert len(got) == 4
+    assert all(r["tenant"] == 7 for r in got)
+    # 1.5+1.5 fits capacity 3; third starts a new bin
+    bins = [r["bin"] for r in sorted(got, key=lambda r: r["seq"])]
+    assert bins == [0, 0, 1, 1]
+
+
+def test_embedding_near_dup_empty_input_bucketed_path(spark):
+    """Regression: the bucketed path dereferenced head()[0] for dims — a
+    TypeError on empty input instead of an empty pair frame."""
+    from fluvii_spark.operators.dedup import embedding_near_dup_pairs
+
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = embedding_near_dup_pairs(
+        empty, "vec_id", "embedding", threshold=0.9, exact=False
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"id_a", "id_b", "cosine"}

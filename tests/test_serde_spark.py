@@ -103,3 +103,72 @@ def test_strip_frame_matches_python(spark):
     )
     body = df.select(strip_frame("value").alias("b")).collect()[0]["b"]
     assert bytes(body) == vc.encode("hello")
+
+
+def test_decode_framed_json_logical_types(spark):
+    """Regression: json.dumps had no default handler, so any schema using
+    the codec's own supported logical types (decimal/date/timestamp) or a
+    bytes primitive crashed the decode UDF with TypeError. Decimals render
+    as exact strings, temporals as ISO-8601, bytes as latin-1."""
+    import datetime as dt
+    import decimal
+
+    from fluvii_spark.serde.avro_codec import AvroCodec
+    from fluvii_spark.serde.wire import frame_header
+
+    schema = {
+        "type": "record",
+        "name": "LT",
+        "fields": [
+            {
+                "name": "amount",
+                "type": {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 10,
+                    "scale": 2,
+                },
+            },
+            {
+                "name": "day",
+                "type": {"type": "int", "logicalType": "date"},
+            },
+            {"name": "blob", "type": "bytes"},
+        ],
+    }
+    codec = AvroCodec(schema)
+    payload = frame_header(9) + codec.encode(
+        {
+            "amount": decimal.Decimal("123.45"),
+            "day": dt.date(2024, 2, 29),
+            "blob": b"\x00\xff",
+        }
+    )
+    df = spark.createDataFrame([(payload,)], "value BINARY")
+    got = df.select(
+        decode_framed_json("value", schema).alias("j")
+    ).collect()[0]["j"]
+    import json as _json
+
+    d = _json.loads(got)
+    assert d["amount"] == "123.45"
+    assert d["day"] == "2024-02-29"
+    assert d["blob"] == "\x00\xff".encode().decode("latin-1") or d["blob"] == "\x00ÿ"
+
+
+def test_spark_avro_available_is_truthful(spark):
+    """The probe must report whether to_avro actually ANALYZES, not whether
+    the always-present Python wrapper imports (this container lacks the
+    spark-avro datasource jar, so the answer here is False)."""
+    from fluvii_spark.serde.columns import spark_avro_available
+
+    ok = spark_avro_available(spark)
+    try:
+        from pyspark.sql import functions as F
+        from pyspark.sql.avro.functions import to_avro
+
+        spark.range(1).select(to_avro(F.struct(F.lit(1).alias("x"))))
+        really = True
+    except Exception:
+        really = False
+    assert ok == really
