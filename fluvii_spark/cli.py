@@ -242,7 +242,25 @@ def plan_cmd(name: str, sf_dir: str, mode: str) -> None:
 @cli.command("bench")
 def bench_cmd() -> None:
     """Run the benchmark harness (same as `python bench.py`)."""
-    import bench
+    try:
+        import bench
+    except ImportError:
+        # bench.py lives at the repo root, not inside the installed package
+        # — a console-script's sys.path has neither the cwd nor the repo.
+        # Resolve it next to the package checkout before giving up.
+        import importlib.util
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(root, "bench.py")
+        if not os.path.exists(path):
+            raise click.ClickException(
+                "bench.py not found: run from a source checkout "
+                f"(looked in {root})"
+            )
+        spec = importlib.util.spec_from_file_location("bench", path)
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
 
     bench.main()
 

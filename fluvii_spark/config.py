@@ -49,8 +49,21 @@ class EnvConfigBase(BaseModel):
                 merged[name] = os.environ[env_key]
             elif env_key in dotenv:
                 merged[name] = dotenv[env_key]
+        # explicit None kwargs are treated as ABSENT (fall through to
+        # env/dotenv/default): with every Optional field defaulting to None
+        # there is no way to distinguish "not passed" from None without a
+        # sentinel, and "pass None to force-unset an env var" has no use in
+        # this config surface. Documented here because the module docstring's
+        # kwarg > env precedence applies to non-None kwargs only.
         merged.update({k: v for k, v in kwargs.items() if v is not None})
         super().__init__(**merged)
+
+
+def _jaas_quote(v: str) -> str:
+    """Escape a credential for a double-quoted JAAS value (backslash first,
+    then quote) — generated secrets routinely contain both, and raw
+    interpolation would truncate the config line or corrupt the password."""
+    return v.replace("\\", "\\\\").replace('"', '\\"')
 
 
 class SparkEngineConfig(EnvConfigBase):
@@ -128,15 +141,25 @@ class AuthConfig(EnvConfigBase):
             "kafka.sasl.mechanism": mech,
         }
         if mech == "PLAIN":
+            if self.username is None or self.password is None:
+                raise ValueError(
+                    "SASL PLAIN needs username AND password (got "
+                    f"username={'set' if self.username else None}) — "
+                    "interpolating None would send the literal string "
+                    "'None' to the broker"
+                )
             opts["kafka.sasl.jaas.config"] = (
                 "org.apache.kafka.common.security.plain.PlainLoginModule "
-                f'required username="{self.username}" '
-                f'password="{self.password}";'
+                f'required username="{_jaas_quote(self.username)}" '
+                f'password="{_jaas_quote(self.password)}";'
             )
         elif mech == "OAUTHBEARER":
+            # KIP-768 handler: the early-3.x "oauthbearer.secured" package
+            # was removed; kafka-clients 3.2+ (what the Spark 4 connector
+            # bundles) ships it under oauthbearer directly
             opts["kafka.sasl.login.callback.handler.class"] = (
                 "org.apache.kafka.common.security.oauthbearer."
-                "secured.OAuthBearerLoginCallbackHandler"
+                "OAuthBearerLoginCallbackHandler"
             )
             if self.oauth_url:
                 opts["kafka.sasl.oauthbearer.token.endpoint.url"] = self.oauth_url
@@ -144,8 +167,8 @@ class AuthConfig(EnvConfigBase):
                 opts["kafka.sasl.jaas.config"] = (
                     "org.apache.kafka.common.security.oauthbearer."
                     "OAuthBearerLoginModule required "
-                    f'clientId="{self.username}" '
-                    f'clientSecret="{self.password}"{scope};'
+                    f'clientId="{_jaas_quote(self.username)}" '
+                    f'clientSecret="{_jaas_quote(self.password)}"{scope};'
                 )
         return opts
 

@@ -69,7 +69,12 @@ class Tables:
     def __getattr__(self, name: str) -> DataFrame:
         if name.startswith("_"):
             raise AttributeError(name)
-        return self[name]
+        try:
+            return self[name]
+        except KeyError:
+            # hasattr()/getattr(default)/inspect probes expect
+            # AttributeError from attribute access, never KeyError
+            raise AttributeError(name) from None
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> Tables:

@@ -22,16 +22,16 @@ from pyspark.sql import SparkSession
 
 # Runtime-settable confs applied to ANY session handed to us (including the
 # driver's): these are safe `spark.conf.set` keys, not builder-only.
+# REQUIRED — forced unconditionally: the engine's correctness contract
+# depends on them (nanos parquet reads; UTC so timestamp determinism and
+# the NTZ casts in asof/tolerance paths hold). An external override here
+# doesn't yield a different-but-valid engine, it yields wrong answers.
 RUNTIME_CONFS: dict[str, str] = {
     # the testdata events table stores TIMESTAMP(NANOS); Spark refuses it
     # unless read as long (we convert: ns DIV 1000 → micros, matching duckdb's
     # truncation semantics).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
-    "spark.sql.adaptive.enabled": "true",
-    "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    "spark.sql.adaptive.skewJoin.enabled": "true",
-    "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
 # Performance defaults, applied ONLY when the session still carries Spark's
@@ -48,6 +48,20 @@ PERF_CONFS: dict[str, tuple[str, frozenset[str]]] = {
     "spark.sql.autoBroadcastJoinThreshold": (
         str(64 * 1024 * 1024),
         frozenset({"10485760", "10485760b", "10MB"}),
+    ),
+    # AQE/Arrow are engine PREFERENCES: re-assert the stock default, but an
+    # external driver that deliberately flipped one (plan-stability tests
+    # pinning adaptive off, say) keeps its setting — same respect-existing
+    # contract as the broadcast threshold above.
+    "spark.sql.adaptive.enabled": ("true", frozenset({"true"})),
+    "spark.sql.adaptive.coalescePartitions.enabled": (
+        "true",
+        frozenset({"true"}),
+    ),
+    "spark.sql.adaptive.skewJoin.enabled": ("true", frozenset({"true"})),
+    "spark.sql.execution.arrow.pyspark.enabled": (
+        "true",
+        frozenset({"false"}),  # stock default is false — flip it
     ),
 }
 
@@ -158,6 +172,22 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _resolve_master(
+    master: str | None, cpus: str, env: dict[str, str]
+) -> str | None:
+    """None under an externally-managed deployment (spark-submit gateway or
+    MASTER/SPARK_MASTER env) stays None — the cluster manager decides;
+    otherwise the local test-harness default."""
+    if master is not None:
+        return master
+    externally_managed = (
+        "PYSPARK_GATEWAY_PORT" in env  # launched by spark-submit
+        or env.get("MASTER")
+        or env.get("SPARK_MASTER")
+    )
+    return None if externally_managed else f"local[{cpus}]"
+
+
 def get_session(
     app_name: str = "fluvii-spark",
     master: str | None = None,
@@ -169,17 +199,19 @@ def get_session(
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) for
     the test harness; on a real cluster pass ``None`` via spark-submit and the
-    cluster manager decides.
+    cluster manager decides — detected via the gateway env spark-submit sets
+    (PYSPARK_GATEWAY_PORT) or an externally-provided spark.master
+    (MASTER/SPARK_MASTER env), in which case NO master is pinned here:
+    builder .master() would override --master and silently run the whole
+    cluster job in one local driver process.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    if master is None:
-        master = f"local[{cpus}]"
+    master = _resolve_master(master, cpus, os.environ)
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
@@ -190,6 +222,10 @@ def get_session(
         # workloads are unaffected (one job ≈ one pool entry)
         .config("spark.scheduler.mode", "FAIR")
     )
+    if master is not None:
+        # only pin a master we actually resolved — under spark-submit the
+        # cluster manager owns this and builder.master() would override it
+        builder = builder.master(master)
     if rocksdb_state_store:
         # default (HDFSBackedStateStoreProvider) keeps every key in executor
         # heap — fine for tests, a ceiling for large keyed state; RocksDB

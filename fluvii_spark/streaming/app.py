@@ -12,6 +12,7 @@ graceful stop — which is what these classes do.
 from __future__ import annotations
 
 import signal
+import threading
 from collections.abc import Callable
 from typing import Any
 
@@ -34,6 +35,7 @@ class _AppBase:
 
     def __init__(self) -> None:
         self._query: StreamingQuery | None = None
+        self._stop_requested = threading.Event()
 
     def transformed(self) -> DataFrame:  # pragma: no cover - abstract
         raise NotImplementedError
@@ -65,6 +67,10 @@ class _AppBase:
 
     def _install_signals(self) -> None:
         def handler(signum: int, frame: Any) -> None:  # noqa: ARG001
+            # remember the request: when it lands between restarts (during
+            # the backoff sleep) there is no active query for stop() to
+            # kill, and PEP-475 would resume the sleep and restart anyway
+            self._stop_requested.set()
             self.stop()
 
         for sig in (signal.SIGINT, signal.SIGTERM):
@@ -97,6 +103,8 @@ class _AppBase:
         attempts = 0
         self._install_signals()
         while True:
+            if self._stop_requested.is_set():
+                return  # signal arrived between restarts — honor it
             q = self.start(**start_kwargs)
             try:
                 q.awaitTermination()
@@ -106,6 +114,8 @@ class _AppBase:
                 if attempts > max_restarts:
                     raise
                 sleep(backoff_seconds * (2 ** (attempts - 1)))
+                if self._stop_requested.is_set():
+                    return  # SIGINT/SIGTERM during the backoff window
 
 
 class MapApp(_AppBase):

@@ -444,3 +444,116 @@ def test_streaming_dedup_partial_args_raise(spark):
         streaming_dedup(df, ["id"], within="10 minutes")
     # both-or-neither forms still work
     assert streaming_dedup(df, ["id"]).count() == 1
+
+
+def test_resolve_master_defers_to_cluster_manager():
+    """Regression: get_session pinned local[N] even under spark-submit,
+    where builder.master() overrides --master and silently runs the whole
+    cluster job in one local driver process."""
+    from fluvii_spark.session import _resolve_master
+
+    # plain local harness: default local master
+    assert _resolve_master(None, "8", {}) == "local[8]"
+    # spark-submit launched (gateway env): leave master to the manager
+    assert _resolve_master(None, "8", {"PYSPARK_GATEWAY_PORT": "123"}) is None
+    assert _resolve_master(None, "8", {"SPARK_MASTER": "yarn"}) is None
+    # explicit caller wins everywhere
+    assert (
+        _resolve_master("local[2]", "8", {"SPARK_MASTER": "yarn"})
+        == "local[2]"
+    )
+
+
+def test_apply_runtime_confs_respects_deliberate_overrides(spark):
+    """Regression: AQE/Arrow prefs were force-reset on every query entry,
+    clobbering an external driver's deliberate setting; only the REQUIRED
+    correctness confs (nanos parquet, UTC) may be forced."""
+    from fluvii_spark.session import apply_runtime_confs
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        apply_runtime_confs(spark)
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        # required confs ARE forced
+        assert (
+            spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_jaas_config_escaping_and_none_guard():
+    """Regression: credentials were raw f-string-interpolated into JAAS —
+    quotes/backslashes corrupted the config line, and missing credentials
+    became the literal string 'None' sent to the broker."""
+    import pytest as _pytest
+
+    from fluvii_spark.config import AuthConfig
+
+    opts = AuthConfig(
+        mechanism="PLAIN", username='u"x', password="p\\w;"
+    ).as_spark_options()
+    jaas = opts["kafka.sasl.jaas.config"]
+    assert 'username="u\\"x"' in jaas
+    assert 'password="p\\\\w;"' in jaas
+    with _pytest.raises(ValueError, match="username AND password"):
+        AuthConfig(mechanism="PLAIN").as_spark_options()
+    # KIP-768 handler must be the modern class (secured.* was removed)
+    oauth = AuthConfig(
+        oauth_url="https://idp/token", username="cid", password="sec"
+    ).as_spark_options()
+    assert (
+        oauth["kafka.sasl.login.callback.handler.class"]
+        == "org.apache.kafka.common.security.oauthbearer."
+        "OAuthBearerLoginCallbackHandler"
+    )
+
+
+def test_tables_unknown_attr_is_attribute_error(spark, sf_dir):
+    """Regression: Tables.__getattr__ leaked KeyError, breaking hasattr and
+    getattr-with-default for typo'd table names."""
+    from fluvii_spark.io.readers import load_tables
+
+    t = load_tables(spark, sf_dir)
+    assert not hasattr(t, "ordrs")
+    assert getattr(t, "ordrs", None) is None
+
+
+def test_run_with_retries_honors_signal_during_backoff():
+    """Regression: a SIGTERM landing in the backoff sleep found no active
+    query to stop, PEP-475 resumed the sleep, and the loop restarted the
+    app — the shutdown request was silently lost."""
+    from fluvii_spark.streaming.app import _AppBase
+
+    class FakeQuery:
+        def __init__(self, fail: bool):
+            self._fail = fail
+            self.isActive = False
+
+        def awaitTermination(self):
+            if self._fail:
+                raise RuntimeError("boom")
+
+        def stop(self):
+            pass
+
+    class FakeApp(_AppBase):
+        def __init__(self):
+            super().__init__()
+            self.starts = 0
+
+        def start(self, **kw):
+            self.starts += 1
+            self._query = FakeQuery(fail=True)
+            return self._query
+
+    app = FakeApp()
+
+    def sleep_with_signal(_secs):
+        # the "signal handler" fires mid-backoff
+        app._stop_requested.set()
+        app.stop()
+
+    app.run_with_retries(max_restarts=5, _sleep=sleep_with_signal)
+    assert app.starts == 1  # no restart after the stop request
