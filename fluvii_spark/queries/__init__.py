@@ -60,7 +60,17 @@ def register(
 _DRIVER_PROVEN = {
     *(f"q{i:02d}" for i in range(1, 100)),  # q01..q99 (r1+r2+r3)
     *(f"q{i}" for i in range(100, 147)),    # q100..q146 (r2+r3)
-} - {"q118", "q120", "q135", "q34", "q106", "q105", "q124", "q125"}
+} - {
+    "q118", "q120", "q135", "q34", "q106", "q105", "q124", "q125",
+    # re-queued late in r4: the as-of operator now carries the matched
+    # right row as one struct (q69) and pack_sequences packs float sizes
+    # without int-truncation (q80) — results identical on this data (local
+    # sweeps green under both canonicalizers) but the code changed after
+    # their last green row, so their proofs need refreshing. The guard-only
+    # touches (q38 empty-input, q43/q76 worker-shipping) don't alter any
+    # expression and keep their rows.
+    "q69", "q80",
+}
 
 # Queries awaiting a green driver row against their *current* code, in the
 # order the driver should attempt them: q118/q120 (redefined in r3 after
@@ -68,9 +78,12 @@ _DRIVER_PROVEN = {
 # guard; q34/q106 auto df-cut now metadata-only; q105/q124/q125 ride on
 # the refactored ranking scaffold — results identical per the 1/7/64-
 # partition parity tests, re-proven for freshness). Round-4 additions
-# (q147+) sort right after by name: 8 + 36 + 6 = 50 exactly fills the
-# driver's ~50-row cap.
+# (q147+) sort right after by name: 2 + 8 + 42 = 52 against the ~50-row
+# cap — the two alphabetically-last new queries (q187/q188) may slip to
+# r5's budget; freshness of changed-code proofs outranks first-proof of
+# additions whose full local evidence is committed.
 _UNPROVEN_ORDER = [
+    "q69", "q80",  # r4 operator changes after their green rows (see above)
     "q118", "q120", "q135", "q34", "q106", "q105", "q124", "q125",
 ]
 
