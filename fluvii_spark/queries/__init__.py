@@ -70,6 +70,12 @@ _DRIVER_PROVEN = {
     # touches (q38 empty-input, q43/q76 worker-shipping) don't alter any
     # expression and keep their rows.
     "q69", "q80",
+    # q58's oracle gained the (ts, event_id) tie-break in its session-
+    # numbering window late in r4 (its old form was nondeterministic on
+    # equal-timestamp events) — same boundary semantics (verified: Spark
+    # merges an exactly-gap event; the split stays strictly-greater), but
+    # the oracle text changed after the r3 green row.
+    "q58",
 }
 
 # Queries awaiting a green driver row against their *current* code, in the
@@ -78,12 +84,12 @@ _DRIVER_PROVEN = {
 # guard; q34/q106 auto df-cut now metadata-only; q105/q124/q125 ride on
 # the refactored ranking scaffold — results identical per the 1/7/64-
 # partition parity tests, re-proven for freshness). Round-4 additions
-# (q147+) sort right after by name: 2 + 8 + 42 = 52 against the ~50-row
-# cap — the two alphabetically-last new queries (q187/q188) may slip to
+# (q147+) sort right after by name: 3 + 8 + 42 = 53 against the ~50-row
+# cap — the alphabetically-last new queries (q186-q188) may slip to
 # r5's budget; freshness of changed-code proofs outranks first-proof of
 # additions whose full local evidence is committed.
 _UNPROVEN_ORDER = [
-    "q69", "q80",  # r4 operator changes after their green rows (see above)
+    "q69", "q80", "q58",  # r4 changes after their green rows (see above)
     "q118", "q120", "q135", "q34", "q106", "q105", "q124", "q125",
 ]
 

@@ -311,7 +311,7 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q58_session_windows",
     """
     WITH ordered AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -320,7 +320,8 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessioned AS (
       SELECT user_id, ts,
-             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
                                          ROWS UNBOUNDED PRECEDING)
                   AS BIGINT) AS session_no
       FROM ordered
@@ -333,8 +334,12 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "session windows (30-min gap) in batch form; Spark uses the native "
     "session_window operator, the oracle derives identical sessions via "
-    "gaps-and-islands (lag + running sum) — same window semantics, so "
-    "per-session event counts and spans hash-match",
+    "gaps-and-islands (lag + running sum). BOUNDARY (verified "
+    "empirically): Spark MERGES an event arriving exactly gap later — the "
+    "session end is inclusive for merge purposes — so the oracle splits "
+    "only on strictly-greater gaps; its running sum carries the "
+    "(ts, event_id) tie-break so equal-timestamp events number "
+    "deterministically",
     ("relational", "window", "session"),
 )
 def q58(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -462,9 +462,11 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked = distributed_row_number(rfm, order_cols, out_col="_rnk")
         return ranked.crossJoin(F.broadcast(n_row)).select(
             "o_custkey",
-            (((F.col("_rnk") - 1) * 4 / F.col("_n")).cast("long") + 1).alias(
-                name
-            ),
+            # integer DIV, as the docstring promises and the oracle's //
+            # computes — double division + cast is value-equal at sane
+            # cardinalities but is not the "pure integer arithmetic"
+            # contract, and is fragile under refactoring
+            (F.expr("((_rnk - 1) * 4) DIV _n") + 1).alias(name),
         )
 
     r = bucket(["last_order", "o_custkey"], "r_bucket")
@@ -701,9 +703,14 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             F.explode(
+                # CASE guard (the word_shingles pattern): sequence(1, 0)
+                # counts DOWN to [1, 0] and slice(.., 0, 3) is a runtime
+                # error — a single <=2-token document would abort the job
                 F.expr(
-                    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+                    "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+                    " transform(sequence(1, size(split(text, ' ')) - 2),"
                     " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+                    " ELSE array() END"
                 )
             ).alias("shingle"),
         )
@@ -770,7 +777,9 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     m = t.documents.select(
         "lang",
-        F.length("text").cast("bigint").alias("n_bytes"),
+        # octet_length = BYTES, matching duckdb strlen; F.length counts
+        # CHARACTERS and diverges on any multi-byte UTF-8 text
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_ws"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0))
         .cast("bigint")
@@ -1771,10 +1780,14 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     pairs = t.documents.select(
         F.explode(
+            # CASE guard: sequence(1, 0) counts DOWN and element_at(arr, 0)
+            # is a runtime error — a one-token document would abort the job
             F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+                " transform(sequence(1, size(split(text, ' ')) - 1),"
                 " i -> struct(element_at(split(text, ' '), i) as left_sym,"
                 "            element_at(split(text, ' '), i + 1) as right_sym))"
+                " ELSE array() END"
             )
         ).alias("p")
     ).select("p.left_sym", "p.right_sym").filter(

@@ -1044,3 +1044,59 @@ def test_embedding_near_dup_empty_input_bucketed_path(spark):
     )
     assert out.count() == 0
     assert set(out.columns) == {"id_a", "id_b", "cosine"}
+
+
+def test_short_document_queries_do_not_crash(spark, tmp_path):
+    """Regression: q155's shingle transform and q171's bigram transform
+    used sequence(1, greatest(n-k, 0)), and Spark's sequence COUNTS DOWN
+    when start > stop — [1, 0] — so slice(.., 0, 3)/element_at(.., 0) on a
+    <=2-token document aborted the whole job. Short docs must contribute
+    nothing instead."""
+    import pandas as pd
+
+    from fluvii_spark.queries import registry
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one", "en", "srcA", 3),
+            (2, "two words", "en", "srcA", 9),
+            (3, "three word doc here", "en", "srcA", 19),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    d = str(tmp_path / "docs_sf")
+    docs.write.parquet(d + "/documents.parquet")
+
+    nov = registry()["q155_shingle_novelty"].fn(spark, d).collect()
+    # only doc 3 has any 3-shingle (2 of them, both novel)
+    assert [(r["n_docs"], r["total_shingles"]) for r in nov] == [(1, 2)]
+
+    bpe = registry()["q171_bpe_merge_scan"].fn(spark, d).collect()
+    pairs = {(r["left_sym"], r["right_sym"]) for r in bpe}
+    assert ("two", "words") in pairs and ("three", "word") in pairs
+    assert not any(l == "one" or r == "one" for l, r in pairs)
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """q58 boundary semantics, verified against the engine: Spark's
+    session_window MERGES an event arriving exactly gap later (inclusive
+    end for merge purposes) — the oracle's gaps-and-islands split must be
+    strictly-greater, not >=."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, base, 1),
+            (1, base + dt.timedelta(minutes=30), 2),  # exactly the gap
+            (1, base + dt.timedelta(minutes=61), 3),  # 31 min after #2
+        ],
+        "user_id INT, ts TIMESTAMP, event_id INT",
+    )
+    got = sorted(
+        r["n"]
+        for r in ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == [1, 2]  # events 1+2 merge; event 3 starts a new session
