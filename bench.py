@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import pandas as pd  # noqa: E402  (module-level so pandas_udf hints resolve)
 
+from fluvii_spark.io.readers import sf_from_dir  # noqa: E402
 from fluvii_spark.queries import registry  # noqa: E402
 from fluvii_spark.session import get_session  # noqa: E402
 
@@ -39,12 +40,7 @@ CONCURRENCY = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "16"))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    try:
-        sf = float(
-            os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1"
-        )
-    except ValueError:  # non-sfN dir names still benchmark fine
-        sf = None
+    sf = sf_from_dir(sf_dir)  # None for non-sfN dir names — still benchmarks
     spark = get_session("fluvii-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -108,7 +104,9 @@ def main() -> None:
     # neighbor noise; best-of-N is the standard way to report the
     # reproducible number. Pass 2+ is also the steady-state a long-lived
     # cluster sees (code JIT'd, file index + shared dedup chain warm).
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # clamp: 0/negative would leave walls empty and crash min() after
+    # the JVM and warm-up were already paid for
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     walls = []
     for _ in range(passes):
         t0 = time.perf_counter()

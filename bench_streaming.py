@@ -38,10 +38,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import pandas as pd  # noqa: E402  (pandas_udf type hints resolve at import)
 from pyspark.sql import functions as F  # noqa: E402
 
-from fluvii_spark.io.readers import load_table  # noqa: E402
+from fluvii_spark.io.readers import load_table, sf_from_dir  # noqa: E402
 from fluvii_spark.session import apply_runtime_confs, get_session  # noqa: E402
 
 N_FILES = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "8"))
@@ -194,14 +193,15 @@ def doc_pipelines() -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    try:
-        sf = float(
-            os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1"
-        )
-    except ValueError:  # non-sfN dir names still benchmark fine
-        sf = None
+    sf = sf_from_dir(sf_dir)  # None for non-sfN dir names — still benchmarks
     spark = get_session("fluvii-spark-bench-streaming")
     apply_runtime_confs(spark)
+    # recentProgress keeps only the last N entries (default 100): a
+    # many-micro-batch run would silently truncate the batches/state/rate
+    # metrics this harness reports
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", "10000"
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     root = tempfile.mkdtemp(prefix="fluvii_stream_bench_")

@@ -37,6 +37,16 @@ TABLES = (
 )
 
 
+def sf_from_dir(sf_dir: str) -> float | None:
+    """Scale factor from an 'sf0.1'-style directory name; None when the
+    name doesn't encode one (both bench harnesses report this field)."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.removeprefix("sf") or "0.1")
+    except ValueError:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; normalizes the events nano-timestamp."""
     apply_runtime_confs(spark)

@@ -19,6 +19,21 @@ import duckdb
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 
+
+def resolve_only(only, names):
+    """Expand each requested name (exact or prefix like 'q105') against the
+    registry; an entry matching nothing is a FATAL error — silently skipping
+    would let a typo'd re-proof run print ALL MATCH without executing."""
+    if only is None:
+        return None
+    out = []
+    for o in only:
+        hits = [n for n in names if n == o or n.startswith(o + "_")]
+        if not hits:
+            sys.exit(f"FATAL: --only entry {o!r} matches no registered query")
+        out.extend(hits)
+    return set(out)
+
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
 mod = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(mod)
@@ -79,12 +94,13 @@ def vhash(cols, rows):
 
 
 qs = mod.queries()
+ONLY = resolve_only(ONLY, list(qs))
 oracles = mod.oracle_sql()
 print(f"queries={len(qs)} oracles={len(oracles)}")
 fails = []
 timings = {}  # name -> (spark_s, duck_s)
 for name in sorted(qs):
-    if ONLY and name not in ONLY:
+    if ONLY is not None and name not in ONLY:
         continue
     t0 = time.time()
     try:

@@ -6,7 +6,6 @@ more files, restarts on the same checkpoint, and asserts exactly-once output
 (every staged event id exactly once). Worker-side pickling/import issues
 only appear when the driver cwd is NOT the repo — which is the point.
 """
-import glob
 import os
 import shutil
 import sys
@@ -18,6 +17,7 @@ sys.path.insert(0, "/root/repo")  # driver-side import only; workers must
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from fluvii_spark.io.readers import load_table  # noqa: E402
 from fluvii_spark.session import get_session  # noqa: E402
 from fluvii_spark.streaming.app import TableApp  # noqa: E402
 
@@ -30,8 +30,10 @@ os.makedirs(src_dir)
 spark = get_session("stream-drive", master="local[4]", shuffle_partitions=4)
 spark.sparkContext.setLogLevel("ERROR")
 
+# load_table handles the TIMESTAMP(NANOS) storage (ts DIV 1000 -> micros);
+# a raw read + cast would misread nanos as seconds
 ev = (
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    load_table(spark, "/root/testdata/sf0.001", "events")
     .select("event_id", "user_id", "value", F.expr("cast(ts as timestamp) ts"))
     .limit(2000)
     .cache()
