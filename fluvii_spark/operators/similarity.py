@@ -38,7 +38,17 @@ def norm_sql(a: str) -> str:
 
 
 def cosine_sql(a: str, b: str) -> str:
-    return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"
+    """Cosine with DuckDB ``list_cosine_similarity`` degenerate-input
+    parity: a zero-norm vector yields -1.0 (what the oracle function
+    returns) instead of an ANSI DIVIDE_BY_ZERO abort — one corrupt/zeroed
+    embedding must not kill a corpus-scale job, and -1.0 sorts such
+    vectors last in every similarity ranking, the behavior a user wants.
+    """
+    na_nb = f"({norm_sql(a)} * {norm_sql(b)})"
+    return (
+        f"(CASE WHEN {na_nb} = CAST(0.0 AS DOUBLE) THEN CAST(-1.0 AS DOUBLE)"
+        f" ELSE {dot_sql(a, b)} / {na_nb} END)"
+    )
 
 
 def brute_force_topk(
@@ -201,7 +211,13 @@ def bucket_representatives(
         .select(
             id_col,
             "bucket",
-            (F.col("dot") / (F.col("m_norm") * F.col("c_norm"))).alias("cosine"),
+            # try_divide -> NULL on a zero norm, exactly DuckDB's x/0.0
+            # DOUBLE semantics in the oracle's manual-division form (no
+            # ANSI abort; NULLs sort last under the DESC ranking below in
+            # both engines)
+            F.try_divide(
+                F.col("dot"), F.col("m_norm") * F.col("c_norm")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("bucket").orderBy(
@@ -360,12 +376,14 @@ def ivf_assignments(
     )
 
     def assign_fn(cents: "np.ndarray"):
-        c_norm = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        _cn = np.linalg.norm(cents, axis=1, keepdims=True)
+        c_norm = cents / np.where(_cn == 0, 1.0, _cn)  # zero stays zero, no nan
 
         @F.pandas_udf("int")
         def assign(vecs: pd.Series) -> pd.Series:
             mat = np.stack(vecs.to_numpy()).astype(np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            _mn = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(_mn == 0, 1.0, _mn)  # zero stays zero, no nan
             return pd.Series(np.argmax(mat @ c_norm.T, axis=1).astype("int32"))
 
         return assign
@@ -405,8 +423,10 @@ def ivf_topk(
     assigned, centroids = ivf_assignments(df, n_lists, 2, id_col, vec_col)
     qrow = df.filter(F.col(id_col) == query_id).select(vec_col).collect()
     qvec = np.asarray(qrow[0][0], dtype=np.float64)
-    qn = qvec / np.linalg.norm(qvec)
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    _qn = np.linalg.norm(qvec)
+    qn = qvec / (_qn if _qn else 1.0)  # zero query stays zero, no nan
+    _cns = np.linalg.norm(centroids, axis=1, keepdims=True)
+    cn = centroids / np.where(_cns == 0, 1.0, _cns)
     probe = np.argsort(-(cn @ qn))[:n_probe].tolist()
 
     q = (

@@ -76,6 +76,17 @@ _DRIVER_PROVEN = {
     # merges an exactly-gap event; the split stays strictly-greater), but
     # the oracle text changed after the r3 green row.
     "q58",
+    # degenerate-input hardening late in r4 (zero-norm vectors crashed the
+    # similarity family under ANSI; q42 emitted a NULL-fingerprint row its
+    # oracle omits; q143 gained a checkpoint): results identical on the
+    # fixtures — every one re-verified green at sf0.01 under both
+    # canonicalizers plus a synthetic zero-vector edge suite
+    # (tests/test_zero_vector_edges.py) — but expressions changed after
+    # their green rows. They sort LAST (see _REPROOF_LAST): first-proof of
+    # the r4 additions and the behavior-relevant re-proofs outrank these
+    # guard-only refreshes under the ~50-row cap.
+    "q30", "q38", "q39", "q42", "q57", "q107", "q116", "q140", "q143",
+    "q146",
 }
 
 # Queries awaiting a green driver row against their *current* code, in the
@@ -91,6 +102,13 @@ _DRIVER_PROVEN = {
 _UNPROVEN_ORDER = [
     "q69", "q80", "q58",  # r4 changes after their green rows (see above)
     "q118", "q120", "q135", "q34", "q106", "q105", "q124", "q125",
+]
+
+# guard-only re-proofs: attempted only after everything above AND the new
+# q147+ additions (which sort between by name)
+_REPROOF_LAST = [
+    "q30", "q38", "q39", "q42", "q57", "q107", "q116", "q140", "q143",
+    "q146",
 ]
 
 
@@ -115,6 +133,7 @@ def registry() -> dict[str, Query]:
     )
 
     rank = {p: i for i, p in enumerate(_UNPROVEN_ORDER)}
+    rank.update({p: 20_000 + i for i, p in enumerate(_REPROOF_LAST)})
     items = sorted(
         _REGISTRY.items(),
         key=lambda kv: (

@@ -390,6 +390,11 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return t.documents.select(
         "doc_id", T.doc_fingerprint("text", 5).alias("fingerprint")
+    ).filter(
+        # documents too short for one 5-shingle have no fingerprint; the
+        # oracle's positional self-join omits them, so the NULL row must
+        # not appear here either
+        F.col("fingerprint").isNotNull()
     )
 
 
@@ -541,8 +546,13 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
     FROM cand WHERE bit_count(xor(sa, sb)) <= 6
     """,
-    "SimHash near-dup pairs (Hamming ≤ 6) via pigeonhole half-matching "
-    "(Manku et al. WWW'07 block scheme)",
+    "SimHash candidate pairs via 16-bit half-matching, verified to "
+    "Hamming <= 6 (Manku et al. WWW'07 block scheme). COMPLETENESS "
+    "CAVEAT: two blocks guarantee recall only for Hamming <= 1 — a pair "
+    "differing in BOTH halves is never a candidate even under the verify "
+    "bound; full d=6 recall needs d+1=7 blocks (more candidate joins on "
+    "~4.6-bit keys — the recall/cost dial). Both engines run the same "
+    "2-block scheme, so the oracle checks the scheme, not full-d recall",
     ("llm", "dedup"),
 )
 def q37(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -503,7 +503,10 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asymmetric near-dup detection: word-3-gram CONTAINMENT ≥ 0.6 pairs "
     "(|A∩B| / min(|A|,|B|)) — catches a short doc quoted inside a long one, "
     "which symmetric Jaccard misses. Same shared-shingle equi-join candidate "
-    "plan (and auto df-cut) as q34, never a cross join",
+    "plan as q34, never a cross join. NOTE: the shared doc_ngram_stats "
+    "builds with max_doc_freq=None so the ORACLE comparison is exact over "
+    "all shingles; production corpora should pass the auto df-cut "
+    "(ngram_pair_stats default) to cap corpus-hot shingle fan-out",
     ("llm", "dedup"),
 )
 def q106(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -410,7 +410,13 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vecs"),
         F.round(
             F.avg(
-                F.col("dot") / (F.sqrt(F.col("nx")) * F.sqrt(F.col("nc")))
+                # try_divide: NULL on a zero norm, exactly the oracle's
+                # x/0.0 DOUBLE semantics (AVG skips NULL both engines) —
+                # a plain division ABORTS under ANSI on one zero vector
+                F.try_divide(
+                    F.col("dot"),
+                    F.sqrt(F.col("nx")) * F.sqrt(F.col("nc")),
+                )
             ),
             6,
         ).alias("avg_cos"),
@@ -554,6 +560,10 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(F.split("text", " ")).alias("tok")
         )
         .dropDuplicates(["doc_id", "tok"])
+        # four consumers (vocab, df marginals, both self-join sides) —
+        # checkpoint once so the corpus explode + distinct shuffle never
+        # re-executes per branch (q120's elems pattern)
+        .localCheckpoint(eager=False)
     )
     vocab = (
         toks.groupBy("tok")
@@ -673,8 +683,15 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.round(
-                F.expr(dot_sql("embedding", "qvec"))
-                / (F.col("n_e") * F.col("n_q")),
+                # list_cosine_similarity parity: -1.0 when a norm is zero
+                # (oracle behavior; also sorts degenerate vectors last) —
+                # plain division ABORTS under ANSI
+                F.when(
+                    F.col("n_e") * F.col("n_q") == 0.0, F.lit(-1.0)
+                ).otherwise(
+                    F.expr(dot_sql("embedding", "qvec"))
+                    / (F.col("n_e") * F.col("n_q"))
+                ),
                 6,
             ).alias("cos_r"),
         )
