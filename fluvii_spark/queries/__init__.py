@@ -58,58 +58,32 @@ def register(
 # predates the current code, so they are deliberately re-queued for a fresh
 # r4 row (VERDICT r3 "Next round" #1).
 _DRIVER_PROVEN = {
-    *(f"q{i:02d}" for i in range(1, 100)),  # q01..q99 (r1+r2+r3)
-    *(f"q{i}" for i in range(100, 147)),    # q100..q146 (r2+r3)
+    *(f"q{i:02d}" for i in range(1, 100)),  # q01..q99 (r1..r4)
+    *(f"q{i}" for i in range(100, 186)),    # q100..q185 (r2..r4)
 } - {
-    "q118", "q120", "q135", "q34", "q106", "q105", "q124", "q125",
-    # re-queued late in r4: the as-of operator now carries the matched
-    # right row as one struct (q69) and pack_sequences packs float sizes
-    # without int-truncation (q80) — results identical on this data (local
-    # sweeps green under both canonicalizers) but the code changed after
-    # their last green row, so their proofs need refreshing. The guard-only
-    # touches (q38 empty-input, q43/q76 worker-shipping) don't alter any
-    # expression and keep their rows.
-    "q69", "q80",
-    # q58's oracle gained the (ts, event_id) tie-break in its session-
-    # numbering window late in r4 (its old form was nondeterministic on
-    # equal-timestamp events) — same boundary semantics (verified: Spark
-    # merges an exactly-gap event; the split stays strictly-greater), but
-    # the oracle text changed after the r3 green row.
-    "q58",
-    # degenerate-input hardening late in r4 (zero-norm vectors crashed the
-    # similarity family under ANSI; q42 emitted a NULL-fingerprint row its
-    # oracle omits; q143 gained a checkpoint): results identical on the
-    # fixtures — every one re-verified green at sf0.01 under both
-    # canonicalizers plus a synthetic zero-vector edge suite
-    # (tests/test_zero_vector_edges.py) — but expressions changed after
-    # their green rows. They sort LAST (see _REPROOF_LAST): first-proof of
-    # the r4 additions and the behavior-relevant re-proofs outrank these
-    # guard-only refreshes under the ~50-row cap.
+    # Edited by r4's fifth review pass (zero-norm/ANSI guards across the
+    # similarity family; q42 NULL-fingerprint row; q143 checkpoint) AFTER
+    # their last green rows. All 13 re-verified green locally under both
+    # canonicalizers, but per the bar they stay unproven until a fresh
+    # driver row lands. Only 13 candidates against the ~50-row cap this
+    # round — every one fits (VERDICT r4 "Next round" #2).
     "q30", "q38", "q39", "q42", "q57", "q107", "q116", "q140", "q143",
     "q146",
 }
+# q186-q188 were never sampled (alphabetically last of r4's 42 additions
+# under the cap) and are absent from _DRIVER_PROVEN by construction.
 
 # Queries awaiting a green driver row against their *current* code, in the
-# order the driver should attempt them: q118/q120 (redefined in r3 after
-# their last green row), then the round-4 touch-ups (q135 zero-vector
-# guard; q34/q106 auto df-cut now metadata-only; q105/q124/q125 ride on
-# the refactored ranking scaffold — results identical per the 1/7/64-
-# partition parity tests, re-proven for freshness). Round-4 additions
-# (q147+) sort right after by name: 3 + 8 + 42 = 53 against the ~50-row
-# cap — the alphabetically-last new queries (q186-q188) may slip to
-# r5's budget; freshness of changed-code proofs outranks first-proof of
-# additions whose full local evidence is committed.
+# order the driver should attempt them: the three never-proven r4
+# additions first, then the ten guard-touched similarity re-proofs.
 _UNPROVEN_ORDER = [
-    "q69", "q80", "q58",  # r4 changes after their green rows (see above)
-    "q118", "q120", "q135", "q34", "q106", "q105", "q124", "q125",
-]
-
-# guard-only re-proofs: attempted only after everything above AND the new
-# q147+ additions (which sort between by name)
-_REPROOF_LAST = [
+    "q186", "q187", "q188",
     "q30", "q38", "q39", "q42", "q57", "q107", "q116", "q140", "q143",
     "q146",
 ]
+
+# Deferred-tier re-proofs: none this round — the 13 above fit the cap.
+_REPROOF_LAST: list[str] = []
 
 
 def _prefix(name: str) -> str:
