@@ -41,8 +41,11 @@ def sf_from_dir(sf_dir: str) -> float | None:
     """Scale factor from an 'sf0.1'-style directory name; None when the
     name doesn't encode one (both bench harnesses report this field)."""
     base = os.path.basename(sf_dir.rstrip("/"))
+    suffix = base.removeprefix("sf")
+    if not suffix:  # bare 'sf' encodes no scale factor — don't invent one
+        return None
     try:
-        return float(base.removeprefix("sf") or "0.1")
+        return float(suffix)
     except ValueError:
         return None
 

@@ -62,6 +62,13 @@ def asof_join(
     payload = right_payload or [
         c for c in right.columns if c not in set(key_cols) | {right_ts}
     ]
+    if "_asof_ts" in payload:
+        # the carried-struct field below would collide with the match
+        # timestamp and make the `_r._asof_ts` extraction ambiguous
+        raise ValueError(
+            "right payload column '_asof_ts' collides with the as-of "
+            "carry struct's timestamp field; rename it before joining"
+        )
     l_cols = [c for c in left.columns if c not in set(key_cols)]
 
     lt = left.select(
@@ -97,7 +104,9 @@ def asof_join(
     r_row = F.when(
         F.col("_side") == 0,
         F.struct(
-            F.col("_ts").alias("ts"),
+            # collision-proof field name: a right payload column named
+            # plain 'ts' must not create a duplicate struct field
+            F.col("_ts").alias("_asof_ts"),
             *[F.col(f"_r_{c}").alias(c) for c in payload],
         ),
     )
@@ -113,7 +122,7 @@ def asof_join(
         "_ts",
         *[F.col(c) for c in l_cols if c != left_ts],
         *[F.col(f"_r.{c}").alias(f"_r_{c}") for c in payload],
-        F.col("_r.ts").alias("_r_ts"),
+        F.col("_r._asof_ts").alias("_asof_r_ts"),
     )
     if tolerance_s is not None:
         # integer-microsecond gate when both sides are timestamps — a float
@@ -126,14 +135,14 @@ def asof_join(
             right.schema[right_ts].dataType
         ):
             l_v = F.unix_micros(F.col("_ts").cast("timestamp"))
-            r_v = F.unix_micros(F.col("_r_ts").cast("timestamp"))
+            r_v = F.unix_micros(F.col("_asof_r_ts").cast("timestamp"))
             tol = F.lit(int(round(float(tolerance_s) * 1e6)))
         else:
             l_v = F.col("_ts").cast("double")
-            r_v = F.col("_r_ts").cast("double")
+            r_v = F.col("_asof_r_ts").cast("double")
             tol = F.lit(float(tolerance_s))
         gap = l_v - r_v if direction == "backward" else r_v - l_v
-        within = F.col("_r_ts").isNotNull() & (gap <= tol)
+        within = F.col("_asof_r_ts").isNotNull() & (gap <= tol)
         out = out.select(
             *key_cols,
             "_ts",

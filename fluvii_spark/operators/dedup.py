@@ -760,8 +760,20 @@ def embedding_near_dup_pairs(
     # dereferencing head()'s None.
     first = df.select(vec_col).head()
     if first is None:
+        # mirror the non-empty output's id type (hardcoding long would give
+        # empty vs non-empty results inconsistent schemas for string ids)
+        from pyspark.sql import types as T
+
+        id_type = df.schema[id_col].dataType
         return df.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cosine double"
+            [],
+            T.StructType(
+                [
+                    T.StructField("id_a", id_type),
+                    T.StructField("id_b", id_type),
+                    T.StructField("cosine", T.DoubleType()),
+                ]
+            ),
         )
     dims = len(first[0])
     buckets = lsh_bucket_tables(df, dims, id_col, vec_col, planes, n_tables)

@@ -32,6 +32,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # truncation semantics).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Arrow is FORCE-ENABLED, not a respect-existing preference: its stock
+    # default ("false") is indistinguishable from a deliberate external
+    # "false", so the PERF_CONFS stock-value contract cannot apply. Every
+    # Python-side operator here is an Arrow pandas_udf/mapInPandas — with
+    # Arrow off they still run (Spark falls back to pickle serialization)
+    # but 10-100× slower, which at engine scale is an outage, not a choice.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
 # Performance defaults, applied ONLY when the session still carries Spark's
@@ -49,20 +56,18 @@ PERF_CONFS: dict[str, tuple[str, frozenset[str]]] = {
         str(64 * 1024 * 1024),
         frozenset({"10485760", "10485760b", "10MB"}),
     ),
-    # AQE/Arrow are engine PREFERENCES: re-assert the stock default, but an
+    # AQE knobs are engine PREFERENCES: re-assert the stock default, but an
     # external driver that deliberately flipped one (plan-stability tests
     # pinning adaptive off, say) keeps its setting — same respect-existing
-    # contract as the broadcast threshold above.
+    # contract as the broadcast threshold above. (Arrow is NOT here: its
+    # stock "false" can't be told apart from a deliberate one, so it lives
+    # in RUNTIME_CONFS as an honest force-enable.)
     "spark.sql.adaptive.enabled": ("true", frozenset({"true"})),
     "spark.sql.adaptive.coalescePartitions.enabled": (
         "true",
         frozenset({"true"}),
     ),
     "spark.sql.adaptive.skewJoin.enabled": ("true", frozenset({"true"})),
-    "spark.sql.execution.arrow.pyspark.enabled": (
-        "true",
-        frozenset({"false"}),  # stock default is false — flip it
-    ),
 }
 
 
@@ -139,11 +144,29 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
         return
     try:
         sc.addPyFile(_package_zip())
-    except Exception:
-        # a session that forbids addPyFile (or a same-name re-add after
-        # restart) falls back to the ambient import path — the pre-r4 status
-        # quo, correct whenever the driver runs from the repo root.
-        pass
+    except Exception as exc:
+        # A session that forbids addPyFile (or a same-name re-add after
+        # restart) falls back to the ambient import path — the pre-r4
+        # status quo, correct whenever the driver runs from the repo root.
+        # Retry on later calls (the failure may be transient) up to a small
+        # bound so a permanently-forbidding deployment doesn't pay a
+        # per-query exception, and warn ONCE so the degraded mode is
+        # diagnosable instead of surfacing later as an unrelated-looking
+        # worker ImportError.
+        attempts = getattr(sc, "_fluvii_pkg_attempts", 0) + 1
+        sc._fluvii_pkg_attempts = attempts
+        if attempts == 1:
+            import warnings
+
+            warnings.warn(
+                "fluvii_spark: addPyFile failed; worker package shipping "
+                "is degraded — foreign-cwd Arrow-UDF jobs may hit worker "
+                f"ImportError for fluvii_spark ({exc!r})",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        if attempts < 3:
+            return  # leave unlatched: retry on the next entry point
     sc._fluvii_pkg_shipped = True
 
 

@@ -1100,3 +1100,116 @@ def test_session_window_exact_gap_boundary(spark):
         .collect()
     )
     assert got == [1, 2]  # events 1+2 merge; event 3 starts a new session
+
+
+def test_asof_join_payload_named_ts(spark):
+    """ADVICE r4: a right payload column literally named 'ts' used to
+    collide with the carry struct's timestamp field (aliased 'ts'),
+    making the struct-field extraction ambiguous. The field is now
+    '_asof_ts'; plain-'ts' payloads must round-trip correctly."""
+    from fluvii_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10), ("a", 25)], "k STRING, t BIGINT"
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 500), ("a", 20, 2000)], "k STRING, t BIGINT, ts BIGINT"
+    )
+    got = {
+        (r["t"], r["right_ts"])
+        for r in asof_join(
+            left, right, key_cols=["k"], left_ts="t", right_ts="t"
+        ).collect()
+    }
+    assert got == {(10, 500), (25, 2000)}
+
+
+def test_asof_join_reserved_payload_name_raises(spark):
+    from fluvii_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("a", 10)], "k STRING, t BIGINT")
+    right = spark.createDataFrame(
+        [("a", 5, 1)], "k STRING, t BIGINT, _asof_ts BIGINT"
+    )
+    with pytest.raises(ValueError, match="_asof_ts"):
+        asof_join(left, right, key_cols=["k"], left_ts="t", right_ts="t")
+
+
+def test_embedding_near_dup_empty_input_keeps_id_type(spark):
+    """ADVICE r4: the empty-input guard hardcoded long ids; a string-id
+    corpus must get the same schema whether or not rows survive the
+    upstream filter."""
+    from fluvii_spark.operators.dedup import embedding_near_dup_pairs
+
+    empty = spark.createDataFrame([], "doc_id STRING, emb ARRAY<DOUBLE>")
+    out = embedding_near_dup_pairs(
+        empty, id_col="doc_id", vec_col="emb", threshold=0.9, exact=False
+    )
+    assert out.count() == 0
+    dt = dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)
+    assert dt == {"id_a": "string", "id_b": "string", "cosine": "double"}
+
+
+def test_sf_from_dir_bare_sf_is_none():
+    from fluvii_spark.io.readers import sf_from_dir
+
+    assert sf_from_dir("/data/sf") is None
+    assert sf_from_dir("/data/sf0.01") == 0.01
+    assert sf_from_dir("/data/other") is None
+
+
+def test_package_shipping_warns_once_and_retries(spark, monkeypatch):
+    """ADVICE r4: a transient addPyFile failure silently and permanently
+    disabled worker package shipping. Now: one warning, unlatched for two
+    retries, latched after the third failure."""
+    import warnings as _w
+
+    from fluvii_spark import session as sess
+
+    sc = spark.sparkContext
+    saved = (
+        getattr(sc, "_fluvii_pkg_shipped", None),
+        getattr(sc, "_fluvii_pkg_attempts", None),
+    )
+    try:
+        sc._fluvii_pkg_shipped = False
+        sc._fluvii_pkg_attempts = 0
+        monkeypatch.setattr(
+            sc, "addPyFile", lambda *_: (_ for _ in ()).throw(RuntimeError("boom"))
+        )
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            sess.ensure_package_on_workers(spark)
+            assert not getattr(sc, "_fluvii_pkg_shipped", False)
+            sess.ensure_package_on_workers(spark)
+            assert not getattr(sc, "_fluvii_pkg_shipped", False)
+            sess.ensure_package_on_workers(spark)
+            assert getattr(sc, "_fluvii_pkg_shipped", False)  # latched
+        ship_warns = [w for w in rec if "package shipping" in str(w.message)]
+        assert len(ship_warns) == 1
+    finally:
+        monkeypatch.undo()
+        sc._fluvii_pkg_shipped = saved[0] if saved[0] is not None else False
+        if saved[1] is None:
+            if hasattr(sc, "_fluvii_pkg_attempts"):
+                del sc._fluvii_pkg_attempts
+        else:
+            sc._fluvii_pkg_attempts = saved[1]
+        # re-ship for real so later foreign-cwd tests keep working
+        sess.ensure_package_on_workers(spark)
+
+
+def test_arrow_is_force_enabled(spark):
+    """Arrow now lives in RUNTIME_CONFS (honest force-enable): even a
+    session that pinned it off gets it back at the next entry point."""
+    from fluvii_spark.session import RUNTIME_CONFS, apply_runtime_confs
+
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    assert key in RUNTIME_CONFS
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        apply_runtime_confs(spark)
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark.conf.set(key, old)
