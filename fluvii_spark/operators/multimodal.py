@@ -86,11 +86,20 @@ def _byte_budget_repartition(df: DataFrame, target_partition_mb: int) -> DataFra
     *increases* the partition count; a small corpus keeps its scan
     parallelism instead of collapsing to one partition.
     """
-    est_bytes = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-    need = max(1, math.ceil(est_bytes / (target_partition_mb * (1 << 20))))
-    if need > df.rdd.getNumPartitions():
-        return df.repartition(need)
-    return df
+    try:
+        est_bytes = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        need = max(1, math.ceil(est_bytes / (target_partition_mb * (1 << 20))))
+        if need > df.rdd.getNumPartitions():
+            return df.repartition(need)
+        return df
+    except AttributeError:
+        # Spark Connect: no _jdf stats and no df.rdd. Degrade to the
+        # session's shuffle parallelism — conservative for media rows
+        # (more, smaller partitions) without plan-build jobs.
+        need = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        return df.repartition(max(1, need))
 
 
 def _decode_features(payload: bytes, kind: str, n_features: int = 8) -> list[float]:

@@ -18,6 +18,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Row estimate reported when plan statistics are unreachable (Spark Connect
+# DataFrames have no ``_jdf``): large enough that every size-triggered
+# scale-guard (df-cuts, LSH routing, bucketing) APPLIES — the safe
+# direction — while partitions_for_rows(10M) stays a moderate hint (3
+# partitions at the 4M default), not a degenerate 1 or an explosion.
+CONNECT_FALLBACK_ROWS = 10_000_000
+
+
+def plan_stats_available(df: DataFrame) -> bool:
+    """True when the classic-JVM ``queryExecution`` stats path exists.
+
+    Spark Connect DataFrames expose no ``_jdf``/``_jvm`` — metadata-only
+    routing degrades to conservative defaults there instead of crashing
+    with AttributeError at plan-build time.
+    """
+    return hasattr(df, "_jdf")
+
 
 def estimate_rows(df: DataFrame, fallback_bytes_per_row: int = 100) -> int:
     """Metadata-only row estimate — submits NO Spark job.
@@ -28,12 +45,18 @@ def estimate_rows(df: DataFrame, fallback_bytes_per_row: int = 100) -> int:
     embedding rows (safe for GEMM-vs-LSH routing), while document-corpus
     callers pass ~1000 so a 100k-doc corpus of KB-scale texts is not
     mistaken for a million-doc one.
+
+    On sessions without the JVM stats path (Spark Connect) this returns
+    :data:`CONNECT_FALLBACK_ROWS` — over-counting so scale-guards apply.
     """
-    stats = df._jdf.queryExecution().optimizedPlan().stats()
-    rc = stats.rowCount()
-    if rc.isDefined():
-        return int(str(rc.get()))
-    return int(str(stats.sizeInBytes())) // fallback_bytes_per_row
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        return int(str(stats.sizeInBytes())) // fallback_bytes_per_row
+    except AttributeError:
+        return CONNECT_FALLBACK_ROWS
 
 
 def partitions_for_rows(

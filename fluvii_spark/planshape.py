@@ -25,9 +25,20 @@ JOIN_OPS = (
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     """The plan string ``df.explain(mode)`` would print, returned not printed."""
-    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-        df._jdf.queryExecution(), mode
-    )
+    try:
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), mode
+        )
+    except AttributeError:
+        # Spark Connect DataFrames carry no _sc/_jdf; capture the printed
+        # explain instead (same text, one extra server round-trip).
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode=mode)
+        return buf.getvalue()
 
 
 def audit(plan: str) -> dict[str, object]:
