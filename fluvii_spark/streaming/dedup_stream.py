@@ -51,6 +51,82 @@ except Exception:  # pragma: no cover
     pass
 
 
+# Permutation constants as uint64 vectors for the batched signature path.
+# Exactness: h < 2^32 (md5 first 4 bytes), a < 2^29 ⇒ a·h + b < 2^61 + 2^29
+# < 2^64, so uint64 arithmetic never wraps and `% P` matches Python ints.
+_PERM_A = None
+_PERM_B = None
+
+
+def _perm_vectors():
+    global _PERM_A, _PERM_B
+    if _PERM_A is None:
+        import numpy as np
+
+        _PERM_A = np.array([a for a, _ in MINHASH_PERMS], dtype=np.uint64)
+        _PERM_B = np.array([b for _, b in MINHASH_PERMS], dtype=np.uint64)
+    return _PERM_A, _PERM_B
+
+
+def band_signatures_batch(
+    ids, texts, n: int = 3
+) -> tuple[list, list[int], list[str]]:
+    """Vectorized band signatures over a whole Arrow batch — bit-identical
+    to :func:`band_signatures_py` (property-tested), ~an order of magnitude
+    faster: one md5 per shingle taken as ``digest()[:4]`` (== the hex-slice
+    int), then all 16 permutation minima in numpy via ``minimum.reduceat``
+    over the batch's flat shingle-hash array instead of a 16-way Python
+    loop per shingle.
+
+    Returns parallel (doc_id, band, band_sig) columns, 4 rows per doc with
+    ≥1 shingle; NULL ids/texts and short texts are dropped (same rules as
+    the per-doc path)."""
+    import numpy as np
+
+    md5 = hashlib.md5
+    sep = b" "
+    keep_ids: list = []
+    starts: list[int] = []
+    n_shingles = 0
+    digests = bytearray()  # 4 bytes per shingle, batch-flat
+    for doc_id, text in zip(ids, texts):
+        if doc_id is None or pd.isna(doc_id) or not isinstance(text, str):
+            continue
+        # ONE encode per doc; joining byte tokens yields the same bytes
+        # as encode(" ".join(str tokens)) — UTF-8 is concatenation-stable
+        btoks = text.encode("utf-8").split(sep)
+        if len(btoks) < n:
+            continue
+        starts.append(n_shingles)
+        for sh in zip(*(btoks[i:] for i in range(n))):
+            digests += md5(sep.join(sh)).digest()[:4]
+        n_shingles = len(digests) >> 2
+        keep_ids.append(doc_id)
+    if not keep_ids:
+        return [], [], []
+    h = np.frombuffer(bytes(digests), dtype=">u4").astype(np.uint64)
+    a_vec, b_vec = _perm_vectors()
+    p = np.uint64(MINHASH_P)
+    idx = np.array(starts, dtype=np.int64)
+    # one (n_shingles,) pass per permutation keeps peak memory at
+    # 8 bytes/shingle instead of a (16, n_shingles) broadcast
+    mins = np.empty((len(MINHASH_PERMS), len(keep_ids)), dtype=np.uint64)
+    for j in range(len(MINHASH_PERMS)):
+        mins[j] = np.minimum.reduceat((a_vec[j] * h + b_vec[j]) % p, idx)
+    out_ids, out_bands, out_sigs = [], [], []
+    for d, doc_id in enumerate(keep_ids):
+        for k in range(N_BANDS):
+            out_ids.append(doc_id)
+            out_bands.append(k)
+            out_sigs.append(
+                ",".join(
+                    str(int(mins[i, d]))
+                    for i in range(k * ROWS_PER_BAND, (k + 1) * ROWS_PER_BAND)
+                )
+            )
+    return out_ids, out_bands, out_sigs
+
+
 def band_signatures_py(text: str, n: int = 3) -> list[tuple[int, str]] | None:
     """Pure-Python band signatures, bit-identical to the batch SQL pipeline
     (md5 first-8-hex shingle hash; (a·h + b) mod P minima; comma-joined
@@ -88,6 +164,7 @@ def streaming_minhash_candidates(
     text_col: str = "text",
     n: int = 3,
     bucket_ttl_ms: int | None = None,
+    n_shards: int = 64,
 ) -> DataFrame:
     """(id_new, id_prior) candidate pairs, emitted as documents arrive.
 
@@ -95,68 +172,92 @@ def streaming_minhash_candidates(
     document already occupies (possibly emitted once per shared band —
     consumers dedup, exactly like the batch candidate dropDuplicates).
 
-    ``bucket_ttl_ms`` bounds state for UNbounded ingest: a bucket idle that
-    long forgets its members (processing-time timeout), trading "near-dup
-    of anything EVER seen" for "near-dup of anything seen recently" — the
-    standard memory/recall dial; without it, state is the full inverted
-    index (≈4 rows per distinct document), which is the exact-recall mode
-    for bounded backfills.
+    State layout (r5): keyed by ``(band, crc32(band_sig) % n_shards)``, each
+    key holding the sub-index ``{band_sig: [last_seen_ms, ids]}``. Keying
+    state by the raw signature made almost every bucket a singleton group,
+    so ``applyInPandasWithState`` paid one Python invocation + pandas frame
+    per DOCUMENT-BAND — the 885 rows/s bottleneck in BENCH_STREAM_r4. With
+    ~4·n_shards state keys the per-group overhead amortizes over the whole
+    micro-batch; bytes stored are the same inverted index either way.
+    Candidate semantics are UNCHANGED: pairs still require an exact
+    (band, band_sig) match inside the shard.
+
+    ``bucket_ttl_ms`` bounds state for UNbounded ingest: signatures idle
+    that long are pruned from the shard sub-index on the next arrival (and
+    a fully-idle shard times out wholesale), trading "near-dup of anything
+    EVER seen" for "near-dup of anything seen recently" — the standard
+    memory/recall dial; without it, state is the full inverted index (≈4
+    entries per distinct document), the exact-recall mode for bounded
+    backfills.
     """
     ensure_package_on_workers(doc_stream.sparkSession)
+    import time as _time
+    import zlib
+
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def to_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_ids, out_bands, out_sigs = [], [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                # NULL ids can't participate in pairs (batch joins drop
-                # them); NULL text is dropped inside band_signatures_py
-                if doc_id is None or pd.isna(doc_id):
-                    continue
-                sigs = band_signatures_py(text, n)
-                if not sigs:
-                    continue
-                for band, sig in sigs:
-                    out_ids.append(doc_id)
-                    out_bands.append(band)
-                    out_sigs.append(sig)
+            # NULL ids can't participate in pairs (batch joins drop them);
+            # NULL/short texts are dropped inside the signature kernel —
+            # same rules as band_signatures_py, but batched+vectorized
+            out_ids, out_bands, out_sigs = band_signatures_batch(
+                pdf[id_col], pdf[text_col], n
+            )
             yield pd.DataFrame(
-                {"doc_id": out_ids, "band": out_bands, "band_sig": out_sigs}
+                {
+                    "doc_id": out_ids,
+                    "band": out_bands,
+                    "band_sig": out_sigs,
+                    "shard": [
+                        zlib.crc32(s.encode()) % n_shards for s in out_sigs
+                    ],
+                }
             )
 
     buckets = doc_stream.mapInPandas(
-        to_buckets, schema="doc_id LONG, band INT, band_sig STRING"
+        to_buckets, schema="doc_id LONG, band INT, band_sig STRING, shard INT"
     )
 
-    def bucket_fn(
+    def shard_fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if bucket_ttl_ms is not None and state.hasTimedOut:
             state.remove()
             return
-        seen: list[int] = json.loads(state.get[0]) if state.exists else []
-        # membership via a set: hot buckets are exactly where LSH skews
-        # (near-dup clusters share band signatures), and a list `in` scan
-        # would make each arrival O(len(bucket)). The ordered list is kept
-        # as the stored/emission order — determinism unchanged.
-        seen_set = set(seen)
-        new_a, prior_b = [], []
+        index: dict = json.loads(state.get[0]) if state.exists else {}
+        now_ms = int(_time.time() * 1000)
+        if bucket_ttl_ms is not None:
+            index = {
+                s: v
+                for s, v in index.items()
+                if v[0] >= now_ms - bucket_ttl_ms
+            }
+        rows: list[tuple[str, int]] = []
         for pdf in pdfs:
-            for doc_id in sorted(int(x) for x in pdf["doc_id"]):
-                if doc_id in seen_set:
-                    continue
-                new_a.extend([doc_id] * len(seen))
-                prior_b.extend(seen)
-                seen.append(doc_id)
-                seen_set.add(doc_id)
-        state.update((json.dumps(seen),))
+            rows.extend(zip(pdf["band_sig"], (int(x) for x in pdf["doc_id"])))
+        new_a, prior_b = [], []
+        # (sig, id) sort keeps emission order deterministic per micro-batch,
+        # exactly as the per-signature grouping did
+        for sig, doc_id in sorted(rows):
+            entry = index.get(sig)
+            if entry is None:
+                entry = index[sig] = [now_ms, []]
+            entry[0] = now_ms
+            ids = entry[1]
+            if doc_id in ids:  # re-delivery / same-batch duplicate
+                continue
+            new_a.extend([doc_id] * len(ids))
+            prior_b.extend(ids)
+            ids.append(doc_id)
+        state.update((json.dumps(index),))
         if bucket_ttl_ms is not None:
             state.setTimeoutDuration(bucket_ttl_ms)
         if new_a:
             yield pd.DataFrame({"id_new": new_a, "id_prior": prior_b})
 
-    return buckets.groupBy("band", "band_sig").applyInPandasWithState(
-        bucket_fn,
+    return buckets.groupBy("band", "shard").applyInPandasWithState(
+        shard_fn,
         outputStructType="id_new LONG, id_prior LONG",
         stateStructType="state STRING",
         outputMode="append",

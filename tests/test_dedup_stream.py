@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from fluvii_spark.io.readers import load_tables
+from fluvii_spark.io.readers import load_table, load_tables
 from fluvii_spark.operators.dedup import lsh_candidate_pairs
 from fluvii_spark.streaming.dedup_stream import (
     band_signatures_py,
@@ -930,3 +930,61 @@ def test_streaming_heavy_hitters_skips_null_items(spark, tmp_path):
     # n_seen counts only non-NULL arrivals, in seq order
     got = {(r["n_seen"]): (r["item"], r["est_count"]) for r in rows}
     assert got == {1: ("a", 1), 2: ("a", 2), 3: ("b", 1)}
+
+
+def test_batched_band_signatures_match_per_doc(spark, sf_dir):
+    """The vectorized batch kernel must be BIT-identical to the per-doc
+    reference path (r5 throughput rewrite, VERDICT r4 #4) — including its
+    drop rules for NULL ids, NULL text, and sub-n-token texts."""
+    import pandas as pd
+
+    from fluvii_spark.streaming.dedup_stream import (
+        band_signatures_batch,
+        band_signatures_py,
+    )
+
+    docs = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents").limit(60).collect()
+    ]
+    ids = list(range(len(docs)))
+    # splice in every drop case
+    ids += [None, 100, 101, 102]
+    docs += ["a b c d", None, "one two", ""]
+    got = list(zip(*band_signatures_batch(pd.Series(ids), pd.Series(docs))))
+    expect = []
+    for doc_id, text in zip(ids, docs):
+        if doc_id is None:
+            continue
+        sigs = band_signatures_py(text)
+        if not sigs:
+            continue
+        for band, sig in sigs:
+            expect.append((doc_id, band, sig))
+    assert got == expect
+
+
+def test_batched_band_signatures_throughput():
+    """The vectorized kernel must beat the per-doc loop ≥3× on a realistic
+    batch (the r4 streaming bench showed minhash_dedup 10-20× behind the
+    other pipelines because of the per-shingle Python loop)."""
+    import time
+
+    from fluvii_spark.streaming.dedup_stream import (
+        band_signatures_batch,
+        band_signatures_py,
+    )
+
+    docs = [
+        " ".join(f"tok{(i * 37 + j) % 211}" for j in range(120))
+        for i in range(400)
+    ]
+    ids = list(range(len(docs)))
+    t0 = time.perf_counter()
+    band_signatures_batch(ids, docs)
+    batched = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for text in docs:
+        band_signatures_py(text)
+    per_doc = time.perf_counter() - t0
+    assert per_doc / batched >= 3, (per_doc, batched)
