@@ -69,17 +69,23 @@ _DRIVER_PROVEN = {
     # round — every one fits (VERDICT r4 "Next round" #2).
     "q30", "q38", "q39", "q42", "q57", "q107", "q116", "q140", "q143",
     "q146",
+    # q124 was REDEFINED in r5 (NTILE-depth semantics derived from the
+    # distributed rank, one lineitem pass — oracle rewritten to NTILE(8)
+    # with the same tie-break): green locally under both canonicalizers at
+    # sf0.001/sf0.01, re-queued for a fresh driver row.
+    "q124",
 }
 # q186-q188 were never sampled (alphabetically last of r4's 42 additions
 # under the cap) and are absent from _DRIVER_PROVEN by construction.
 
 # Queries awaiting a green driver row against their *current* code, in the
 # order the driver should attempt them: the three never-proven r4
-# additions first, then the ten guard-touched similarity re-proofs.
+# additions first, then the ten guard-touched similarity re-proofs, then
+# the r5 q124 redefinition.
 _UNPROVEN_ORDER = [
     "q186", "q187", "q188",
     "q30", "q38", "q39", "q42", "q57", "q107", "q116", "q140", "q143",
-    "q146",
+    "q146", "q124",
 ]
 
 # Deferred-tier re-proofs: none this round — the 13 above fit the cap.

@@ -204,51 +204,62 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QPOINTS = [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]
+_NBUCKETS = 8
 
 
 @register(
     "q124_equi_depth_histogram",
     f"""
-    WITH bs AS (
-      SELECT quantile_cont(l_extendedprice,
-                           {_QPOINTS}) AS q
-      FROM lineitem
-    ),
-    asn AS (
+    WITH rk AS (
       SELECT l_extendedprice AS x,
-             1 + len(list_filter(q, b -> x > round(b, 6))) AS bucket
-      FROM lineitem, bs
+             NTILE({_NBUCKETS}) OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS bucket
+      FROM lineitem
     )
     SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
            MIN(x) AS min_x, MAX(x) AS max_x,
            CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sum_x
-    FROM asn GROUP BY bucket
+    FROM rk GROUP BY bucket
     """,
-    "equi-depth histogram with EXACT octile boundaries computed "
-    "distributively (operators/ranking.py exact_quantiles): range-"
-    "repartition ranking + broadcast rank-probe join + interpolation — "
-    "neither Spark's all-values-in-one-buffer exact percentile aggregate "
-    "nor a single-task ntile window ever runs (measured 5.8s -> 1.5s at "
-    "sf0.1). Boundaries round to 6dp so the bucket predicate is bit-"
-    "identical across engines, then broadcast onto a single scan that "
-    "assigns buckets with a filter() HOF",
+    "equi-depth histogram as EXACT NTILE(8) depths derived arithmetically "
+    "from the distributed global rank (operators/ranking.py "
+    "distributed_row_number: range-repartition + local rank + broadcast "
+    "prefix offsets) — r5 rewrite of the two-pass boundary-interpolation "
+    "form: ONE lineitem pass, no boundary crossJoin, no single-task NTILE "
+    "window (the oracle's NTILE is the single-node semantics being "
+    "reproduced, not the plan). The (x, l_orderkey, l_linenumber) "
+    "tie-break makes bucket membership deterministic when equal prices "
+    "straddle a depth boundary; the standard NTILE remainder rule (first "
+    "n MOD 8 buckets take the extra row) is replicated exactly in the "
+    "rank arithmetic",
     ("relational", "stats", "histogram"),
 )
 def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fluvii_spark.operators.ranking import exact_quantiles
+    from fluvii_spark.operators.ranking import distributed_row_number
 
     t = load_tables(spark, sf_dir)
-    bs = exact_quantiles(t.lineitem, "l_extendedprice", _QPOINTS)
-    asn = t.lineitem.select(F.col("l_extendedprice").alias("x")).crossJoin(
-        F.broadcast(bs)
+    ranked = distributed_row_number(
+        t.lineitem.select(
+            F.col("l_extendedprice").alias("x"), "l_orderkey", "l_linenumber"
+        ),
+        ["x", "l_orderkey", "l_linenumber"],
+        out_col="rnk",
     )
-    asn = asn.select(
+    # 1-row total over the checkpointed ranked relation, broadcast back —
+    # never an eager count() at plan-build
+    tot = ranked.agg(F.count("*").alias("n_tot"))
+    k = _NBUCKETS
+    asn = ranked.crossJoin(F.broadcast(tot)).select(
         "x",
-        (
-            F.lit(1)
-            + F.size(F.expr("filter(q, b -> x > round(b, 6))"))
-        ).cast("bigint").alias("bucket"),
+        # NTILE(k) from the global rank: q = n DIV k rows per bucket,
+        # the first rem = n MOD k buckets hold one extra row
+        F.expr(
+            f"CAST(CASE WHEN rnk <= (n_tot % {k}) * (n_tot DIV {k} + 1) "
+            f"THEN (rnk - 1) DIV (n_tot DIV {k} + 1) + 1 "
+            f"ELSE n_tot % {k} + (rnk - (n_tot % {k}) * (n_tot DIV {k} + 1) - 1) "
+            f"DIV (n_tot DIV {k}) + 1 END AS BIGINT)"
+        ).alias("bucket"),
     )
     return asn.groupBy("bucket").agg(
         F.count("*").alias("n"),
