@@ -1,0 +1,75 @@
+"""Shared harness scaffolding for the two contract sweeps.
+
+``drive_contract.py`` (tuple canonicalizer) and ``driver_canon.py``
+(pandas driver-parity canonicalizer) deliberately canonicalize
+DIFFERENTLY — that divergence is the point (each reproduces a distinct
+driver failure mode). Everything else they share lives here, because the
+duplicated copies drifted once before (the r3 NaT fix landed in one and
+not the other): query-name resolution, entry-module loading, the Spark
+session recipe, and the DuckDB view setup.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+ENTRY_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "__spark_entry__.py",
+)
+
+
+def resolve_only(only: list[str] | None, names: list[str]) -> set[str] | None:
+    """Expand each requested name (exact or prefix like 'q105') against the
+    registry; an entry matching nothing is a FATAL error — silently skipping
+    would let a typo'd re-proof run print ALL MATCH without executing."""
+    if only is None:
+        return None
+    out: list[str] = []
+    for o in only:
+        hits = [n for n in names if n == o or n.startswith(o + "_")]
+        if not hits:
+            sys.exit(f"FATAL: --only entry {o!r} matches no registered query")
+        out.extend(hits)
+    return set(out)
+
+
+def load_entry_module():
+    """Import __spark_entry__.py by path, exactly as the round driver does."""
+    spec = importlib.util.spec_from_file_location("__spark_entry__", ENTRY_PATH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def build_spark(app_name: str):
+    """The sweeps' session: bare local[8] with only the conf the driver is
+    known to carry — engine confs must come from apply_runtime_confs at
+    query time, so a missing runtime conf fails HERE, not just in CI."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName(app_name)
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+
+
+def duck_views(sf_dir: str):
+    """A DuckDB connection with the testdata tables registered as views."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con

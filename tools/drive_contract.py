@@ -6,48 +6,22 @@ on the same parquet views, canonicalizes (columns sorted by name, floats rounded
 6dp, rows sorted) and compares value hashes.
 """
 import hashlib
-import importlib.util
 import json
 import math
+import os
 import sys
 import time
 import datetime as dt
 from decimal import Decimal
 
-import duckdb
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from contract_common import build_spark, duck_views, load_entry_module, resolve_only
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 
-
-def resolve_only(only, names):
-    """Expand each requested name (exact or prefix like 'q105') against the
-    registry; an entry matching nothing is a FATAL error — silently skipping
-    would let a typo'd re-proof run print ALL MATCH without executing."""
-    if only is None:
-        return None
-    out = []
-    for o in only:
-        hits = [n for n in names if n == o or n.startswith(o + "_")]
-        if not hits:
-            sys.exit(f"FATAL: --only entry {o!r} matches no registered query")
-        out.extend(hits)
-    return set(out)
-
-spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
-mod = importlib.util.module_from_spec(spec)
-spec.loader.exec_module(mod)
-
-from pyspark.sql import SparkSession
-
-spark = (
-    SparkSession.builder.appName("drive-contract")
-    .master("local[8]")
-    .config("spark.sql.shuffle.partitions", "8")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .getOrCreate()
-)
+mod = load_entry_module()
+spark = build_spark("drive-contract")
 
 # 1) entry() smoke
 t0 = time.time()
@@ -56,10 +30,7 @@ rows = df.collect()
 print(f"entry(): OK rows={len(rows)} schema={[f.name for f in df.schema.fields]} in {time.time()-t0:.1f}s")
 
 # 2) oracle compare
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-con = duckdb.connect()
-for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+con = duck_views(SF_DIR)
 
 
 def norm(v):

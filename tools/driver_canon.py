@@ -21,57 +21,22 @@ Usage: python tools/driver_canon.py [sf_dir] [q1,q2,...]
 """
 import datetime as dt
 import hashlib
-import importlib.util
+import os
 import sys
 import time
 
-import duckdb
 import numpy as np
 import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from contract_common import build_spark, duck_views, load_entry_module, resolve_only
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 
-
-def resolve_only(only, names):
-    """Expand each requested name (exact or prefix like 'q105') against the
-    registry; an entry matching nothing is a FATAL error — silently skipping
-    would let a typo'd re-proof run print ALL MATCH without executing."""
-    if only is None:
-        return None
-    out = []
-    for o in only:
-        hits = [n for n in names if n == o or n.startswith(o + "_")]
-        if not hits:
-            sys.exit(f"FATAL: --only entry {o!r} matches no registered query")
-        out.extend(hits)
-    return set(out)
-
-spec = importlib.util.spec_from_file_location(
-    "__spark_entry__", "/root/repo/__spark_entry__.py"
-)
-mod = importlib.util.module_from_spec(spec)
-spec.loader.exec_module(mod)
-
-from pyspark.sql import SparkSession  # noqa: E402
-
-spark = (
-    SparkSession.builder.appName("driver-canon")
-    .master("local[8]")
-    .config("spark.sql.shuffle.partitions", "8")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-    .getOrCreate()
-)
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings".split()
-)
-con = duckdb.connect()
-for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+mod = load_entry_module()
+spark = build_spark("driver-canon")
+con = duck_views(SF_DIR)
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
