@@ -609,6 +609,20 @@ _NGRAM_LOCK = threading.Lock()
 _SIMHASH_LOCK = threading.Lock()
 
 
+def _memo_key(spark: SparkSession, sf_dir: str) -> tuple:
+    """Memo key scoping a persisted frame to one live session + dataset.
+
+    Classic sessions use applicationId (stable across getOrCreate handles
+    to the same JVM app); Spark Connect has no SparkContext, so fall back
+    to the session object's identity — a new remote session is a new
+    Python object, which is exactly the invalidation boundary persist
+    needs."""
+    try:
+        return (spark.sparkContext.applicationId, sf_dir)
+    except Exception:  # noqa: BLE001 — Connect: no SparkContext
+        return (id(spark), sf_dir)
+
+
 def _memo_swap(cache: dict, key: tuple[str, str], df: DataFrame) -> DataFrame:
     """Evict-then-insert for the single-entry memos, unpersisting what we
     evict so a second sf_dir queried in the same live session doesn't leak
@@ -629,7 +643,7 @@ def doc_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table — q34 (Jaccard) and q106 (containment) score the same
     persisted candidate set instead of each re-running the shingle
     explode + self-join."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _memo_key(spark, sf_dir)
     with _NGRAM_LOCK:
         cached = _NGRAM_STATS_CACHE.get(key)
         if cached is not None:
@@ -646,7 +660,7 @@ def doc_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared persisted SimHash fingerprints: q36 reports them, q37 joins
     them — one 32-vote aggregation serves both."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _memo_key(spark, sf_dir)
     with _SIMHASH_LOCK:
         cached = _SIMHASH_CACHE.get(key)
         if cached is not None:
@@ -657,7 +671,7 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _memo_key(spark, sf_dir)
     with _DEDUP_LOCK:
         cached = _PAIRS_CACHE.get(key)
         if cached is not None:
@@ -668,7 +682,7 @@ def doc_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _memo_key(spark, sf_dir)
     with _DEDUP_LOCK:
         cached = _CLUSTERS_CACHE.get(key)
         if cached is not None:

@@ -139,7 +139,27 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     package would deploy on a real cluster (``--py-files``). Idempotent per
     session; the zip is built once per process (~sources only, no pycache).
     """
-    sc = spark.sparkContext
+    try:
+        sc = spark.sparkContext
+    except Exception:
+        # Spark Connect sessions have no SparkContext; ship through the
+        # Connect artifact API instead (same --py-files effect). The flag
+        # lives on the session object — one ship per remote session.
+        if getattr(spark, "_fluvii_pkg_shipped", False):
+            return
+        try:
+            spark.addArtifact(_package_zip(), pyfile=True)
+        except Exception as exc:  # noqa: BLE001
+            import warnings
+
+            warnings.warn(
+                "fluvii_spark: Connect addArtifact failed; worker package "
+                f"shipping is degraded ({exc!r})",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        spark._fluvii_pkg_shipped = True
+        return
     if getattr(sc, "_fluvii_pkg_shipped", False):
         return
     try:

@@ -96,3 +96,57 @@ def test_q118_plan_builds_without_jvm_stats(spark, sf_dir, monkeypatch):
     q = registry()["q118_recursive_hierarchy"]
     df = q.fn(spark, sf_dir)
     assert df.count() > 0
+
+
+class _ConnectSession:
+    """Session-shaped double: sparkContext raises (like Connect), and the
+    Connect artifact API records what was shipped."""
+
+    def __init__(self):
+        self.artifacts = []
+
+    @property
+    def sparkContext(self):
+        raise Exception("sparkContext is not supported in Spark Connect")
+
+    def addArtifact(self, path, pyfile=False):
+        self.artifacts.append((path, pyfile))
+
+
+def test_package_ships_via_connect_artifact_api():
+    from fluvii_spark.session import ensure_package_on_workers
+
+    s = _ConnectSession()
+    ensure_package_on_workers(s)
+    assert len(s.artifacts) == 1 and s.artifacts[0][1] is True
+    assert s.artifacts[0][0].endswith(".zip")
+    # idempotent per session object
+    ensure_package_on_workers(s)
+    assert len(s.artifacts) == 1
+
+
+def test_package_shipping_connect_failure_warns_once():
+    import warnings
+
+    from fluvii_spark.session import ensure_package_on_workers
+
+    class _Broken(_ConnectSession):
+        def addArtifact(self, path, pyfile=False):
+            raise RuntimeError("no artifact endpoint")
+
+    s = _Broken()
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        ensure_package_on_workers(s)
+        ensure_package_on_workers(s)  # latched — no second attempt/warning
+    ship = [w for w in rec if "package shipping" in str(w.message)]
+    assert len(ship) == 1
+
+
+def test_memo_key_degrades_on_connect(spark):
+    from fluvii_spark.queries.llm import _memo_key
+
+    classic = _memo_key(spark, "/data/sf0.01")
+    assert classic == (spark.sparkContext.applicationId, "/data/sf0.01")
+    s = _ConnectSession()
+    assert _memo_key(s, "/data/sf0.01") == (id(s), "/data/sf0.01")
