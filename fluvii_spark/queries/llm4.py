@@ -1,0 +1,494 @@
+"""Round-5 LLM-data-ops additions (q189-q194): retrieval-quality
+evaluation, language-model scoring, corpus-divergence and duplication
+audits, and sketch-fidelity measurement — the evaluation half of a
+training-data pipeline (the earlier inventory built the operators; these
+queries measure how well they work on the corpus at hand).
+
+No reference counterpart (SURVEY.md §2.2 "LLM-data ops"); determinism
+follows FIXTURES.md (md5-derived hashing, exact integer/DECIMAL cores,
+single IEEE divisions, unique tie-breaks, identical aliases both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fluvii_spark.io.readers import load_tables
+from fluvii_spark.operators import dedup as D
+from fluvii_spark.operators import similarity as S
+from fluvii_spark.operators import text as T
+from fluvii_spark.queries import register
+from fluvii_spark.queries.llm import _LSH_BUCKETS, _JACCARD, _MINHASH, _SH3
+
+
+@register(
+    "q189_ann_recall_eval",
+    f"""
+    WITH
+    {_LSH_BUCKETS},
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < 10),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, b.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(b.v, q.qv) DESC, b.vec_id)
+                 AS rn
+        FROM base b, q WHERE b.vec_id <> q.qid) WHERE rn <= 5),
+    qb AS (SELECT q.qid, q.qv, bk.bucket FROM q
+           JOIN buckets bk ON bk.vec_id = q.qid),
+    lsh AS (
+      SELECT qid, vec_id FROM (
+        SELECT qb.qid, b.vec_id,
+               row_number() OVER (PARTITION BY qb.qid
+                 ORDER BY list_cosine_similarity(b.v, qb.qv) DESC, b.vec_id)
+                 AS rn
+        FROM base b JOIN buckets bk USING (vec_id)
+        JOIN qb ON bk.bucket = qb.bucket AND b.vec_id <> qb.qid) WHERE rn <= 5)
+    SELECT CAST(e.qid AS BIGINT) AS qid,
+           CAST(COUNT(l.vec_id) AS BIGINT) AS n_overlap,
+           ROUND(CAST(COUNT(l.vec_id) AS DOUBLE) / 5.0, 6) AS recall
+    FROM exact e LEFT JOIN lsh l ON l.qid = e.qid AND l.vec_id = e.vec_id
+    GROUP BY e.qid
+    """,
+    "recall@5 of the 8-plane LSH index against exact brute-force ground "
+    "truth for the first 10 query vectors — the retrieval-quality "
+    "evaluation every ANN deployment needs before trusting the index. "
+    "Both sides rank with (cosine DESC, vec_id); ground truth is one "
+    "corpus scan against a 10-row broadcast probe set (q74's pattern), "
+    "the LSH side joins through the same bucket table the index serves "
+    "from, so the measured recall is the production path's recall",
+    ("llm", "similarity", "ann", "evaluation"),
+)
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    corpus = t.embeddings
+    buckets = S.lsh_buckets(corpus, dims=64)
+    queries = corpus.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(S.cosine_sql("embedding", "qvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    qb = queries.join(
+        buckets.withColumnRenamed("vec_id", "qid"), "qid"
+    )  # qid, qvec, bucket — 10 rows, broadcast
+    lsh = (
+        corpus.join(buckets, "vec_id")
+        .join(F.broadcast(qb), "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(S.cosine_sql("embedding", "qvec")).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", F.col("vec_id").alias("l_vec_id"))
+    )
+    return (
+        exact.join(
+            lsh,
+            (exact.qid == lsh.qid) & (exact.vec_id == lsh.l_vec_id),
+            "left",
+        )
+        .groupBy(exact.qid)
+        .agg(
+            F.count("l_vec_id").cast("bigint").alias("n_overlap"),
+            F.round(F.count("l_vec_id").cast("double") / 5.0, 6).alias(
+                "recall"
+            ),
+        )
+        .select(F.col("qid").cast("bigint").alias("qid"), "n_overlap", "recall")
+    )
+
+
+@register(
+    "q190_bigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    bg AS (
+      SELECT a.doc_id, a.lang, a.tok || ' ' || b.tok AS bigram
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    dbg AS (
+      SELECT doc_id, lang, bigram, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3
+    ),
+    c12 AS (SELECT lang, bigram, SUM(tf) AS c12 FROM dbg GROUP BY 1, 2),
+    c1 AS (
+      SELECT lang, split_part(bigram, ' ', 1) AS w1, SUM(c12) AS c1
+      FROM c12 GROUP BY 1, 2
+    ),
+    vocab AS (SELECT lang, COUNT(DISTINCT tok) AS v FROM toks GROUP BY lang),
+    doc_nll AS (
+      SELECT d.doc_id, d.lang,
+             SUM(d.tf * -LN((c.c12 + 1) / CAST(u.c1 + vb.v AS DOUBLE)))
+               / SUM(d.tf) AS nll
+      FROM dbg d
+      JOIN c12 c ON c.lang = d.lang AND c.bigram = d.bigram
+      JOIN c1 u ON u.lang = d.lang
+                AND u.w1 = split_part(d.bigram, ' ', 1)
+      JOIN vocab vb ON vb.lang = d.lang
+      GROUP BY d.doc_id, d.lang
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           AVG(nll) AS avg_nll, MIN(nll) AS min_nll, MAX(nll) AS max_nll
+    FROM doc_nll GROUP BY lang
+    """,
+    "bigram language-model scoring with add-1 smoothing, per language — "
+    "the second-order companion to q185's unigram filter (a repetitive "
+    "doc scores well on unigrams but its bigram NLL exposes it). "
+    "p(w2|w1) = (c12+1)/(c1+V) over the per-lang corpus; per-doc score = "
+    "tf-weighted mean -ln p. The explode contracts immediately to "
+    "per-(doc,bigram) term frequencies (checkpointed once for the model "
+    "aggregation and the scoring join); the LM stays a distributed "
+    "relation. Per-term ln differs <=1 ulp; per-doc means are ~1e-14 off "
+    "across engines, far under the 6-dp gate (q185 precedent)",
+    ("llm", "text", "quality"),
+)
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    dbg = (
+        t.documents.select(
+            "doc_id", "lang", F.explode(T.bigrams("text")).alias("bigram")
+        )
+        .groupBy("doc_id", "lang", "bigram")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    c12 = dbg.groupBy("lang", "bigram").agg(F.sum("tf").alias("c12"))
+    c1 = (
+        c12.select(
+            "lang", F.expr("split_part(bigram, ' ', 1)").alias("w1"), "c12"
+        )
+        .groupBy("lang", "w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    vocab = toks.groupBy("lang").agg(F.countDistinct("tok").alias("v"))
+    doc_nll = (
+        dbg.join(c12, ["lang", "bigram"])
+        .withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
+        .join(c1, ["lang", "w1"])
+        .join(F.broadcast(vocab), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            (
+                F.sum(
+                    F.col("tf")
+                    * -F.log(
+                        (F.col("c12") + 1)
+                        / (F.col("c1") + F.col("v")).cast("double")
+                    )
+                )
+                / F.sum("tf")
+            ).alias("nll")
+        )
+    )
+    return doc_nll.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.avg("nll").alias("avg_nll"),
+        F.min("nll").alias("min_nll"),
+        F.max("nll").alias("max_nll"),
+    )
+
+
+@register(
+    "q191_token_entropy",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    dt AS (
+      SELECT doc_id, lang, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3
+    ),
+    doc_h AS (
+      SELECT doc_id, lang,
+             -SUM((tf / CAST(n AS DOUBLE)) * LN(tf / CAST(n AS DOUBLE)))
+               AS entropy
+      FROM (SELECT *, SUM(tf) OVER (PARTITION BY doc_id) AS n FROM dt)
+      GROUP BY doc_id, lang
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           AVG(entropy) AS avg_entropy,
+           MIN(entropy) AS min_entropy, MAX(entropy) AS max_entropy
+    FROM doc_h GROUP BY lang
+    """,
+    "per-document token-distribution Shannon entropy aggregated by "
+    "language — the information-density screen (near-zero entropy = "
+    "boilerplate/repetition, the complement of q98's repetition score). "
+    "The per-doc token total comes from a window over the contracted "
+    "per-(doc,token) relation (each doc's distinct tokens, not the raw "
+    "stream, flow through the window); ln-ulp analysis as q185/q190",
+    ("llm", "text", "quality"),
+)
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    dt = (
+        t.documents.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    wn = Window.partitionBy("doc_id")
+    doc_h = (
+        dt.withColumn("n", F.sum("tf").over(wn))
+        .groupBy("doc_id", "lang")
+        .agg(
+            (
+                -F.sum(
+                    (F.col("tf") / F.col("n").cast("double"))
+                    * F.log(F.col("tf") / F.col("n").cast("double"))
+                )
+            ).alias("entropy")
+        )
+    )
+    return doc_h.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.avg("entropy").alias("avg_entropy"),
+        F.min("entropy").alias("min_entropy"),
+        F.max("entropy").alias("max_entropy"),
+    )
+
+
+@register(
+    "q192_split_js_divergence",
+    f"""
+    WITH toks AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2
+               AS split,
+             lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, token,
+             SUM(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS cb
+      FROM toks GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT lang, SUM(ca) AS na, SUM(cb) AS nb FROM c GROUP BY lang
+    ),
+    terms AS (
+      SELECT c.lang,
+             CASE WHEN n.na > 0 THEN c.ca / CAST(n.na AS DOUBLE) ELSE 0 END
+               AS pa,
+             CASE WHEN n.nb > 0 THEN c.cb / CAST(n.nb AS DOUBLE) ELSE 0 END
+               AS pb
+      FROM c JOIN n USING (lang)
+    )
+    SELECT lang,
+           ROUND(SUM(
+             CASE WHEN pa > 0 THEN 0.5 * pa * LN(pa / ((pa + pb) / 2))
+                  ELSE 0 END +
+             CASE WHEN pb > 0 THEN 0.5 * pb * LN(pb / ((pa + pb) / 2))
+                  ELSE 0 END), 6) AS js_divergence
+    FROM terms GROUP BY lang
+    """,
+    "Jensen-Shannon divergence between the token distributions of the two "
+    "md5-hash splits, per language — the train/validation leakage-and-"
+    "drift check (a healthy random split has JS near 0; a contaminated "
+    "or skewed split does not). Split assignment reuses the q70 "
+    "md5-predicate convention (no rand()); zero-probability terms "
+    "contribute 0 by the KL convention, guarded with CASE on both "
+    "engines so ANSI mode never divides by zero; vocab-sum float error "
+    "~1e-13 against the 6-dp gate",
+    ("llm", "text", "quality", "sampling"),
+)
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    split = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    toks = t.documents.select(
+        split.alias("split"),
+        "lang",
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    c = toks.groupBy("lang", "token").agg(
+        F.sum(F.when(F.col("split") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("split") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    n = c.groupBy("lang").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    terms = c.join(F.broadcast(n), "lang").select(
+        "lang",
+        F.when(F.col("na") > 0, F.col("ca") / F.col("na").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("pa"),
+        F.when(F.col("nb") > 0, F.col("cb") / F.col("nb").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("pb"),
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = F.when(
+        F.col("pa") > 0, 0.5 * F.col("pa") * F.log(F.col("pa") / m)
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("pb") > 0, 0.5 * F.col("pb") * F.log(F.col("pb") / m)
+    ).otherwise(F.lit(0.0))
+    return terms.groupBy("lang").agg(
+        F.round(F.sum(term), 6).alias("js_divergence")
+    )
+
+
+@register(
+    "q193_dup_inflation",
+    """
+    WITH norm AS (
+      SELECT lang,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text
+      FROM documents
+    ),
+    groups AS (
+      SELECT lang, norm_text, COUNT(*) AS c FROM norm GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS inflation,
+           CAST(MAX(c) AS BIGINT) AS max_dup_count
+    FROM groups GROUP BY lang
+    """,
+    "per-language duplication inflation: docs per distinct normalized "
+    "text (lowercase, trimmed, whitespace-collapsed — q67's "
+    "normalization) plus the largest duplicate group — the one-line "
+    "corpus-health number a dedup pass is judged by (inflation 1.0 = "
+    "clean). Exact integer core, one final division; hash-groupBy on the "
+    "normalized text exactly like exact dedup, so it scales as q33 does",
+    ("llm", "dedup", "quality"),
+)
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    norm = t.documents.select(
+        "lang",
+        F.lower(
+            F.trim(F.regexp_replace("text", r"\s+", " "))
+        ).alias("norm_text"),
+    )
+    groups = norm.groupBy("lang", "norm_text").agg(F.count("*").alias("c"))
+    return groups.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.round(
+            F.sum("c").cast("double") / F.count("*"), 6
+        ).alias("inflation"),
+        F.max("c").cast("bigint").alias("max_dup_count"),
+    )
+
+
+@register(
+    "q194_minhash_fidelity",
+    f"""
+    WITH
+    {_SH3},
+    {_JACCARD},
+    {_MINHASH},
+    bands AS (
+      SELECT doc_id, perm // 4 AS band,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)
+               AS band_sig
+      FROM sig GROUP BY doc_id, perm // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+               / 16.0 AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b AND sb.perm = sa.perm
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT e.id_a, e.id_b,
+           ROUND(e.est_jaccard, 6) AS est_jaccard,
+           ROUND(COALESCE(j.jaccard, 0.0), 6) AS exact_jaccard,
+           ROUND(ABS(e.est_jaccard - COALESCE(j.jaccard, 0.0)), 6)
+             AS abs_err
+    FROM est e
+    LEFT JOIN jac j ON j.id_a = e.id_a AND j.id_b = e.id_b
+    """,
+    "MinHash estimator fidelity: for every LSH candidate pair, the "
+    "16-permutation signature agreement (matches/16 — the unbiased "
+    "Jaccard estimator) against the exact shingle Jaccard, with the "
+    "absolute error — the measurement that justifies (or indicts) the "
+    "signature width before a corpus-wide dedup run trusts it. "
+    "Candidates and exact verification are the SAME relations q35 "
+    "builds (banded equi-join, per-pair array intersect), so the audit "
+    "costs one extra 16-row-per-pair signature join",
+    ("llm", "dedup", "sketch", "evaluation"),
+)
+def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t.documents
+    cand = D.lsh_candidate_pairs(docs)
+    wide = D.minhash_signatures_wide(docs)
+    n_perms = len(D.MINHASH_PERMS)
+    wa = wide.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_perms)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_perms)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_perms)
+    )
+    est = (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select(
+            "id_a", "id_b", (matches / float(n_perms)).alias("est_jaccard")
+        )
+    )
+    exact = D.minhash_lsh_pairs(docs, threshold=0.0).select(
+        "id_a", "id_b", "jaccard"
+    )
+    return (
+        est.join(exact, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+            F.round(F.coalesce(F.col("jaccard"), F.lit(0.0)), 6).alias(
+                "exact_jaccard"
+            ),
+            F.round(
+                F.abs(
+                    F.col("est_jaccard")
+                    - F.coalesce(F.col("jaccard"), F.lit(0.0))
+                ),
+                6,
+            ).alias("abs_err"),
+        )
+    )

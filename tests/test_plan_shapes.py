@@ -97,6 +97,7 @@ _BNLJ_ALLOWED = {
     "q185_unigram_logprob",  # 1-row corpus-token-total broadcast onto token rows
     "q187_bootstrap_ci",  # 1-row point-estimate broadcast onto 32 replica rows
     "q188_mixture_epochs",  # 1-row share-normalizer broadcast onto |sources| rows
+    "q189_ann_recall_eval",  # bounded 10-row probe-vector set broadcast (q74/q146's shape)
 }
 
 
