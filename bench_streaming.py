@@ -63,27 +63,34 @@ def stage_events(spark, sf_dir: str, root: str) -> tuple[str, int]:
     return path, n
 
 
-def stage_documents(spark, sf_dir: str, root: str) -> tuple[str, int]:
+def stage_documents(
+    spark, sf_dir: str, root: str, rep: int
+) -> tuple[str, int]:
     """Documents as N part files — the text stream for the dedup pipeline.
 
-    The corpus is replicated ``DOC_REP``× with DISTINCT doc_ids (r5): the
-    sf0.1 table is only 5k rows, so a single replay measured mostly
-    per-micro-batch fixed overhead (source listing, worker spin-up, state
-    commit) rather than pipeline throughput — r4's 885 rows/s was that
-    artifact. Replication preserves the near-dup structure (each replica
-    is a fresh document set) and reports steady-state rows/sec; the
-    replication factor is recorded in the output JSON.
+    ``rep > 1`` replicates the corpus with distinct doc_ids (offset past
+    the real max id, so larger tables can't collide). Replicas are EXACT
+    text duplicates: every replica of a doc shares all band signatures, so
+    the pipeline runs a duplicate-saturated ingest (each doc joins an
+    rep-member LSH cluster and emits the corresponding candidate pairs) —
+    the stress mode of a duplicate-rich feed, NOT the r4 single-replay
+    workload. The bench therefore reports BOTH: rep=1 (directly comparable
+    to BENCH_STREAM_r4's minhash_dedup, mostly bounded by per-micro-batch
+    fixed overhead at 5k rows) and rep=DOC_REP (steady-state rows/sec
+    under heavy duplication); factors are recorded per pipeline.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    rep = docs.crossJoin(
-        spark.range(DOC_REP).withColumnRenamed("id", "rep")
-    ).select(
-        (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
-        "text",
-    )
-    n = rep.count()
-    path = os.path.join(root, "documents_stream")
-    rep.repartition(N_FILES).write.parquet(path)
+    if rep > 1:
+        offset = docs.agg(F.max("doc_id")).first()[0] + 1
+        docs = docs.crossJoin(
+            spark.range(rep).withColumnRenamed("id", "rep")
+        ).select(
+            (F.col("doc_id") + F.col("rep") * F.lit(offset)).alias("doc_id"),
+            "text",
+        )
+    n = docs.count()
+    path = os.path.join(root, f"documents_stream_x{rep}")
+    docs.repartition(N_FILES).write.parquet(path)
     return path, n
 
 
@@ -229,7 +236,6 @@ def main() -> None:
                 spark, name, make_out, src_path, n_rows,
                 os.path.join(root, "ck"),
             )
-        doc_path, n_docs = stage_documents(spark, sf_dir, root)
         # the minhash pipeline's stateful operator holds ~4·n_shards=256
         # keys; 32 state-store partitions paid 32 commits per micro-batch
         # for near-empty stores. 8 matches the key cardinality here —
@@ -237,13 +243,17 @@ def main() -> None:
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
-            for name, make_out in doc_pipelines().items():
-                results[name] = run_pipeline(
-                    spark, name, make_out, doc_path, n_docs,
-                    os.path.join(root, "ck"),
-                )
-                results[name]["rows"] = n_docs
-                results[name]["doc_rep"] = DOC_REP
+            for rep in sorted({1, DOC_REP}):
+                doc_path, n_docs = stage_documents(spark, sf_dir, root, rep)
+                suffix = "" if rep == 1 else f"_x{rep}"
+                for name, make_out in doc_pipelines().items():
+                    key = name + suffix
+                    results[key] = run_pipeline(
+                        spark, key, make_out, doc_path, n_docs,
+                        os.path.join(root, "ck"),
+                    )
+                    results[key]["rows"] = n_docs
+                    results[key]["doc_rep"] = rep
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         total = sum(r["wall_sec"] for r in results.values())

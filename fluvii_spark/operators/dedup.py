@@ -274,12 +274,21 @@ def minhash_signatures_wide(
 
 
 def lsh_band_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    wide: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, band_sig): LSH bucket keys — band k = perms [4k, 4k+4),
     signature = comma-joined minhashes. The bucket identity used by both the
-    batch candidate join and the streaming dedup state."""
-    wide = minhash_signatures_wide(df, id_col, text_col, n)
+    batch candidate join and the streaming dedup state.
+
+    Pass a precomputed (ideally checkpointed) ``wide`` signature frame when
+    the caller also consumes the signatures itself — otherwise the whole
+    shingle→hash→16-min aggregation would run once per consumer."""
+    if wide is None:
+        wide = minhash_signatures_wide(df, id_col, text_col, n)
     band_exprs = ", ".join(
         "{k}, concat_ws(',', {cols})".format(
             k=k,
@@ -295,10 +304,17 @@ def lsh_band_signatures(
 
 
 def lsh_candidate_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    wide: DataFrame | None = None,
 ) -> DataFrame:
-    """(id_a < id_b) pairs sharing at least one full LSH band."""
-    bands = lsh_band_signatures(df, id_col, text_col, n)
+    """(id_a < id_b) pairs sharing at least one full LSH band.
+
+    ``wide``: optional precomputed signature frame (see
+    :func:`lsh_band_signatures`)."""
+    bands = lsh_band_signatures(df, id_col, text_col, n, wide=wide)
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
     return (
@@ -315,6 +331,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard.
 
@@ -322,8 +339,16 @@ def minhash_lsh_pairs(
     least one full band (equi-join on (band, band-signature) — the classic
     LSH bucket join). Candidates then verified against exact shingle Jaccard
     so the output is deterministic (bands only prune).
+
+    ``candidates``: optional precomputed (id_a, id_b) candidate frame —
+    callers that already built the band join (q194's fidelity audit) skip
+    a full recompute of the signature pipeline.
     """
-    cand = lsh_candidate_pairs(df, id_col, text_col, n)
+    cand = (
+        candidates
+        if candidates is not None
+        else lsh_candidate_pairs(df, id_col, text_col, n)
+    )
     # Exact-Jaccard verification touches ONLY candidate pairs, and stays
     # entirely JVM-side: each doc's distinct-shingle ARRAY is built once in
     # the scan projection, candidates join the two (small) arrays on, and

@@ -49,13 +49,15 @@ def estimate_rows(df: DataFrame, fallback_bytes_per_row: int = 100) -> int:
     On sessions without the JVM stats path (Spark Connect) this returns
     :data:`CONNECT_FALLBACK_ROWS` — over-counting so scale-guards apply.
     """
+    if not plan_stats_available(df):
+        return CONNECT_FALLBACK_ROWS
     try:
         stats = df._jdf.queryExecution().optimizedPlan().stats()
         rc = stats.rowCount()
         if rc.isDefined():
             return int(str(rc.get()))
         return int(str(stats.sizeInBytes())) // fallback_bytes_per_row
-    except AttributeError:
+    except AttributeError:  # Connect-shaped proxies that fake hasattr
         return CONNECT_FALLBACK_ROWS
 
 

@@ -33,8 +33,8 @@ from fluvii_spark.queries.llm import _LSH_BUCKETS, _JACCARD, _MINHASH, _SH3
       SELECT qid, vec_id FROM (
         SELECT q.qid, b.vec_id,
                row_number() OVER (PARTITION BY q.qid
-                 ORDER BY list_cosine_similarity(b.v, q.qv) DESC, b.vec_id)
-                 AS rn
+                 ORDER BY round(list_cosine_similarity(b.v, q.qv), 6) DESC,
+                          b.vec_id) AS rn
         FROM base b, q WHERE b.vec_id <> q.qid) WHERE rn <= 5),
     qb AS (SELECT q.qid, q.qv, bk.bucket FROM q
            JOIN buckets bk ON bk.vec_id = q.qid),
@@ -42,8 +42,8 @@ from fluvii_spark.queries.llm import _LSH_BUCKETS, _JACCARD, _MINHASH, _SH3
       SELECT qid, vec_id FROM (
         SELECT qb.qid, b.vec_id,
                row_number() OVER (PARTITION BY qb.qid
-                 ORDER BY list_cosine_similarity(b.v, qb.qv) DESC, b.vec_id)
-                 AS rn
+                 ORDER BY round(list_cosine_similarity(b.v, qb.qv), 6) DESC,
+                          b.vec_id) AS rn
         FROM base b JOIN buckets bk USING (vec_id)
         JOIN qb ON bk.bucket = qb.bucket AND b.vec_id <> qb.qid) WHERE rn <= 5)
     SELECT CAST(e.qid AS BIGINT) AS qid,
@@ -68,13 +68,19 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = corpus.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
+    # rank on ROUND(cosine, 6): raw cosines can differ by ~1 ulp across
+    # engines, and a rank flip at position 5 moves recall by a full 0.2 —
+    # a discrete jump no output rounding absorbs. 6-dp ranking leaves only
+    # the knife-edge class every rounded float query shares.
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            F.expr(S.cosine_sql("embedding", "qvec")).alias("cosine"),
+            F.round(
+                F.expr(S.cosine_sql("embedding", "qvec")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
@@ -93,7 +99,9 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            F.expr(S.cosine_sql("embedding", "qvec")).alias("cosine"),
+            F.round(
+                F.expr(S.cosine_sql("embedding", "qvec")), 6
+            ).alias("cosine"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
@@ -449,8 +457,14 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     docs = t.documents
-    cand = D.lsh_candidate_pairs(docs)
-    wide = D.minhash_signatures_wide(docs)
+    # ONE signature aggregation serves the band join, the estimator join
+    # and (through `candidates=`) the exact verification — checkpointed so
+    # each consumer reads the same materialized relation instead of
+    # re-running the shingle→hash→16-min pipeline
+    wide = D.minhash_signatures_wide(docs).localCheckpoint(eager=False)
+    cand = D.lsh_candidate_pairs(docs, wide=wide).localCheckpoint(
+        eager=False
+    )
     n_perms = len(D.MINHASH_PERMS)
     wa = wide.select(
         F.col("doc_id").alias("id_a"),
@@ -471,9 +485,9 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", (matches / float(n_perms)).alias("est_jaccard")
         )
     )
-    exact = D.minhash_lsh_pairs(docs, threshold=0.0).select(
-        "id_a", "id_b", "jaccard"
-    )
+    exact = D.minhash_lsh_pairs(
+        docs, threshold=0.0, candidates=cand
+    ).select("id_a", "id_b", "jaccard")
     return (
         est.join(exact, ["id_a", "id_b"], "left")
         .select(

@@ -62,8 +62,10 @@ _DECILE_PS = [i / 10.0 for i in range(1, 10)]
     "q196_decile_transitions",
     f"""
     WITH spend AS (
-      SELECT CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT)
-               AS wk,
+      -- explicit floor(): DuckDB's // truncates toward zero while Spark's
+      -- floor() floors, which diverges on pre-epoch timestamps
+      SELECT CAST(floor((CAST(ts AS DATE) - DATE '2024-01-01') / 7.0)
+               AS BIGINT) AS wk,
              user_id,
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS spend
       FROM events GROUP BY 1, 2

@@ -150,14 +150,22 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
         try:
             spark.addArtifact(_package_zip(), pyfile=True)
         except Exception as exc:  # noqa: BLE001
-            import warnings
+            # same retry-then-latch contract as the classic branch below:
+            # warn once, leave unlatched for two retries (the failure may
+            # be a transient endpoint error), latch on the third
+            attempts = getattr(spark, "_fluvii_pkg_attempts", 0) + 1
+            spark._fluvii_pkg_attempts = attempts
+            if attempts == 1:
+                import warnings
 
-            warnings.warn(
-                "fluvii_spark: Connect addArtifact failed; worker package "
-                f"shipping is degraded ({exc!r})",
-                RuntimeWarning,
-                stacklevel=2,
-            )
+                warnings.warn(
+                    "fluvii_spark: Connect addArtifact failed; worker "
+                    f"package shipping is degraded ({exc!r})",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            if attempts < 3:
+                return
         spark._fluvii_pkg_shipped = True
         return
     if getattr(sc, "_fluvii_pkg_shipped", False):

@@ -237,6 +237,12 @@ def streaming_minhash_candidates(
         for pdf in pdfs:
             rows.extend(zip(pdf["band_sig"], (int(x) for x in pdf["doc_id"])))
         new_a, prior_b = [], []
+        # membership via per-signature sets: hot signatures are exactly
+        # where LSH skews (near-dup clusters share band signatures), and a
+        # list `in` scan would make every arrival — including re-deliveries
+        # after checkpoint recovery, which emit nothing — O(cluster size).
+        # The ordered list stays the stored/emission order.
+        member_sets: dict[str, set] = {}
         # (sig, id) sort keeps emission order deterministic per micro-batch,
         # exactly as the per-signature grouping did
         for sig, doc_id in sorted(rows):
@@ -245,11 +251,15 @@ def streaming_minhash_candidates(
                 entry = index[sig] = [now_ms, []]
             entry[0] = now_ms
             ids = entry[1]
-            if doc_id in ids:  # re-delivery / same-batch duplicate
+            seen = member_sets.get(sig)
+            if seen is None:
+                seen = member_sets[sig] = set(ids)
+            if doc_id in seen:  # re-delivery / same-batch duplicate
                 continue
             new_a.extend([doc_id] * len(ids))
             prior_b.extend(ids)
             ids.append(doc_id)
+            seen.add(doc_id)
         state.update((json.dumps(index),))
         if bucket_ttl_ms is not None:
             state.setTimeoutDuration(bucket_ttl_ms)

@@ -4,9 +4,11 @@
 The shared host swings identical-code walls 2-3x (documented in
 FIXTURES.md), so a single round-over-round delta can't distinguish noise
 from a real regression by eye. This tool diffs two ``BENCH_LOCAL_r*.json``
-(or ``BENCH_r*.json``) artifacts and flags movers: queries slower than
-``--threshold`` x (default 1.5) AND above ``--floor`` seconds (default 1.0)
-in the newer run — the same bar VERDICT r4 applied by hand to q42.
+artifacts (the committed local runs; the driver's ``BENCH_r*.json`` wraps
+its payload differently and has no per-query map) and flags movers:
+queries slower than ``--threshold`` x (default 1.5) AND above ``--floor``
+seconds (default 1.0) in the newer run — the same bar VERDICT r4 applied
+by hand to q42.
 
 Usage:
     python tools/bench_trend.py BENCH_LOCAL_r4.json BENCH_LOCAL_r5.json \
