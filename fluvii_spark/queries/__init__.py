@@ -81,14 +81,16 @@ _DRIVER_PROVEN = {
 # Queries awaiting a green driver row against their *current* code, in the
 # order the driver should attempt them: the three never-proven r4
 # additions first, then the ten guard-touched similarity re-proofs, then
-# the r5 q124 redefinition, then the nine r5 additions (q189-q197, each
-# verified at sf0.001 AND sf0.01 under both canonicalizers before
-# registration). 23 candidates against the ~50-row cap — all fit.
+# the r5 q124 redefinition, then the nineteen r5 additions (q189-q207,
+# each verified at sf0.001 AND sf0.01 under both canonicalizers before
+# registration). 33 candidates against the ~50-row cap — all fit.
 _UNPROVEN_ORDER = [
     "q186", "q187", "q188",
     "q30", "q38", "q39", "q42", "q57", "q107", "q116", "q140", "q143",
     "q146", "q124",
     "q189", "q190", "q191", "q192", "q193", "q194", "q195", "q196", "q197",
+    "q198", "q199", "q200", "q201", "q202", "q203", "q204", "q205", "q206",
+    "q207",
 ]
 
 # Deferred-tier re-proofs: none this round — the 13 above fit the cap.

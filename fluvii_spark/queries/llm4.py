@@ -506,3 +506,181 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_err"),
         )
     )
+
+
+@register(
+    "q200_quality_auc",
+    f"""
+    WITH stats AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               AS nd,
+             CAST(len(list_filter(string_split(text, ' '),
+                      t -> t IN ({{stopwords}}))) AS DOUBLE) AS ns
+      FROM documents),
+    scored AS (
+      SELECT pos,
+             ROUND(0.4 * LEAST(n / 100.0, 1.0) + 0.3 * (nd / n)
+                   + 0.3 * (1.0 - ns / n), 6) AS s
+      FROM stats),
+    g AS (SELECT s, COUNT(*) AS c, SUM(pos) AS cp FROM scored GROUP BY s),
+    r AS (
+      SELECT s, c, cp,
+             SUM(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - c
+               AS prefix
+      FROM g),
+    m AS (
+      SELECT SUM(cp) AS np, SUM(c - cp) AS nn,
+             SUM(cp * (prefix + (c + 1) / 2.0)) AS rpos
+      FROM r)
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           ROUND((rpos - np * (np + 1) / 2.0)
+                 / (CAST(np AS DOUBLE) * nn), 6) AS auc
+    FROM m WHERE np > 0 AND nn > 0
+    """.replace("{stopwords}", ", ".join(f"'{s}'" for s in T.STOPWORDS)),
+    "AUC (Mann-Whitney, tie-corrected) of the q41 quality score as a "
+    "classifier for lang='en' — the separability evaluation that turns "
+    "a heuristic score into a defensible filter threshold. Scores are "
+    "6-dp-rounded before ranking (the q189 rank-stability rule), then "
+    "AUC = (R+ - np(np+1)/2) / (np*nn) over AVERAGE ranks of the "
+    "distinct-score groups: prefix counts come from the distributed "
+    "running-sum operator (range partitioning over the contracted "
+    "per-score relation — no single-task corpus window), and every "
+    "rank term is a half-integer, so the double sums are EXACT in any "
+    "order and both engines divide bit-identical numbers once",
+    ("llm", "quality", "evaluation", "order-statistics"),
+)
+def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.ranking import distributed_running_sum
+
+    t = load_tables(spark, sf_dir)
+    scored = t.documents.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        F.round(T.quality_score("text"), 6).alias("s"),
+    )
+    g = scored.groupBy("s").agg(
+        F.count("*").alias("c"), F.sum("pos").alias("cp")
+    )
+    r = distributed_running_sum(g, ["s"], "c").withColumn(
+        "prefix", F.col("run_sum") - F.col("c")
+    )
+    m = r.agg(
+        F.sum("cp").alias("np"),
+        F.sum(F.col("c") - F.col("cp")).alias("nn"),
+        F.sum(
+            F.col("cp") * (F.col("prefix") + (F.col("c") + 1) / 2.0)
+        ).alias("rpos"),
+    )
+    return m.filter((F.col("np") > 0) & (F.col("nn") > 0)).select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        F.round(
+            (F.col("rpos") - F.col("np") * (F.col("np") + 1) / 2.0)
+            / (F.col("np").cast("double") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "q203_hybrid_rank_fusion",
+    """
+    WITH cq AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    cos_r AS (
+      SELECT vec_id AS id,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(list_cosine_similarity(
+                 CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])), 6)
+                 DESC, vec_id) AS r_cos
+      FROM embeddings, cq WHERE vec_id <> 0),
+    tq AS (SELECT list_distinct(string_split(text, ' ')) AS qtok
+           FROM documents WHERE doc_id = 0),
+    tok_r AS (
+      SELECT doc_id AS id, ROW_NUMBER() OVER (ORDER BY j DESC, doc_id)
+               AS r_tok
+      FROM (
+        SELECT d.doc_id,
+               ROUND(CAST(len(list_intersect(d.dt, q.qtok)) AS DOUBLE)
+                     / (len(d.dt) + len(q.qtok)
+                        - len(list_intersect(d.dt, q.qtok))), 6) AS j
+        FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dt
+              FROM documents) d, tq q
+        WHERE d.doc_id <> 0))
+    SELECT c.id, CAST(c.r_cos AS BIGINT) AS r_cos,
+           CAST(t.r_tok AS BIGINT) AS r_tok,
+           ROUND(1.0 / (60 + c.r_cos) + 1.0 / (60 + t.r_tok), 6) AS rrf
+    FROM cos_r c JOIN tok_r t ON t.id = c.id
+    ORDER BY 1.0 / (60 + c.r_cos) + 1.0 / (60 + t.r_tok) DESC, c.id
+    LIMIT 10
+    """,
+    "reciprocal-rank fusion (k=60) of two retrieval signals for probe "
+    "id 0: embedding-cosine rank against vec 0 and distinct-token "
+    "Jaccard rank against doc 0 — the standard hybrid dense+lexical "
+    "fusion. Both rankings go through distributed_row_number on "
+    "(-rounded_score, id) (no single-task corpus window; scores "
+    "6-dp-rounded before ranking per the q189 rule), and the fused "
+    "score 1/(60+r1)+1/(60+r2) is a sum of two exact reciprocals of "
+    "integers — bit-identical across engines, so the top-10 order "
+    "(fused DESC, id) is deterministic",
+    ("llm", "similarity", "evaluation"),
+)
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.ranking import distributed_row_number
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings
+    cq = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    cos_scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(cq))
+        .select(
+            F.col("vec_id").alias("id"),
+            (-F.round(
+                F.expr(S.cosine_sql("embedding", "qvec")), 6
+            )).alias("neg_c"),
+        )
+    )
+    cos_r = distributed_row_number(
+        cos_scored, ["neg_c", "id"], out_col="r_cos"
+    ).select("id", "r_cos")
+    toks = t.documents.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("dt")
+    )
+    tq = toks.filter(F.col("doc_id") == 0).select(
+        F.col("dt").alias("qtok")
+    )
+    inter = F.size(F.array_intersect(F.col("dt"), F.col("qtok")))
+    tok_scored = (
+        toks.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(tq))
+        .select(
+            F.col("doc_id").alias("id"),
+            (-F.round(
+                inter.cast("double")
+                / (F.size("dt") + F.size("qtok") - inter),
+                6,
+            )).alias("neg_j"),
+        )
+    )
+    tok_r = distributed_row_number(
+        tok_scored, ["neg_j", "id"], out_col="r_tok"
+    ).select("id", "r_tok")
+    rrf = F.lit(1.0) / (60 + F.col("r_cos")) + F.lit(1.0) / (
+        60 + F.col("r_tok")
+    )
+    return (
+        cos_r.join(tok_r, "id")
+        .select(
+            "id",
+            F.col("r_cos").cast("bigint").alias("r_cos"),
+            F.col("r_tok").cast("bigint").alias("r_tok"),
+            F.round(rrf, 6).alias("rrf"),
+            rrf.alias("_rrf_raw"),
+        )
+        .orderBy(F.col("_rrf_raw").desc(), "id")
+        .limit(10)
+        .drop("_rrf_raw")
+    )

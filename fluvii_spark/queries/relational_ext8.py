@@ -1,13 +1,16 @@
-"""Round-5 relational additions (q195-q197): sliding-window distinct
-counting, quantile-bucket mobility, and join-key skew auditing —
-operational analytics over the events/lineitem tables with the package's
-determinism rules (DECIMAL money, boundary comparisons on 6-dp-rounded
-quantiles, exact integer cores).
+"""Round-5 relational additions (q195-q207): sliding-window distinct
+counting, quantile-bucket mobility, join-key skew auditing, graph
+analytics (triangles, PageRank), market-basket rules, path mining,
+time-series diagnostics (ACF, change-point), multi-touch attribution
+and latency quantiles — operational analytics over the star schema with
+the package's determinism rules (DECIMAL money, exact integer moment
+cores with one final IEEE division, boundary comparisons on
+6-dp-rounded values, unique tie-breaks on every rank/top-k).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fluvii_spark.io.readers import load_tables
@@ -201,4 +204,640 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.max("c").cast("double") * F.count("*") / F.sum("c"), 6
         ).alias("skew_ratio"),
+    )
+
+
+@register(
+    "q198_triangle_count",
+    """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    ),
+    dir_e AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS s,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS t
+      FROM edges e JOIN deg da ON da.node = e.u JOIN deg db ON db.node = e.v
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_tri
+      FROM dir_e e1 JOIN dir_e e2 ON e2.s = e1.t
+      JOIN dir_e e3 ON e3.s = e1.s AND e3.t = e2.t
+    ),
+    agg AS (
+      SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+             (SELECT COUNT(*) FROM edges) AS n_edges,
+             (SELECT SUM((d * (d - 1)) // 2) FROM deg) AS n_wedges,
+             (SELECT n_tri FROM tri) AS n_triangles
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN ROUND(3.0 * n_triangles / n_wedges, 6)
+                ELSE 0.0 END AS clustering_coeff
+    FROM agg
+    """,
+    "exact triangle count + global clustering coefficient of the "
+    "part co-purchase graph (edge = two parts in the same order). "
+    "Degree-ordered orientation (edge points from the (deg, id)-smaller "
+    "endpoint) bounds every out-neighborhood by O(sqrt(m)), so the "
+    "wedge join e1.t = e2.s shuffles O(m^1.5) candidate wedges worst "
+    "case instead of sum(deg^2) — the standard distributed triangle "
+    "recipe. All equi-joins on node/edge keys, exact integer counts, "
+    "clustering = 3*tri/wedges in one guarded final division",
+    ("relational", "graph"),
+)
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey")
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") > F.col("a.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    dir_e = (
+        e.join(da, "u")
+        .join(db, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e1 = dir_e.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = dir_e.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    e3 = dir_e.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    nodes = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.expr("(d * (d - 1)) DIV 2")).alias("n_wedges"),
+    )
+    edges_n = e.agg(F.count("*").alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(edges_n))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_wedges").cast("bigint").alias("n_wedges"),
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
+
+
+@register(
+    "q199_basket_lift",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM ob),
+    s AS (SELECT b, COUNT(*) AS c FROM ob GROUP BY b),
+    pair AS (
+      SELECT a.b AS brand_a, bb.b AS brand_b, COUNT(*) AS c_ab
+      FROM ob a JOIN ob bb ON bb.o = a.o AND bb.b > a.b
+      GROUP BY 1, 2
+    )
+    SELECT p.brand_a, p.brand_b,
+           CAST(p.c_ab AS BIGINT) AS n_co,
+           ROUND(CAST(p.c_ab AS DOUBLE) / n.n_orders, 6) AS support,
+           ROUND(CAST(p.c_ab AS DOUBLE) / sa.c, 6) AS confidence,
+           ROUND(CAST(p.c_ab AS DOUBLE) * n.n_orders
+                 / (CAST(sa.c AS DOUBLE) * sb.c), 6) AS lift
+    FROM pair p
+    JOIN s sa ON sa.b = p.brand_a
+    JOIN s sb ON sb.b = p.brand_b, n
+    """,
+    "market-basket association rules at brand granularity: for every "
+    "brand pair co-occurring in an order, support / confidence(a->b) / "
+    "lift from exact basket counts. The per-order self-join fans out at "
+    "most C(brands_per_order, 2) pairs (order size is bounded), "
+    "contracts immediately to per-pair counts; per-brand supports and "
+    "the scalar order total join back as broadcasts (brand catalog and "
+    "1-row aggregates — bounded at any corpus scale). Exact integer "
+    "core, three final divisions",
+    ("relational", "basket", "statistics"),
+)
+def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ob = (
+        t.lineitem.join(
+            t.part, t.part.p_partkey == t.lineitem.l_partkey
+        )
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = ob.agg(F.countDistinct("o").alias("n_orders"))
+    s = ob.groupBy("b").agg(F.count("*").alias("c"))
+    a = ob.select("o", F.col("b").alias("brand_a"))
+    bb = ob.select("o", F.col("b").alias("brand_b"))
+    pair = (
+        a.join(bb, "o")
+        .filter(F.col("brand_b") > F.col("brand_a"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    sa = s.select(F.col("b").alias("brand_a"), F.col("c").alias("ca"))
+    sb = s.select(F.col("b").alias("brand_b"), F.col("c").alias("cb"))
+    return (
+        pair.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("c_ab").cast("bigint").alias("n_co"),
+            F.round(
+                F.col("c_ab").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+            F.round(F.col("c_ab").cast("double") / F.col("ca"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("c_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("ca").cast("double") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "q201_event_path_trigrams",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, path
+    LIMIT 20
+    """,
+    "top-20 per-user event-type trigram paths — the sequential pattern "
+    "mining behind funnel discovery (which 3-step journeys actually "
+    "happen). One user-partitioned window (two leads over the "
+    "(ts, event_id)-ordered stream — deterministic under the unique "
+    "event_id tie-break), map-side-combined counts, TakeOrdered 20 with "
+    "the path string as the unique tie-break",
+    ("relational", "funnel", "window", "topk"),
+)
+def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "q202_revenue_acf",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS y
+      FROM lineitem GROUP BY 1
+    ),
+    ks AS (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS k),
+    m AS (
+      SELECT ks.k, COUNT(*) AS n,
+             SUM(CAST(a.y AS HUGEINT)) AS sx,
+             SUM(CAST(b.y AS HUGEINT)) AS sy,
+             SUM(CAST(a.y AS HUGEINT) * a.y) AS sxx,
+             SUM(CAST(b.y AS HUGEINT) * b.y) AS syy,
+             SUM(CAST(a.y AS HUGEINT) * b.y) AS sxy
+      FROM daily a JOIN ks ON true
+      JOIN daily b ON b.day = a.day + ks.k
+      GROUP BY ks.k
+    )
+    SELECT CAST(k AS BIGINT) AS lag_days, CAST(n AS BIGINT) AS n_pairs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
+    FROM m
+    WHERE n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    "autocorrelation of daily shipped revenue at lags 1..7 days — the "
+    "weekly-seasonality diagnostic for forecast models. Daily revenue "
+    "is an exact DECIMAL sum scaled to integer micro-units, so every "
+    "Pearson moment is EXACT integer arithmetic (HUGEINT / "
+    "DECIMAL(38,0) — magnitudes argued in-code) and engines divide "
+    "bit-identical numbers once at the end (q160's recipe, lifted to "
+    "money). The lag join is a 7x bounded fan-out equi-join on the "
+    "calendar-contracted daily relation",
+    ("relational", "timeseries", "statistics"),
+)
+def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    # y fits BIGINT: daily revenue < 1e12 micro-units at any plausible sf.
+    # Moments go through DECIMAL(38,0): y^2 < 1e25, summed over <1e4 days
+    # < 1e29; n*sxx < 1e33 and sx^2 < 1e33 — inside 38 digits, so Spark's
+    # DECIMAL arithmetic is exact (no rescale-rounding), matching DuckDB
+    # HUGEINT exactly.
+    daily = (
+        t.lineitem.groupBy(
+            F.to_date("l_shipdate").alias("day")
+        )
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+        .localCheckpoint(eager=False)
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in range(1, 8)])).alias("k")
+    a = daily.select("day", F.col("y").alias("ya")).select(
+        "day", "ya", ks
+    )
+    b = daily.select(
+        F.col("day").alias("day_b"), F.col("y").alias("yb")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = (
+        a.join(b, F.col("day_b") == F.date_add(F.col("day"), F.col("k")))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("ya")).alias("sx"),
+            F.sum(dec("yb")).alias("sy"),
+            F.sum(dec("ya") * F.col("ya")).alias("sxx"),
+            F.sum(dec("yb") * F.col("yb")).alias("syy"),
+            F.sum(dec("ya") * F.col("yb")).alias("sxy"),
+        )
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.filter((F.col("n") > 1) & (vx > 0) & (vy > 0))
+        .select(
+            F.col("k").cast("bigint").alias("lag_days"),
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.round(
+                cov.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                6,
+            ).alias("acf"),
+        )
+    )
+
+
+@register(
+    "q204_mean_shift_changepoint",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1
+    ),
+    ser AS (
+      SELECT day, c,
+             ROW_NUMBER() OVER (ORDER BY day) AS i,
+             SUM(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS rc
+      FROM daily
+    ),
+    tot AS (SELECT COUNT(*) AS nd, SUM(c) AS tc FROM daily),
+    cand AS (
+      SELECT s.day, s.i, t.nd - s.i AS n_after,
+             s.rc / CAST(s.i AS DOUBLE) AS mb,
+             (t.tc - s.rc) / CAST(t.nd - s.i AS DOUBLE) AS ma
+      FROM ser s, tot t WHERE s.i < t.nd
+    )
+    SELECT day AS split_day,
+           CAST(i AS BIGINT) AS n_days_before,
+           CAST(n_after AS BIGINT) AS n_days_after,
+           ROUND(mb, 6) AS mean_before,
+           ROUND(ma, 6) AS mean_after,
+           ROUND(ABS(ma - mb), 6) AS abs_shift
+    FROM cand
+    ORDER BY ABS(ma - mb) DESC, day
+    LIMIT 1
+    """,
+    "single change-point detector on daily event volume: the split day "
+    "maximizing |mean(after) - mean(before)|, scanned via running "
+    "sums over the calendar-contracted daily series (bounded by the "
+    "time span, not the corpus — the window task holds days, never "
+    "events). Counts and prefix sums are exact integers; each candidate "
+    "mean is one IEEE division of exact integers, so the argmax "
+    "comparison is on bit-identical doubles; earliest-day tie-break",
+    ("relational", "timeseries", "anomaly"),
+)
+def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    daily = t.events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ser = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.sum("c").over(w).alias("rc"),
+    )
+    tot = daily.agg(
+        F.count("*").alias("nd"), F.sum("c").alias("tc")
+    )
+    mb = F.col("rc") / F.col("i").cast("double")
+    ma = (F.col("tc") - F.col("rc")) / (
+        F.col("nd") - F.col("i")
+    ).cast("double")
+    return (
+        ser.crossJoin(F.broadcast(tot))
+        .filter(F.col("i") < F.col("nd"))
+        .select(
+            F.col("day").alias("split_day"),
+            F.col("i").cast("bigint").alias("n_days_before"),
+            (F.col("nd") - F.col("i")).cast("bigint").alias("n_days_after"),
+            F.round(mb, 6).alias("mean_before"),
+            F.round(ma, 6).alias("mean_after"),
+            F.round(F.abs(ma - mb), 6).alias("abs_shift"),
+            F.abs(ma - mb).alias("_shift_raw"),
+        )
+        .orderBy(F.col("_shift_raw").desc(), "split_day")
+        .limit(1)
+        .drop("_shift_raw")
+    )
+
+
+@register(
+    "q205_linear_attribution",
+    """
+    WITH fp AS (
+      SELECT user_id, ts AS fts, event_id AS fid FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase') WHERE rn = 1
+    ),
+    touch AS (
+      SELECT e.user_id, e.event_type
+      FROM events e JOIN fp ON fp.user_id = e.user_id
+      WHERE e.ts < fp.fts OR (e.ts = fp.fts AND e.event_id < fp.fid)
+    ),
+    per_user AS (
+      SELECT user_id, event_type, COUNT(*) AS c,
+             SUM(COUNT(*)) OVER (PARTITION BY user_id) AS n
+      FROM touch GROUP BY user_id, event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(SUM(c / CAST(n AS DOUBLE)), 6) AS credit
+    FROM per_user GROUP BY event_type
+    """,
+    "linear (equal-credit) multi-touch attribution: every event before "
+    "a user's FIRST purchase shares 1/n of that conversion, summed per "
+    "event type — the fair-share companion to q130's first-touch. The "
+    "first purchase is one key-partitioned window (unique (ts, "
+    "event_id) tie-break); touches join back on user_id with a strict "
+    "tuple comparison; credits contract to per-(user, type) counts "
+    "before the per-user window, so the widest shuffled relation is "
+    "bounded by users x event types",
+    ("relational", "funnel", "attribution"),
+)
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fp = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "event_id",
+            F.row_number().over(wp).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("fts"),
+            F.col("event_id").alias("fid"),
+        )
+    )
+    touch = t.events.join(fp, "user_id").filter(
+        (F.col("ts") < F.col("fts"))
+        | ((F.col("ts") == F.col("fts")) & (F.col("event_id") < F.col("fid")))
+    )
+    wu = Window.partitionBy("user_id")
+    per_user = (
+        touch.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+        .withColumn("n", F.sum("c").over(wu))
+    )
+    return per_user.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(
+            F.sum(F.col("c") / F.col("n").cast("double")), 6
+        ).alias("credit"),
+    )
+
+
+_LATENCY_PS = [i / 10.0 for i in range(1, 10)]
+
+
+@register(
+    "q206_ship_latency_quantiles",
+    f"""
+    WITH lat AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+                  AS DOUBLE) AS latency
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    qs AS (
+      SELECT priority,
+             unnest([{', '.join(str(p) for p in _LATENCY_PS)}]) AS p,
+             unnest(quantile_cont(latency,
+                    [{', '.join(str(p) for p in _LATENCY_PS)}])) AS quantile
+      FROM lat GROUP BY priority
+    )
+    SELECT priority, p, ROUND(quantile, 6) AS quantile FROM qs
+    """,
+    "order-to-ship latency deciles per order priority — the SLA "
+    "distribution behind fulfillment dashboards. Latency is exact "
+    "integer day arithmetic; deciles come from the distributed "
+    "rank-probe operator (grouped_exact_quantiles: composite-order "
+    "range partitioning + broadcast per-group offsets, no per-priority "
+    "window task), matching DuckDB quantile_cont's 1+(n-1)p "
+    "interpolation",
+    ("relational", "quantile", "order-statistics"),
+)
+def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.ranking import grouped_exact_quantiles
+
+    t = load_tables(spark, sf_dir)
+    lat = (
+        t.lineitem.join(
+            t.orders,
+            t.orders.o_orderkey == t.lineitem.l_orderkey,
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date("o_orderdate")
+            )
+            .cast("double")
+            .alias("latency"),
+        )
+    )
+    return grouped_exact_quantiles(
+        lat, ["priority"], "latency", _LATENCY_PS
+    ).select("priority", "p", "quantile")
+
+
+_PR_ITER_SQL = """
+    p{i} AS (
+      SELECT e.v AS node,
+             0.15 / n.nn + 0.85 * SUM(p.pr * e.w / o.ow) AS pr
+      FROM ew e
+      JOIN p{j} p ON p.node = e.u
+      JOIN outw o ON o.u = e.u
+      CROSS JOIN n
+      GROUP BY e.v, n.nn
+    )"""
+
+
+@register(
+    "q207_pagerank_brands",
+    f"""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    ew AS (
+      SELECT a.b AS u, bb.b AS v, COUNT(*) AS w
+      FROM ob a JOIN ob bb ON bb.o = a.o AND bb.b <> a.b
+      GROUP BY 1, 2
+    ),
+    outw AS (SELECT u, SUM(w) AS ow FROM ew GROUP BY u),
+    n AS (SELECT COUNT(*) AS nn FROM outw),
+    p0 AS (SELECT u AS node, 1.0 / n.nn AS pr FROM outw CROSS JOIN n),
+    {_PR_ITER_SQL.format(i=1, j=0)},
+    {_PR_ITER_SQL.format(i=2, j=1)},
+    {_PR_ITER_SQL.format(i=3, j=2)}
+    SELECT node AS brand, ROUND(pr, 6) AS pagerank FROM p3
+    """,
+    "3 synchronous PageRank iterations (damping 0.85, uniform start) on "
+    "the weighted brand co-purchase graph — the iterative-algorithm "
+    "pattern: each iteration is one equi-join of the edge list against "
+    "the current rank vector plus a hash aggregation, the classic "
+    "join-agg PageRank step (no driver-side loops over collected data; "
+    "the rank relation stays distributed and is re-derived, not "
+    "mutated). Edges are symmetric co-occurrence counts so every node "
+    "has out-links (no dangling mass); per-edge contribution "
+    "(pr * w) / ow is identical IEEE arithmetic in both engines, "
+    "in-sums differ by ulps against the 6-dp gate",
+    ("relational", "graph", "iterative"),
+)
+def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ob = (
+        t.lineitem.join(
+            t.part, t.part.p_partkey == t.lineitem.l_partkey
+        )
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = ob.select("o", F.col("b").alias("u"))
+    bb = ob.select("o", F.col("b").alias("v"))
+    ew = (
+        a.join(bb, "o")
+        .filter(F.col("v") != F.col("u"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    outw = ew.groupBy("u").agg(F.sum("w").alias("ow"))
+    n = outw.agg(F.count("*").alias("nn"))
+    pr = (
+        outw.select(F.col("u").alias("node"))
+        .crossJoin(F.broadcast(n))
+        .select("node", (F.lit(1.0) / F.col("nn")).alias("pr"))
+    )
+    rate = ew.join(outw, "u")  # u, v, w, ow
+    for _ in range(3):
+        pr = (
+            rate.join(
+                pr.withColumnRenamed("node", "u"), "u"
+            )
+            .crossJoin(F.broadcast(n))
+            .groupBy("v", "nn")
+            .agg(
+                F.sum(
+                    F.col("pr") * F.col("w") / F.col("ow")
+                ).alias("s")
+            )
+            .select(
+                F.col("v").alias("node"),
+                (F.lit(0.15) / F.col("nn") + F.lit(0.85) * F.col("s")).alias(
+                    "pr"
+                ),
+            )
+        )
+    return pr.select(
+        F.col("node").alias("brand"), F.round("pr", 6).alias("pagerank")
     )

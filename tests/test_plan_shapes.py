@@ -98,6 +98,10 @@ _BNLJ_ALLOWED = {
     "q187_bootstrap_ci",  # 1-row point-estimate broadcast onto 32 replica rows
     "q188_mixture_epochs",  # 1-row share-normalizer broadcast onto |sources| rows
     "q189_ann_recall_eval",  # bounded 10-row probe-vector set broadcast (q74/q146's shape)
+    "q198_triangle_count",  # two 1-row aggregates (edge/triangle totals) broadcast onto 1 row
+    "q199_basket_lift",  # 1-row order-total broadcast onto bounded brand pairs
+    "q204_mean_shift_changepoint",  # 1-row series-total broadcast onto daily rows
+    "q207_pagerank_brands",  # 1-row node-count broadcast onto rank iterations
 }
 
 
