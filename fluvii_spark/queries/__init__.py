@@ -93,8 +93,13 @@ _UNPROVEN_ORDER = [
     "q207",
 ]
 
-# Deferred-tier re-proofs: none this round — the 13 above fit the cap.
-_REPROOF_LAST: list[str] = []
+# Deferred-tier re-proofs: queries whose plan or oracle changed in r5's
+# seventh review pass AFTER their last green rows (q72 oracle floor-vs-//
+# on pre-epoch timestamps; q181 right-side dedup per the as-of contract;
+# q147 integer DIV register index; q178 dedup-not-agg). All re-verified
+# green under both canonicalizers at sf0.001+sf0.01; queued behind the
+# first-proof tier (43 total candidates vs the ~50 cap — all fit).
+_REPROOF_LAST: list[str] = ["q72", "q147", "q178", "q181"]
 
 
 def _prefix(name: str) -> str:

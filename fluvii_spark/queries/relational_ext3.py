@@ -25,7 +25,10 @@ _H32_DUCK = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
 
 
 def _h32(col):
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    # single home for the cross-engine hash contract: operators/text.py
+    from fluvii_spark.operators.text import md5_hash64
+
+    return md5_hash64(col)
 
 
 @register(
@@ -116,7 +119,11 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q72_hopping_window",
     """
     WITH e AS (SELECT event_type,
-                      (epoch_us(ts) // 1800000000) * 1800 AS b
+                      -- floor(), not //: DuckDB's // truncates toward zero
+                      -- while Spark's F.window floors — they diverge on
+                      -- pre-epoch timestamps (the q196 class)
+                      CAST(floor(epoch_us(ts) / 1800000000.0) AS BIGINT)
+                        * 1800 AS b
                FROM events),
          x AS (SELECT event_type, b AS win_start FROM e
                UNION ALL

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fluvii_spark.io.readers import load_tables
+from fluvii_spark.operators.text import md5_hash64
 from fluvii_spark.queries import register
 
 # HLL layout: b=6 index bits -> m=64 registers; the remaining w=26 hash bits
@@ -73,11 +74,7 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = t.events.select("event_type", "user_id").distinct()
     hashed = pairs.select(
         "event_type",
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
-        )
-        .cast("long")
-        .alias("h"),
+        md5_hash64(F.col("user_id").cast("string")).alias("h"),
     )
     rank_word = F.col("h") % HLL_DIV
     rho = F.when(rank_word == 0, F.lit(HLL_W + 1)).otherwise(
@@ -86,7 +83,10 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = (
         hashed.select(
             "event_type",
-            (F.col("h") / HLL_DIV).cast("long").alias("idx"),
+            # integer DIV, not float /: h < 2^32 is exact in a double
+            # today, but a wider hash would silently floor wrong (q151's
+            # documented contract)
+            F.expr(f"h DIV {HLL_DIV}").alias("idx"),
             rho.alias("rho"),
         )
         .groupBy("event_type", "idx")
@@ -196,10 +196,7 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = t.events.select("event_type", "user_id").distinct()
     hashed = pairs.withColumn(
         "h",
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        / F.lit(4294967296.0),
+        md5_hash64(F.col("user_id").cast("string")) / F.lit(4294967296.0),
     )
     # two-level exact k-min: the k smallest of a set are always within the
     # union of each shard's k smallest, so local top-k per (type, salt)
@@ -697,7 +694,6 @@ NOVELTY_N = 3
 )
 def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    w = F.split(F.col("text"), " ")
     sh = (
         t.documents.select(
             "doc_id",
@@ -2190,10 +2186,7 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed = ev.select("event_type", "part", "user_id").distinct().withColumn(
         "h",
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        / F.lit(4294967296.0),
+        md5_hash64(F.col("user_id").cast("string")) / F.lit(4294967296.0),
     )
 
     def kmv(df, keys):
@@ -2374,9 +2367,11 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
     # becomes strictly-after, matching the oracle's p.t > v.t
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "t")
-        .agg(F.min("t").alias("tp"))
-        .select("user_id", (F.col("t") - 1).alias("t_join"), "tp")
+        .select("user_id", "t")
+        .distinct()
+        .select(
+            "user_id", (F.col("t") - 1).alias("t_join"), F.col("t").alias("tp")
+        )
     )
     matched = asof_join(
         views,
@@ -2511,8 +2506,16 @@ def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     ),
     versions AS (
-      SELECT user_id, ts AS valid_from, k FROM d
-      WHERE pk IS NULL OR k <> pk
+      -- duplicate (user_id, ts) click pairs can both survive the LAG
+      -- filter; the as-of contract (operators/asof.py) requires the
+      -- caller to resolve right-side key duplicates, so keep the
+      -- last-written version per instant (max event_id) on BOTH sides
+      SELECT user_id, valid_from, k FROM (
+        SELECT user_id, ts AS valid_from, k,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS vrn
+        FROM d WHERE pk IS NULL OR k <> pk
+      ) WHERE vrn = 1
     ),
     p AS (
       SELECT user_id, ts, event_id,
@@ -2550,10 +2553,21 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("bigint").alias("k"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # keep the last-written version per (user_id, instant): asof_join's
+    # documented contract puts right-side key dedup on the caller, and
+    # DuckDB ASOF's pick among duplicate right keys is unspecified
+    vw = Window.partitionBy("user_id", "valid_from").orderBy(
+        F.col("event_id").desc()
+    )
     versions = (
         c.withColumn("pk", F.lag("k").over(w))
         .filter(F.col("pk").isNull() | (F.col("k") != F.col("pk")))
-        .select("user_id", F.col("ts").alias("valid_from"), "k")
+        .select(
+            "user_id", F.col("ts").alias("valid_from"), "k", "event_id"
+        )
+        .withColumn("vrn", F.row_number().over(vw))
+        .filter(F.col("vrn") == 1)
+        .select("user_id", "valid_from", "k")
     )
     p = t.events.filter(F.col("event_type") == "purchase").select(
         "user_id",
