@@ -81,16 +81,17 @@ _DRIVER_PROVEN = {
 # Queries awaiting a green driver row against their *current* code, in the
 # order the driver should attempt them: the three never-proven r4
 # additions first, then the ten guard-touched similarity re-proofs, then
-# the r5 q124 redefinition, then the nineteen r5 additions (q189-q207,
+# the r5 q124 redefinition, then the twenty-two r5 additions (q189-q210,
 # each verified at sf0.001 AND sf0.01 under both canonicalizers before
-# registration). 33 candidates against the ~50-row cap — all fit.
+# registration). 36 first-proof candidates + 4 deferred re-proofs against
+# the ~50-row cap — all fit.
 _UNPROVEN_ORDER = [
     "q186", "q187", "q188",
     "q30", "q38", "q39", "q42", "q57", "q107", "q116", "q140", "q143",
     "q146", "q124",
     "q189", "q190", "q191", "q192", "q193", "q194", "q195", "q196", "q197",
     "q198", "q199", "q200", "q201", "q202", "q203", "q204", "q205", "q206",
-    "q207",
+    "q207", "q208", "q209", "q210",
 ]
 
 # Deferred-tier re-proofs: queries whose plan or oracle changed in r5's
@@ -98,7 +99,7 @@ _UNPROVEN_ORDER = [
 # on pre-epoch timestamps; q181 right-side dedup per the as-of contract;
 # q147 integer DIV register index; q178 dedup-not-agg). All re-verified
 # green under both canonicalizers at sf0.001+sf0.01; queued behind the
-# first-proof tier (43 total candidates vs the ~50 cap — all fit).
+# first-proof tier (40 total candidates vs the ~50 cap — all fit).
 _REPROOF_LAST: list[str] = ["q72", "q147", "q178", "q181"]
 
 

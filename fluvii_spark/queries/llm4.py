@@ -684,3 +684,100 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .drop("_rrf_raw")
     )
+
+
+_CAL_PS = [i / 10.0 for i in range(1, 10)]
+
+
+@register(
+    "q209_quality_calibration",
+    f"""
+    WITH stats AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               AS nd,
+             CAST(len(list_filter(string_split(text, ' '),
+                      t -> t IN ({{stopwords}}))) AS DOUBLE) AS ns
+      FROM documents),
+    scored AS (
+      SELECT doc_id, norm,
+             ROUND(0.4 * LEAST(n / 100.0, 1.0) + 0.3 * (nd / n)
+                   + 0.3 * (1.0 - ns / n), 6) AS s
+      FROM stats),
+    dupc AS (SELECT norm, COUNT(*) AS c FROM scored GROUP BY norm),
+    flagged AS (
+      SELECT sc.doc_id, sc.s,
+             CASE WHEN d.c > 1 THEN 1 ELSE 0 END AS is_dup
+      FROM scored sc JOIN dupc d ON d.norm = sc.norm),
+    bounds AS (
+      SELECT unnest(quantile_cont(s, [{', '.join(str(p) for p in _CAL_PS)}]))
+               AS b
+      FROM flagged),
+    bucketed AS (
+      SELECT f.doc_id, f.is_dup,
+             1 + COUNT(CASE WHEN f.s > ROUND(b.b, 6) THEN 1 END) AS bucket
+      FROM flagged f, bounds b
+      GROUP BY f.doc_id, f.is_dup)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+           ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+    FROM bucketed GROUP BY bucket
+    """.replace("{stopwords}", ", ".join(f"'{s}'" for s in T.STOPWORDS)),
+    "calibration curve of the q41 quality score against exact-duplicate "
+    "membership: decile-bucket the score (distributed exact quantile "
+    "boundaries, 6-dp-rounded strictly-greater bucketing — the proven "
+    "q124/q196 pattern) and report the duplicate rate per bucket — the "
+    "measurement that says whether 'low quality' actually predicts "
+    "'duplicated boilerplate' before a filter threshold is set. "
+    "Duplicate membership is the q67/q193 normalized-text hash-groupBy "
+    "joined back at doc granularity; exact integer core, one final "
+    "division per bucket",
+    ("llm", "quality", "dedup", "evaluation"),
+)
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.ranking import grouped_exact_quantiles
+
+    t = load_tables(spark, sf_dir)
+    scored = t.documents.select(
+        "doc_id",
+        F.lower(
+            F.trim(F.regexp_replace("text", r"\s+", " "))
+        ).alias("norm"),
+        F.round(T.quality_score("text"), 6).alias("s"),
+    ).localCheckpoint(eager=False)
+    dupc = scored.groupBy("norm").agg(F.count("*").alias("c"))
+    flagged = scored.join(dupc, "norm").select(
+        "doc_id",
+        "s",
+        F.when(F.col("c") > 1, 1).otherwise(0).alias("is_dup"),
+    )
+    bounds = grouped_exact_quantiles(
+        flagged.select("s").withColumn("g", F.lit(1)), ["g"], "s", _CAL_PS
+    ).select(F.col("quantile").alias("b"))
+    bucketed = (
+        flagged.crossJoin(F.broadcast(bounds))
+        .groupBy("doc_id", "is_dup")
+        .agg(
+            (
+                1
+                + F.count(
+                    F.when(F.col("s") > F.round(F.col("b"), 6), 1)
+                )
+            ).alias("bucket")
+        )
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("n_dups"),
+        F.round(
+            F.sum("is_dup").cast("double") / F.count("*"), 6
+        ).alias("dup_rate"),
+    ).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_docs",
+        "n_dups",
+        "dup_rate",
+    )

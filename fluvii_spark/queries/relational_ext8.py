@@ -1,8 +1,9 @@
-"""Round-5 relational additions (q195-q207): sliding-window distinct
+"""Round-5 relational additions (q195-q210): sliding-window distinct
 counting, quantile-bucket mobility, join-key skew auditing, graph
 analytics (triangles, PageRank), market-basket rules, path mining,
 time-series diagnostics (ACF, change-point), multi-touch attribution
-and latency quantiles — operational analytics over the star schema with
+latency quantiles, Theil-Sen robust trend and degree power-law fitting
+— operational analytics over the star schema with
 the package's determinism rules (DECIMAL money, exact integer moment
 cores with one final IEEE division, boundary comparisons on
 6-dp-rounded values, unique tie-breaks on every rank/top-k).
@@ -507,11 +508,14 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    # y fits BIGINT: daily revenue < 1e12 micro-units at any plausible sf.
-    # Moments go through DECIMAL(38,0): y^2 < 1e25, summed over <1e4 days
-    # < 1e29; n*sxx < 1e33 and sx^2 < 1e33 — inside 38 digits, so Spark's
-    # DECIMAL arithmetic is exact (no rescale-rounding), matching DuckDB
-    # HUGEINT exactly.
+    # y fits BIGINT (sf0.1: ~8e12 micro-units/day). Moments go through
+    # DECIMAL(38,0): y^2 ~ 6e25, summed over <1e4 days ~ 1.5e29; n*sxx and
+    # sx^2 ~ 3e32 — inside 38 digits, so Spark's DECIMAL arithmetic is
+    # exact (no rescale-rounding), matching DuckDB HUGEINT exactly.
+    # Envelope: headroom through ~sf10 (daily revenue 100x -> moments
+    # ~3e36 < 1e38); beyond that, rescale the unit (cents instead of
+    # micro-dollars buys 8 more digits) before reaching for double
+    # moments — exactness is the cross-engine contract here.
     daily = (
         t.lineitem.groupBy(
             F.to_date("l_shipdate").alias("day")
@@ -855,4 +859,209 @@ def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return pr.select(
         F.col("node").alias("brand"), F.round("pr", 6).alias("pagerank")
+    )
+
+
+@register(
+    "q208_theil_sen_trend",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS y
+      FROM lineitem GROUP BY 1
+    ),
+    base AS (SELECT MIN(day) AS d0 FROM daily),
+    xy AS (SELECT day - b.d0 AS x, y FROM daily, base b),
+    slopes AS (
+      SELECT CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+      FROM xy a JOIN xy b ON b.x > a.x
+    ),
+    med AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             ROUND(quantile_cont(slope, 0.5), 6) AS m
+      FROM slopes
+    ),
+    icpt AS (
+      SELECT ROUND(quantile_cont(xy.y - med.m * xy.x, 0.5), 6) AS b0
+      FROM xy, med
+    )
+    SELECT med.n_pairs, med.m AS slope_micro_per_day,
+           icpt.b0 AS intercept_micro
+    FROM med, icpt
+    """,
+    "Theil-Sen robust trend of daily shipped revenue: the exact median "
+    "of all pairwise day-to-day slopes, plus the median-residual "
+    "intercept — the outlier-proof alternative to q159's OLS. The "
+    "all-pairs slope relation is O(days^2) BY DEFINITION of the "
+    "estimator and days are calendar-bounded, so the broadcast "
+    "nested-loop enumeration is a bounded fan-out, not a corpus-scale "
+    "cross join; each slope is one IEEE division of exact integer "
+    "micro-unit deltas (bit-identical across engines), and both medians "
+    "run through the distributed exact-quantile operator (the 6-dp "
+    "rounded median feeds the residual pass on BOTH sides)",
+    ("relational", "timeseries", "statistics", "robust"),
+)
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.ranking import grouped_exact_quantiles
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t.lineitem.groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    xy = (
+        daily.crossJoin(F.broadcast(d0))
+        .select(F.datediff("day", "d0").alias("x"), "y")
+        .localCheckpoint(eager=False)
+    )
+    a = xy.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = xy.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    # try_divide, not `/`: the downstream quantile operator's
+    # slope-IS-NOT-NULL filter gets merged into the BNLJ join condition,
+    # where Catalyst may evaluate it BEFORE the xb > xa conjunct — under
+    # ANSI mode a plain division then aborts on the xb == xa pairs the
+    # condition would have discarded. try_divide is inert on every
+    # surviving pair (divisor > 0 by the join condition), so results are
+    # bit-identical to the oracle's plain division.
+    slopes = (
+        a.join(F.broadcast(b), F.col("xb") > F.col("xa"))
+        .select(
+            F.try_divide(
+                (F.col("yb") - F.col("ya")).cast("double"),
+                F.col("xb") - F.col("xa"),
+            ).alias("slope")
+        )
+        .withColumn("g", F.lit(1))
+    )
+    # days are distinct, so the pair count is exactly C(n_days, 2) — a
+    # 1-row aggregate instead of a second enumeration of the O(days^2)
+    # slope relation just to count it.
+    n_pairs = daily.agg(
+        F.expr("(count(*) * (count(*) - 1)) DIV 2")
+        .cast("bigint")
+        .alias("n_pairs")
+    )
+    med = grouped_exact_quantiles(slopes, ["g"], "slope", [0.5]).select(
+        F.col("quantile").alias("m")
+    )
+    resid = (
+        xy.crossJoin(F.broadcast(med))
+        .select(
+            (F.col("y") - F.col("m") * F.col("x")).alias("r"),
+            F.lit(1).alias("g"),
+        )
+    )
+    icpt = grouped_exact_quantiles(resid, ["g"], "r", [0.5]).select(
+        F.col("quantile").alias("b0")
+    )
+    return (
+        n_pairs.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(icpt))
+        .select(
+            "n_pairs",
+            F.col("m").alias("slope_micro_per_day"),
+            F.col("b0").alias("intercept_micro"),
+        )
+    )
+
+
+@register(
+    "q210_degree_powerlaw_fit",
+    """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    ),
+    hist AS (SELECT d, COUNT(*) AS cnt FROM deg GROUP BY d),
+    pts AS (
+      SELECT LN(CAST(d AS DOUBLE)) AS lx, LN(CAST(cnt AS DOUBLE)) AS ly
+      FROM hist
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+             SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy, SUM(ly * ly) AS syy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    WHERE n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    "log-log OLS fit of the part co-purchase degree distribution "
+    "(ln count-of-degree vs ln degree): slope ~ -alpha is the power-law "
+    "exponent, r2 the fit quality — the graph-shape diagnostic that "
+    "says whether hub-aware strategies (q198's orientation, salting) "
+    "are worth it. The histogram contracts nodes to distinct-degree "
+    "rows (bounded by max degree) before any float; each ln runs on "
+    "identical integer-valued doubles in both engines, the moment sums "
+    "differ by ulps against the 6-dp gate, and slope/intercept/r2 are "
+    "closed-form expressions of those sums",
+    ("relational", "graph", "statistics"),
+)
+def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey")
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") > F.col("a.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    hist = deg.groupBy("d").agg(F.count("*").alias("cnt"))
+    pts = hist.select(
+        F.log(F.col("d").cast("double")).alias("lx"),
+        F.log(F.col("cnt").cast("double")).alias("ly"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        m.filter((F.col("n") > 1) & (vx > 0) & (vy > 0))
+        .select(
+            F.col("n").cast("bigint").alias("n_points"),
+            F.round(cov / vx, 6).alias("slope"),
+            F.round(
+                (F.col("sy") - cov / vx * F.col("sx")) / F.col("n"), 6
+            ).alias("intercept"),
+            F.round(cov * cov / (vx * vy), 6).alias("r2"),
+        )
     )

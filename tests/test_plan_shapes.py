@@ -102,6 +102,8 @@ _BNLJ_ALLOWED = {
     "q199_basket_lift",  # 1-row order-total broadcast onto bounded brand pairs
     "q204_mean_shift_changepoint",  # 1-row series-total broadcast onto daily rows
     "q207_pagerank_brands",  # 1-row node-count broadcast onto rank iterations
+    "q208_theil_sen_trend",  # calendar-bounded (~2.4k-row) day relation broadcast for the by-definition all-pairs slope enumeration + 1-row medians
+    "q209_quality_calibration",  # 9-row quantile-boundary broadcast onto scored docs
 }
 
 
