@@ -84,6 +84,11 @@ def main() -> None:
     # longest-processing-time makespan heuristic (ordering from measured
     # BENCH history; unknown names just run in name order afterwards).
     heavy_first = [
+        "q208_theil_sen_trend", "q198_triangle_count", "q207_pagerank_brands",
+        "q206_ship_latency_quantiles", "q210_degree_powerlaw_fit",
+        "q194_minhash_fidelity", "q209_quality_calibration",
+        "q190_bigram_logprob", "q199_basket_lift", "q196_decile_transitions",
+        "q203_hybrid_rank_fusion",
         "q100_dedup_keep_best", "q60_dedup_clusters", "q35_dedup_minhash_lsh",
         "q120_prefix_filter_pairs", "q124_equi_depth_histogram",
         "q155_shingle_novelty", "q151_rfm_segments", "q143_token_lift_pairs",
