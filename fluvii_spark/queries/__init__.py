@@ -91,7 +91,7 @@ _UNPROVEN_ORDER = [
     "q146", "q124",
     "q189", "q190", "q191", "q192", "q193", "q194", "q195", "q196", "q197",
     "q198", "q199", "q200", "q201", "q202", "q203", "q204", "q205", "q206",
-    "q207", "q208", "q209", "q210",
+    "q207", "q208", "q209", "q210", "q211", "q212",
 ]
 
 # Deferred-tier re-proofs: queries whose plan or oracle changed in r5's

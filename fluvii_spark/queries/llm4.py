@@ -1,8 +1,9 @@
-"""Round-5 LLM-data-ops additions (q189-q194): retrieval-quality
-evaluation, language-model scoring, corpus-divergence and duplication
-audits, and sketch-fidelity measurement — the evaluation half of a
-training-data pipeline (the earlier inventory built the operators; these
-queries measure how well they work on the corpus at hand).
+"""Round-5 LLM-data-ops additions (q189-q194, q200, q203, q209, q211, q212):
+retrieval-quality evaluation, language-model scoring, corpus-divergence
+and duplication audits, sketch-fidelity measurement, score calibration,
+and distributed k-means clustering — the evaluation-and-curation half of
+a training-data pipeline (the earlier inventory built the operators;
+these queries measure how well they work on the corpus at hand).
 
 No reference counterpart (SURVEY.md §2.2 "LLM-data ops"); determinism
 follows FIXTURES.md (md5-derived hashing, exact integer/DECIMAL cores,
@@ -780,4 +781,166 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_dups",
         "dup_rate",
+    )
+
+
+_KM_K = 4
+_KM_ITER_SQL = """
+    d{i} AS (
+      SELECT e.vec_id, c.c_id,
+             ROUND(SUM((e.x - c.c) * (e.x - c.c)), 6) AS d
+      FROM comp e JOIN c{j} c ON c.dim = e.dim
+      GROUP BY 1, 2),
+    a{i} AS (
+      SELECT vec_id, c_id, d FROM (
+        SELECT vec_id, c_id, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d, c_id) AS rn
+        FROM d{i}) WHERE rn = 1),
+    c{i} AS (
+      SELECT a.c_id, e.dim, ROUND(AVG(e.x), 6) AS c
+      FROM comp e JOIN a{i} a USING (vec_id)
+      GROUP BY 1, 2)"""
+
+
+@register(
+    "q211_kmeans_embeddings",
+    f"""
+    WITH comp AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS c_id, dim, x AS c FROM comp
+           WHERE vec_id < {_KM_K}),
+    {_KM_ITER_SQL.format(i=1, j=0)},
+    {_KM_ITER_SQL.format(i=2, j=1)},
+    d3 AS (
+      SELECT e.vec_id, c.c_id,
+             ROUND(SUM((e.x - c.c) * (e.x - c.c)), 6) AS d
+      FROM comp e JOIN c2 c ON c.dim = e.dim
+      GROUP BY 1, 2),
+    a3 AS (
+      SELECT vec_id, c_id, d FROM (
+        SELECT vec_id, c_id, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d, c_id) AS rn
+        FROM d3) WHERE rn = 1)
+    SELECT CAST(c_id AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(AVG(d), 6) AS avg_sqdist
+    FROM a3 GROUP BY 1
+    """,
+    "distributed Lloyd k-means (k=4, 2 centroid updates + final "
+    "assignment) over the embedding corpus — the clustering stage of "
+    "semantic curation (SemDeDup cluster pools, topic balancing, "
+    "diversity sampling). Spark-first scale shape: centroids live as "
+    "k x dims literal arrays in the closed-form assignment expression "
+    "(zip_with/aggregate squared-L2, pure codegen, ZERO shuffle per "
+    "assignment — the blessed bounded driver transfer, as q57's IVF "
+    "centroids), and centroid updates posexplode to (cluster, dim) "
+    "partial means that contract to k*dims rows per task via map-side "
+    "combine. Determinism: seeds are vec_id < k (exact float->double "
+    "widening), every centroid dim and every distance is 6-dp-rounded "
+    "before any cross-engine comparison, assignment breaks distance "
+    "ties on cluster id (least-struct = the oracle's ROW_NUMBER), so "
+    "both engines iterate on IDENTICAL numbers; a cluster that empties "
+    "drops out of both engines' next iteration alike",
+    ("llm", "similarity", "clustering", "iterative"),
+)
+def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.clustering import lloyd_kmeans
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).filter(F.col("v").isNotNull())  # oracle's unnest(NULL) yields no rows
+    # seeds = the k smallest vec_ids (0..k-1 on this data), matching the
+    # oracle's `WHERE vec_id < k` seed CTE
+    a = lloyd_kmeans(
+        emb, id_col="vec_id", vec_col="v", k=_KM_K, iters=2
+    )
+    return (
+        a.groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.round(F.avg("sqdist"), 6).alias("avg_sqdist"),
+        )
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_members",
+            "avg_sqdist",
+        )
+    )
+
+
+_KM_CAP = 8
+
+
+@register(
+    "q212_cluster_balanced_sample",
+    f"""
+    WITH comp AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS c_id, dim, x AS c FROM comp
+           WHERE vec_id < {_KM_K}),
+    {_KM_ITER_SQL.format(i=1, j=0)},
+    {_KM_ITER_SQL.format(i=2, j=1)},
+    d3 AS (
+      SELECT e.vec_id, c.c_id,
+             ROUND(SUM((e.x - c.c) * (e.x - c.c)), 6) AS d
+      FROM comp e JOIN c2 c ON c.dim = e.dim
+      GROUP BY 1, 2),
+    a3 AS (
+      SELECT vec_id, c_id FROM (
+        SELECT vec_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d, c_id) AS rn
+        FROM d3) WHERE rn = 1)
+    SELECT CAST(c_id AS BIGINT) AS cluster,
+           CAST(rk AS BIGINT) AS rank,
+           CAST(vec_id AS BIGINT) AS vec_id
+    FROM (
+      SELECT c_id, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_id
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      FROM a3)
+    WHERE rk <= {_KM_CAP}
+    """,
+    "cluster-balanced diversity sample: run the q211 k-means assignment, "
+    "then keep {cap} deterministic representatives per semantic cluster "
+    "(md5-hex order over vec_id — the FIXTURES md5-not-rand convention, "
+    "vec_id tie-break) — the representative-selection stage of semantic "
+    "curation (a SemDeDup-style pool draw that caps every topic's share "
+    "instead of letting the biggest cluster dominate). Composes the "
+    "operators: lloyd_kmeans assignment (zero-shuffle, codegen) into a "
+    "per-cluster window over k bounded groups; at corpus scale the "
+    "window input is the assignment relation contracted to (cluster, "
+    "hash, id) and k is small, so the per-cluster top-N is a TakeOrdered "
+    "shape, not a corpus sort".replace("{cap}", str(_KM_CAP)),
+    ("llm", "sampling", "clustering"),
+)
+def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.clustering import lloyd_kmeans
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).filter(F.col("v").isNotNull())
+    a = lloyd_kmeans(
+        emb, id_col="vec_id", vec_col="v", k=_KM_K, iters=2
+    ).select("vec_id", "cluster")
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        a.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KM_CAP)
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+        )
     )

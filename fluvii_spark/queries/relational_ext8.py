@@ -1,4 +1,5 @@
-"""Round-5 relational additions (q195-q210): sliding-window distinct
+"""Round-5 relational additions (q195-q210 except q200/q203 in llm4):
+sliding-window distinct
 counting, quantile-bucket mobility, join-key skew auditing, graph
 analytics (triangles, PageRank), market-basket rules, path mining,
 time-series diagnostics (ACF, change-point), multi-touch attribution
@@ -11,11 +12,78 @@ cores with one final IEEE division, boundary comparisons on
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fluvii_spark.io.readers import load_tables
 from fluvii_spark.queries import register
+
+# Shared graph relations, memoized per (session, sf_dir) with the
+# queries.llm persist-memo pattern: the part co-purchase edge list is the
+# expensive common prefix of q198 (triangles) and q210 (power-law fit),
+# and the distinct order-brand basket relation is the common prefix of
+# q199 (basket lift) and q207 (PageRank). One builder per relation;
+# separate locks so the basket build never queues behind the heavier
+# edge build (the llm.py lock-split lesson).
+_EDGES_CACHE: dict[tuple, DataFrame] = {}
+_OB_CACHE: dict[tuple, DataFrame] = {}
+_EDGES_LOCK = threading.Lock()
+_OB_LOCK = threading.Lock()
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct part co-purchase edges ``(u, v)`` with ``u < v`` — two
+    parts sharing an order. Persisted once per (session, dataset)."""
+    from fluvii_spark.queries.llm import _memo_key, _memo_swap
+
+    key = _memo_key(spark, sf_dir)
+    with _EDGES_LOCK:
+        cached = _EDGES_CACHE.get(key)
+        if cached is not None:
+            return cached
+        t = load_tables(spark, sf_dir)
+        li = t.lineitem.select("l_orderkey", "l_partkey")
+        e = (
+            li.alias("a")
+            .join(
+                li.alias("b"),
+                (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+                & (F.col("b.l_partkey") > F.col("a.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"),
+            )
+            .distinct()
+            .persist()
+        )
+        return _memo_swap(_EDGES_CACHE, key, e)
+
+
+def _order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct ``(o, b)`` order-brand membership rows. Persisted once
+    per (session, dataset)."""
+    from fluvii_spark.queries.llm import _memo_key, _memo_swap
+
+    key = _memo_key(spark, sf_dir)
+    with _OB_LOCK:
+        cached = _OB_CACHE.get(key)
+        if cached is not None:
+            return cached
+        t = load_tables(spark, sf_dir)
+        ob = (
+            t.lineitem.join(
+                t.part, t.part.p_partkey == t.lineitem.l_partkey
+            )
+            .select(
+                F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b")
+            )
+            .distinct()
+            .persist()
+        )
+        return _memo_swap(_OB_CACHE, key, ob)
 
 
 @register(
@@ -259,21 +327,7 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("relational", "graph"),
 )
 def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    li = t.lineitem.select("l_orderkey", "l_partkey")
-    e = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
-            & (F.col("b.l_partkey") > F.col("a.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    e = _copurchase_edges(spark, sf_dir)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -376,17 +430,7 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("relational", "basket", "statistics"),
 )
 def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    ob = (
-        t.lineitem.join(
-            t.part, t.part.p_partkey == t.lineitem.l_partkey
-        )
-        .select(
-            F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    ob = _order_brands(spark, sf_dir)
     n = ob.agg(F.countDistinct("o").alias("n_orders"))
     s = ob.groupBy("b").agg(F.count("*").alias("c"))
     a = ob.select("o", F.col("b").alias("brand_a"))
@@ -810,17 +854,7 @@ _PR_ITER_SQL = """
     ("relational", "graph", "iterative"),
 )
 def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    ob = (
-        t.lineitem.join(
-            t.part, t.part.p_partkey == t.lineitem.l_partkey
-        )
-        .select(
-            F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    ob = _order_brands(spark, sf_dir)
     a = ob.select("o", F.col("b").alias("u"))
     bb = ob.select("o", F.col("b").alias("v"))
     ew = (
@@ -1018,20 +1052,7 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("relational", "graph", "statistics"),
 )
 def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    li = t.lineitem.select("l_orderkey", "l_partkey")
-    e = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
-            & (F.col("b.l_partkey") > F.col("a.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
+    e = _copurchase_edges(spark, sf_dir)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
