@@ -55,15 +55,17 @@ def _assign(
     cents: dict[int, list[float]],
     round_dp: int,
 ) -> DataFrame:
-    best = F.least(
-        *[
-            F.struct(
-                _dist_to(vec_col, cents[i], round_dp).alias("d"),
-                F.lit(i).alias("c"),
-            )
-            for i in sorted(cents)
-        ]
-    )
+    structs = [
+        F.struct(
+            _dist_to(vec_col, cents[i], round_dp).alias("d"),
+            F.lit(i).alias("c"),
+        )
+        for i in sorted(cents)
+    ]
+    # F.least requires >=2 args; a single surviving centroid (k=1, or
+    # every row assigned to one cluster in a previous update) is a
+    # legitimate state, not an error
+    best = structs[0] if len(structs) == 1 else F.least(*structs)
     return df.select(
         F.col(id_col),
         F.col(vec_col),

@@ -81,10 +81,10 @@ _DRIVER_PROVEN = {
 # Queries awaiting a green driver row against their *current* code, in the
 # order the driver should attempt them: the three never-proven r4
 # additions first, then the ten guard-touched similarity re-proofs, then
-# the r5 q124 redefinition, then the twenty-two r5 additions (q189-q210,
+# the r5 q124 redefinition, then the twenty-four r5 additions (q189-q212,
 # each verified at sf0.001 AND sf0.01 under both canonicalizers before
-# registration). 36 first-proof candidates + 4 deferred re-proofs against
-# the ~50-row cap — all fit.
+# registration). 38 first-proof candidates + 6 deferred re-proofs = 44
+# against the ~50-row cap — all fit.
 _UNPROVEN_ORDER = [
     "q186", "q187", "q188",
     "q30", "q38", "q39", "q42", "q57", "q107", "q116", "q140", "q143",
@@ -94,13 +94,14 @@ _UNPROVEN_ORDER = [
     "q207", "q208", "q209", "q210", "q211", "q212",
 ]
 
-# Deferred-tier re-proofs: queries whose plan or oracle changed in r5's
-# seventh review pass AFTER their last green rows (q72 oracle floor-vs-//
-# on pre-epoch timestamps; q181 right-side dedup per the as-of contract;
-# q147 integer DIV register index; q178 dedup-not-agg). All re-verified
-# green under both canonicalizers at sf0.001+sf0.01; queued behind the
-# first-proof tier (40 total candidates vs the ~50 cap — all fit).
-_REPROOF_LAST: list[str] = ["q72", "q147", "q178", "q181"]
+# Deferred-tier re-proofs: queries whose plan or oracle changed in r5
+# AFTER their last green rows (q72 oracle floor-vs-// on pre-epoch
+# timestamps; q181 right-side dedup per the as-of contract; q147 integer
+# DIV register index; q178 dedup-not-agg; q69/q153 ride on the r5
+# asof_join carry-struct rename `ts` -> `_asof_ts`, an expression change
+# under their unchanged results). All re-verified green under both
+# canonicalizers at sf0.001+sf0.01; queued behind the first-proof tier.
+_REPROOF_LAST: list[str] = ["q72", "q147", "q178", "q181", "q69", "q153"]
 
 
 def _prefix(name: str) -> str:
@@ -130,7 +131,13 @@ def registry() -> dict[str, Query]:
     items = sorted(
         _REGISTRY.items(),
         key=lambda kv: (
-            _prefix(kv[0]) in _DRIVER_PROVEN,   # unproven first
+            # needs-a-row tier first: never-proven OR stale-proof re-queues.
+            # (A _REPROOF_LAST member still in _DRIVER_PROVEN must sort in
+            # this tier too — leaving it in the proven tier put it at the
+            # very END of the registry, past the driver's ~50-row cap, so
+            # its stale proof could never refresh.)
+            _prefix(kv[0]) in _DRIVER_PROVEN
+            and _prefix(kv[0]) not in _REPROOF_LAST,
             rank.get(_prefix(kv[0]), 10_000),    # in explicit numeric order
             kv[0],
         ),

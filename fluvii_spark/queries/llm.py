@@ -11,6 +11,7 @@ multimodal}.
 from __future__ import annotations
 
 import threading
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -614,13 +615,22 @@ def _memo_key(spark: SparkSession, sf_dir: str) -> tuple:
 
     Classic sessions use applicationId (stable across getOrCreate handles
     to the same JVM app); Spark Connect has no SparkContext, so fall back
-    to the session object's identity — a new remote session is a new
-    Python object, which is exactly the invalidation boundary persist
+    to a uuid token stamped onto the session object on first use. A bare
+    ``id(spark)`` would alias a NEW session to a DEAD one whenever CPython
+    reuses the freed address — the token survives only as long as the
+    exact session object does, which is the invalidation boundary persist
     needs."""
     try:
         return (spark.sparkContext.applicationId, sf_dir)
     except Exception:  # noqa: BLE001 — Connect: no SparkContext
-        return (id(spark), sf_dir)
+        token = getattr(spark, "_fluvii_memo_token", None)
+        if token is None:
+            token = uuid.uuid4().hex
+            try:
+                spark._fluvii_memo_token = token
+            except Exception:  # noqa: BLE001 — unstampable: never memoize
+                token = f"nomemo-{uuid.uuid4().hex}"
+        return (token, sf_dir)
 
 
 def _memo_swap(cache: dict, key: tuple[str, str], df: DataFrame) -> DataFrame:

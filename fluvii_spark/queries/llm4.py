@@ -12,6 +12,8 @@ single IEEE divisions, unique tie-breaks, identical aliases both sides).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -327,11 +329,7 @@ def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    split = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 2
-    )
+    split = T.md5_hash64(F.col("doc_id").cast("string")) % 2
     toks = t.documents.select(
         split.alias("split"),
         "lang",
@@ -785,6 +783,50 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KM_K = 4
+# seed CTE matching operators/clustering.lloyd_kmeans EXACTLY: the k
+# smallest vec_ids that actually have embedding elements, relabeled to
+# dense cluster ids 0..k-1 — `WHERE vec_id < k` would diverge from the
+# operator whenever ids aren't dense from 0 (a missing/NULL-embedding
+# seed id changes both the seed set and the labels)
+_KM_SEED_SQL = """
+    seeds AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c_id
+      FROM (SELECT DISTINCT vec_id FROM comp)
+      ORDER BY vec_id LIMIT {k}),
+    c0 AS (SELECT s.c_id, e.dim, e.x AS c
+           FROM comp e JOIN seeds s USING (vec_id))"""
+_KM_ASSIGN_CACHE: dict[tuple, DataFrame] = {}
+_KM_LOCK = threading.Lock()
+
+
+def _kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared, persisted (vec_id, cluster, sqdist) k-means assignment —
+    q211 and q212 aggregate the same relation instead of each re-running
+    the 2 Lloyd updates (2 bounded collects + 3 corpus assignments). Same
+    per-(session, dataset) memo contract as queries.llm / the ext8 graph
+    relations."""
+    from fluvii_spark.operators.clustering import lloyd_kmeans
+    from fluvii_spark.queries.llm import _memo_key, _memo_swap
+
+    key = _memo_key(spark, sf_dir)
+    with _KM_LOCK:
+        cached = _KM_ASSIGN_CACHE.get(key)
+        if cached is not None:
+            return cached
+        t = load_tables(spark, sf_dir)
+        emb = t.embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ).filter(
+            F.col("v").isNotNull()  # oracle's unnest(NULL) yields no rows
+        )
+        a = (
+            lloyd_kmeans(emb, id_col="vec_id", vec_col="v", k=_KM_K, iters=2)
+            .select("vec_id", "cluster", "sqdist")
+            .persist()
+        )
+        return _memo_swap(_KM_ASSIGN_CACHE, key, a)
+
+
 _KM_ITER_SQL = """
     d{i} AS (
       SELECT e.vec_id, c.c_id,
@@ -810,8 +852,7 @@ _KM_ITER_SQL = """
       SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
              CAST(unnest(embedding) AS DOUBLE) AS x
       FROM embeddings),
-    c0 AS (SELECT vec_id AS c_id, dim, x AS c FROM comp
-           WHERE vec_id < {_KM_K}),
+    {_KM_SEED_SQL.format(k=_KM_K)},
     {_KM_ITER_SQL.format(i=1, j=0)},
     {_KM_ITER_SQL.format(i=2, j=1)},
     d3 AS (
@@ -839,7 +880,8 @@ _KM_ITER_SQL = """
     "assignment — the blessed bounded driver transfer, as q57's IVF "
     "centroids), and centroid updates posexplode to (cluster, dim) "
     "partial means that contract to k*dims rows per task via map-side "
-    "combine. Determinism: seeds are vec_id < k (exact float->double "
+    "combine. Determinism: seeds are the k smallest vec_ids with "
+    "embedding elements, relabeled 0..k-1 (exact float->double "
     "widening), every centroid dim and every distance is 6-dp-rounded "
     "before any cross-engine comparison, assignment breaks distance "
     "ties on cluster id (least-struct = the oracle's ROW_NUMBER), so "
@@ -848,17 +890,7 @@ _KM_ITER_SQL = """
     ("llm", "similarity", "clustering", "iterative"),
 )
 def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fluvii_spark.operators.clustering import lloyd_kmeans
-
-    t = load_tables(spark, sf_dir)
-    emb = t.embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).filter(F.col("v").isNotNull())  # oracle's unnest(NULL) yields no rows
-    # seeds = the k smallest vec_ids (0..k-1 on this data), matching the
-    # oracle's `WHERE vec_id < k` seed CTE
-    a = lloyd_kmeans(
-        emb, id_col="vec_id", vec_col="v", k=_KM_K, iters=2
-    )
+    a = _kmeans_assignment(spark, sf_dir)
     return (
         a.groupBy("cluster")
         .agg(
@@ -883,8 +915,7 @@ _KM_CAP = 8
       SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
              CAST(unnest(embedding) AS DOUBLE) AS x
       FROM embeddings),
-    c0 AS (SELECT vec_id AS c_id, dim, x AS c FROM comp
-           WHERE vec_id < {_KM_K}),
+    {_KM_SEED_SQL.format(k=_KM_K)},
     {_KM_ITER_SQL.format(i=1, j=0)},
     {_KM_ITER_SQL.format(i=2, j=1)},
     d3 AS (
@@ -923,15 +954,7 @@ _KM_CAP = 8
     ("llm", "sampling", "clustering"),
 )
 def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fluvii_spark.operators.clustering import lloyd_kmeans
-
-    t = load_tables(spark, sf_dir)
-    emb = t.embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).filter(F.col("v").isNotNull())
-    a = lloyd_kmeans(
-        emb, id_col="vec_id", vec_col="v", k=_KM_K, iters=2
-    ).select("vec_id", "cluster")
+    a = _kmeans_assignment(spark, sf_dir).select("vec_id", "cluster")
     w = Window.partitionBy("cluster").orderBy(
         F.md5(F.col("vec_id").cast("string")), "vec_id"
     )

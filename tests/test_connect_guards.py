@@ -152,5 +152,12 @@ def test_memo_key_degrades_on_connect(spark):
 
     classic = _memo_key(spark, "/data/sf0.01")
     assert classic == (spark.sparkContext.applicationId, "/data/sf0.01")
+    # Connect fallback: a uuid token stamped on the session object —
+    # stable across calls for the SAME object, never equal for a NEW
+    # session object (id() could alias a GC'd session's reused address)
     s = _ConnectSession()
-    assert _memo_key(s, "/data/sf0.01") == (id(s), "/data/sf0.01")
+    k1 = _memo_key(s, "/data/sf0.01")
+    assert k1 == (_memo_key(s, "/data/sf0.01")[0], "/data/sf0.01")
+    assert k1[0] == getattr(s, "_fluvii_memo_token")
+    s2 = _ConnectSession()
+    assert _memo_key(s2, "/data/sf0.01")[0] != k1[0]

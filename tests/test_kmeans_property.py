@@ -85,3 +85,23 @@ def test_lloyd_kmeans_empty_input(spark):
     assert [f.name for f in out.schema.fields] == [
         "vec_id", "v", "cluster", "sqdist",
     ]
+
+
+def test_lloyd_kmeans_single_cluster(spark):
+    """k=1 (and any update that collapses every row onto one centroid)
+    must assign, not crash — F.least needs >=2 args and the operator
+    guards that arity."""
+    rows = [(i, [float(i % 2), 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    out = lloyd_kmeans(df, id_col="vec_id", vec_col="v", k=1, iters=2).collect()
+    assert len(out) == 6
+    assert {int(r["cluster"]) for r in out} == {0}
+    # all-collapse with k=2: every vector (both seeds included) is
+    # identical, so every row ties and the c_id tie-break sends all of
+    # them to cluster 0 — cluster 1 empties and the next assignment
+    # runs with a single centroid
+    rows2 = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 0.0])]
+    df2 = spark.createDataFrame(rows2, "vec_id int, v array<double>")
+    out2 = lloyd_kmeans(df2, id_col="vec_id", vec_col="v", k=2, iters=2).collect()
+    assert len(out2) == 3
+    assert {int(r["cluster"]) for r in out2} == {0}
