@@ -871,11 +871,15 @@ def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select("node", (F.lit(1.0) / F.col("nn")).alias("pr"))
     )
-    rate = ew.join(outw, "u")  # u, v, w, ow
+    # outw and pr are node-cardinality relations (25 brands — bounded by
+    # the brand DOMAIN at any corpus scale): broadcast them so each
+    # iteration is a map-side join over the edge list, not a SortMergeJoin
+    # shuffle of both sides (plan audit showed SMJ x6 without the hints)
+    rate = ew.join(F.broadcast(outw), "u")  # u, v, w, ow
     for _ in range(3):
         pr = (
             rate.join(
-                pr.withColumnRenamed("node", "u"), "u"
+                F.broadcast(pr.withColumnRenamed("node", "u")), "u"
             )
             .crossJoin(F.broadcast(n))
             .groupBy("v", "nn")
