@@ -988,18 +988,24 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_pairs")
     )
-    med = grouped_exact_quantiles(slopes, ["g"], "slope", [0.5]).select(
-        F.col("quantile").alias("m")
+    # med is referenced three times in the final tree (directly, and
+    # through the residual pass); checkpointing the 1-row relation keeps
+    # the expensive slope-median pipeline from being planned repeatedly
+    med = (
+        grouped_exact_quantiles(slopes, ["g"], "slope", [0.5])
+        .select(F.col("quantile").alias("m"))
+        .localCheckpoint(eager=False)
     )
-    resid = (
-        xy.crossJoin(F.broadcast(med))
-        .select(
-            (F.col("y") - F.col("m") * F.col("x")).alias("r"),
-            F.lit(1).alias("g"),
-        )
+    resid = xy.crossJoin(F.broadcast(med)).select(
+        (F.col("y") - F.col("m") * F.col("x")).alias("r")
     )
-    icpt = grouped_exact_quantiles(resid, ["g"], "r", [0.5]).select(
-        F.col("quantile").alias("b0")
+    # the residual relation is one row per DAY (calendar-bounded at any
+    # corpus scale), so the single-task exact percentile is the right
+    # tool here — spinning the distributed range-rank machinery for
+    # ~2.4k rows costs more in fixed stage latency than it saves. Same
+    # 1+(n-1)p interpolation as quantile_cont; rounded like the operator.
+    icpt = resid.agg(
+        F.round(F.percentile("r", F.lit(0.5)), 6).alias("b0")
     )
     return (
         n_pairs.crossJoin(F.broadcast(med))
