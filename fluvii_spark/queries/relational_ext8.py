@@ -1096,3 +1096,145 @@ def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cov * cov / (vx * vy), 6).alias("r2"),
         )
     )
+
+
+def _q213_oracle() -> str:
+    from fluvii_spark.queries.relational_ext6 import (
+        HLL_ALPHA,
+        HLL_DIV,
+        HLL_M,
+        HLL_W,
+    )
+
+    return f"""
+    WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+    hashed AS (
+      SELECT event_type,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT)
+               AS h
+      FROM pairs
+    ),
+    per_type AS (
+      SELECT event_type, h // {HLL_DIV} AS idx,
+             MAX(CASE WHEN h % {HLL_DIV} = 0 THEN {HLL_W + 1}
+                 ELSE instr(lpad(bin(h % {HLL_DIV}), {HLL_W}, '0'), '1')
+                 END) AS m_j
+      FROM hashed GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT idx, MAX(m_j) AS m_j FROM per_type GROUP BY idx
+    ),
+    direct AS (
+      SELECT h // {HLL_DIV} AS idx,
+             MAX(CASE WHEN h % {HLL_DIV} = 0 THEN {HLL_W + 1}
+                 ELSE instr(lpad(bin(h % {HLL_DIV}), {HLL_W}, '0'), '1')
+                 END) AS m_j
+      FROM (SELECT DISTINCT h FROM hashed) GROUP BY 1
+    ),
+    est AS (
+      SELECT
+        (SELECT ROUND({HLL_ALPHA} * {HLL_M * HLL_M}
+                / (SUM(1.0 / (CAST(1 AS BIGINT) << m_j))
+                   + ({HLL_M} - COUNT(*)) * 1.0), 6) FROM merged)
+          AS merged_estimate,
+        (SELECT ROUND({HLL_ALPHA} * {HLL_M * HLL_M}
+                / (SUM(1.0 / (CAST(1 AS BIGINT) << m_j))
+                   + ({HLL_M} - COUNT(*)) * 1.0), 6) FROM direct)
+          AS direct_estimate
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM pairs)
+             AS n_sketches,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM pairs)
+             AS exact_union,
+           merged_estimate, direct_estimate,
+           CAST(merged_estimate = direct_estimate AS BIGINT)
+             AS merge_lossless
+    FROM est
+    """
+
+
+@register(
+    "q213_hll_merge",
+    _q213_oracle(),
+    "HLL sketch MERGE: per-event-type HLL register vectors combined by "
+    "register-wise MAX into one union sketch, next to the sketch built "
+    "directly on the union — they must be EQUAL (register-max merge is "
+    "lossless, the property that makes HLL state mergeable across "
+    "partitions/streams/days at 100 TB), and the oracle hash-checks both "
+    "estimates plus the equality flag. Same md5 32-bit split and "
+    "dyadic-rational register sum as q147 (exactly representable in any "
+    "order), KMV-merge's q104 counterpart on the HLL side; merging is "
+    "one groupBy(idx) MAX over n_types x m register rows — O(m) state "
+    "per sketch, constant shuffle",
+    ("relational", "sketch"),
+)
+def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.text import md5_hash64
+    from fluvii_spark.queries.relational_ext6 import (
+        HLL_ALPHA,
+        HLL_DIV,
+        HLL_M,
+        HLL_W,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t.events.select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hashed = pairs.select(
+        "event_type", md5_hash64(F.col("user_id").cast("string")).alias("h")
+    )
+    rank_word = F.col("h") % HLL_DIV
+    rho = F.when(rank_word == 0, F.lit(HLL_W + 1)).otherwise(
+        F.instr(F.lpad(F.bin(rank_word), HLL_W, "0"), "1")
+    )
+    per_type = (
+        hashed.select(
+            "event_type",
+            F.expr(f"h DIV {HLL_DIV}").alias("idx"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    merged = per_type.groupBy("idx").agg(F.max("m_j").alias("m_j"))
+    direct = (
+        hashed.select("h").distinct()
+        .select(F.expr(f"h DIV {HLL_DIV}").alias("idx"), rho.alias("m_j"))
+        .groupBy("idx")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+
+    def estimate(regs: DataFrame, name: str) -> DataFrame:
+        return regs.agg(
+            F.round(
+                F.lit(HLL_ALPHA * HLL_M * HLL_M)
+                / (
+                    F.sum(
+                        F.expr("1.0 / shiftleft(cast(1 as bigint), m_j)")
+                    )
+                    + (HLL_M - F.count("*")) * F.lit(1.0)
+                ),
+                6,
+            ).alias(name)
+        )
+
+    counts = pairs.agg(
+        F.countDistinct("event_type").cast("bigint").alias("n_sketches"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_union"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(estimate(merged, "merged_estimate")))
+        .crossJoin(F.broadcast(estimate(direct, "direct_estimate")))
+        .select(
+            "n_sketches",
+            "exact_union",
+            "merged_estimate",
+            "direct_estimate",
+            (F.col("merged_estimate") == F.col("direct_estimate"))
+            .cast("bigint")
+            .alias("merge_lossless"),
+        )
+    )

@@ -104,6 +104,7 @@ _BNLJ_ALLOWED = {
     "q207_pagerank_brands",  # 1-row node-count broadcast onto rank iterations
     "q208_theil_sen_trend",  # calendar-bounded (~2.4k-row) day relation broadcast for the by-definition all-pairs slope enumeration + 1-row medians
     "q209_quality_calibration",  # 9-row quantile-boundary broadcast onto scored docs
+    "q213_hll_merge",  # two 1-row sketch-estimate aggregates broadcast onto counts
 }
 
 
