@@ -18,6 +18,7 @@ records, per pipeline:
 Pipelines (all per-arrival emission, the reference's per-message contract):
   keyed_fold     streaming_keyed_fold: running balance per user (ST1-ST3)
   kmv_distinct   streaming_kmv_distinct: O(k) distinct-user sketch per type
+  hll_distinct   streaming_hll_distinct: O(m=64) register sketch per type
   heavy_hitters  streaming_heavy_hitters: O(m) Misra-Gries per type
   trending       streaming_trending: windowed MG on (type, 1h window)
   tumbling       built-in watermark+window count agg (engine baseline)
@@ -137,6 +138,7 @@ def run_pipeline(spark, name: str, make_out, src_path: str, n_rows: int,
 def pipelines() -> dict:
     from fluvii_spark.streaming.sketch import (
         streaming_heavy_hitters,
+        streaming_hll_distinct,
         streaming_kmv_distinct,
         streaming_trending,
     )
@@ -166,6 +168,16 @@ def pipelines() -> dict:
             ),
         )
         return streaming_kmv_distinct(hashed, "event_type", "h", k=256)
+
+    def hll(src):
+        hashed = src.withColumn(
+            "h",
+            F.expr(
+                "cast(conv(substr(md5(cast(user_id as string)), 1, 8),"
+                " 16, 10) as bigint)"
+            ),
+        )
+        return streaming_hll_distinct(hashed, "event_type", "h")
 
     def heavy_hitters(src):
         return streaming_heavy_hitters(
@@ -197,6 +209,7 @@ def pipelines() -> dict:
     return {
         "keyed_fold": keyed_fold,
         "kmv_distinct": kmv,
+        "hll_distinct": hll,
         "heavy_hitters": heavy_hitters,
         "trending": trending,
         "tumbling": tumbling,

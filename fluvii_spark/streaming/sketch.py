@@ -397,3 +397,77 @@ def streaming_trending(
         backend,
         timeout_ms=window_ttl_ms,
     )
+
+
+# HLL constants — MUST mirror queries/relational_ext6.py (q147/q213): the
+# streaming registers are checked bit-equal against the batch sketch.
+HLL_B = 6
+HLL_M = 1 << HLL_B
+HLL_W = 32 - HLL_B
+HLL_DIV = 1 << HLL_W
+HLL_ALPHA = 0.709
+
+
+def hll_estimate_from_registers(regs: dict) -> float:
+    """q147's estimator over sparse registers {idx: m_j}: alpha * m^2 /
+    (sum of 2^-m_j + one 1.0 per empty register). Every term is a dyadic
+    rational with exponent >= -(W+1) and the total is < m, so the double
+    sum is EXACT in any order — Python here, Spark SQL in q147, DuckDB in
+    the oracle all produce the identical bits."""
+    z = sum(2.0 ** -mj for mj in regs.values()) + (HLL_M - len(regs)) * 1.0
+    return HLL_ALPHA * HLL_M * HLL_M / z
+
+
+def streaming_hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    hash_col: str,
+    order_by: list[str] | None = None,
+    backend: str = "v1",
+) -> DataFrame:
+    """Streaming HLL distinct-count estimate per key — the batch q147
+    sketch kept incrementally.
+
+    ``hash_col`` must be the q147 convention: the md5 first-8-hex 32-bit
+    integer (``conv(substr(md5(v), 1, 8), 16, 10)`` as BIGINT). State per
+    key is the sparse register map {index: max rank} — at most m=64
+    entries forever, mergeable by register-wise max (q213 proves that
+    merge lossless in batch). Folding is commutative and idempotent
+    (register max), so arrival order, micro-batching, and checkpoint
+    replay cannot change the result: the final registers — and therefore
+    the estimate — are bit-equal to the batch sketch on the same items.
+    Emits ``(key, n_regs, estimate)`` per message; both are non-decreasing
+    over a key's lifetime (registers only grow), so max(estimate) is the
+    current value.
+    """
+
+    def app(txn) -> None:
+        st: dict = txn.read_table_entry() or {}
+        h = int(txn.value()[hash_col])
+        idx = str(h // HLL_DIV)  # str keys: JSON-stable state
+        rank_word = h % HLL_DIV
+        rho = (
+            HLL_W + 1
+            if rank_word == 0
+            else HLL_W - rank_word.bit_length() + 1
+        )
+        if rho > st.get(idx, 0):  # register-max: replay-idempotent
+            st[idx] = rho
+            txn.update_table_entry(st)
+        txn.produce(
+            {
+                key_col: txn.key,
+                "n_regs": len(st),
+                "estimate": hll_estimate_from_registers(st),
+            }
+        )
+
+    return _run_keyed_sketch(
+        df,
+        key_col,
+        [hash_col],
+        app,
+        "n_regs long, estimate double",
+        order_by,
+        backend,
+    )

@@ -1003,3 +1003,59 @@ def test_batched_band_signatures_throughput():
     batched = wall(lambda: band_signatures_batch(ids, docs))
     per_doc = wall(lambda: [band_signatures_py(t) for t in docs])
     assert per_doc / batched >= 3, (per_doc, batched)
+
+
+def test_streaming_hll_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """The streaming register fold must converge to EXACTLY the batch HLL
+    sketch (q147) on the same data: register-max is commutative and
+    replay-idempotent, so arrival order and micro-batching cannot matter —
+    and the estimate is a deterministic function of the registers."""
+    from fluvii_spark.queries import registry
+    from fluvii_spark.streaming.sketch import streaming_hll_distinct
+
+    events = load_tables(spark, sf_dir).events
+    hashed = events.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    d = str(tmp_path / "ev_hll")
+    for m in range(3):  # batches straddle every key
+        hashed.filter(F.crc32(F.col("h").cast("string")) % 3 == m).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    schema = spark.read.parquet(d).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = streaming_hll_distinct(src, "event_type", "h")
+    q = (
+        out.writeStream.format("memory")
+        .outputMode("append")
+        .queryName("hll_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_hll"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.table("hll_stream")
+        .groupBy("event_type")
+        .agg(F.max("estimate").alias("estimate"))
+        .collect()
+    )
+    stream_est = {r["event_type"]: r["estimate"] for r in got}
+    batch = registry()["q147_hll_distinct_sketch"].fn(spark, sf_dir).collect()
+    assert len(batch) > 0
+    for r in batch:
+        # q147 rounds its output to 6dp; the registers are bit-equal so
+        # rounding the stream estimate must reproduce it exactly
+        assert round(stream_est[r["event_type"]], 6) == r["hll_estimate"], r
