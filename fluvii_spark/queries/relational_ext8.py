@@ -1,13 +1,13 @@
-"""Round-5 relational additions (q195-q210 except q200/q203 in llm4):
-sliding-window distinct
-counting, quantile-bucket mobility, join-key skew auditing, graph
-analytics (triangles, PageRank), market-basket rules, path mining,
-time-series diagnostics (ACF, change-point), multi-touch attribution
-latency quantiles, Theil-Sen robust trend and degree power-law fitting
-— operational analytics over the star schema with
-the package's determinism rules (DECIMAL money, exact integer moment
-cores with one final IEEE division, boundary comparisons on
-6-dp-rounded values, unique tie-breaks on every rank/top-k).
+"""Round-5 relational additions (q195-q213 except q200/q203/q209/q211/
+q212 in llm4): sliding-window distinct counting, quantile-bucket
+mobility, join-key skew auditing, graph analytics (triangles, PageRank,
+degree power-law), market-basket rules, path mining, time-series
+diagnostics (ACF, change-point, Theil-Sen robust trend), multi-touch
+attribution, latency quantiles, and lossless HLL sketch merging —
+operational analytics over the star schema with the package's
+determinism rules (DECIMAL money, exact integer moment cores with one
+final IEEE division, boundary comparisons on 6-dp-rounded values,
+unique tie-breaks on every rank/top-k).
 """
 
 from __future__ import annotations
