@@ -36,3 +36,34 @@ def test_example_runs(path):
         cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-3000:]
+
+
+def test_bench_runs_clean_end_to_end(tmp_path):
+    """bench.py is the driver's perf surface and swallows per-query
+    failures into -1 timings while still exiting 0 — a query that works
+    under the correctness harness but breaks under the noop-write bench
+    path would silently corrupt BENCH_r{N}. Run the whole inventory once
+    at sf0.001 and assert valid JSON, full coverage, and zero failures."""
+    import json
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_PASSES="1",
+        SPARK_GRAFT_BENCH_CONCURRENCY="8",
+    )
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=1200,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    from fluvii_spark.queries import registry
+
+    assert len(payload["queries"]) == len(registry())
+    failed = [k for k, v in payload["queries"].items() if v < 0]
+    assert not failed, f"bench-path failures (check stderr): {failed}"
