@@ -1059,3 +1059,77 @@ def test_streaming_hll_matches_batch_sketch(spark, sf_dir, tmp_path):
         # q147 rounds its output to 6dp; the registers are bit-equal so
         # rounding the stream estimate must reproduce it exactly
         assert round(stream_est[r["event_type"]], 6) == r["hll_estimate"], r
+
+
+def test_streaming_hll_survives_restart(spark, sf_dir, tmp_path):
+    """HLL's mergeable-state claim under crash recovery: stop mid-stream,
+    restart on the same checkpoint with more files staged — replayed
+    hashes re-fold idempotently (register max), and the final estimate
+    still equals the batch q147 sketch exactly."""
+    import os
+    import shutil
+
+    from fluvii_spark.queries import registry
+    from fluvii_spark.streaming.sketch import streaming_hll_distinct
+
+    events = load_tables(spark, sf_dir).events
+    hashed = events.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    full = str(tmp_path / "hll_full")
+    for m in range(4):
+        hashed.filter(F.crc32(F.col("h").cast("string")) % 4 == m).coalesce(
+            1
+        ).write.mode("append").parquet(full)
+    staged = str(tmp_path / "hll_staged")
+    os.makedirs(staged)
+    parts = sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
+    for f in parts[:2]:
+        shutil.copy(os.path.join(full, f), os.path.join(staged, f))
+
+    ckpt = str(tmp_path / "ck_hll_restart")
+    out_dir = str(tmp_path / "hll_out")
+    schema = spark.read.parquet(full).schema
+
+    def start():
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        out = streaming_hll_distinct(src, "event_type", "h")
+        return (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", out_dir)
+            .start()
+        )
+
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    for f in parts[2:]:
+        shutil.copy(os.path.join(full, f), os.path.join(staged, f))
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(F.max("estimate").alias("estimate"))
+        .collect()
+    )
+    stream_est = {r["event_type"]: r["estimate"] for r in got}
+    batch = registry()["q147_hll_distinct_sketch"].fn(spark, sf_dir).collect()
+    assert len(batch) > 0
+    for r in batch:
+        assert round(stream_est[r["event_type"]], 6) == r["hll_estimate"], r
