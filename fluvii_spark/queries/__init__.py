@@ -81,9 +81,9 @@ _DRIVER_PROVEN = {
 # Queries awaiting a green driver row against their *current* code, in the
 # order the driver should attempt them: the three never-proven r4
 # additions first, then the ten guard-touched similarity re-proofs, then
-# the r5 q124 redefinition, then the twenty-five r5 additions (q189-q213,
+# the r5 q124 redefinition, then the twenty-six r5 additions (q189-q214,
 # each verified at sf0.001 AND sf0.01 under both canonicalizers before
-# registration). 39 first-proof candidates + 6 deferred re-proofs = 45
+# registration). 40 first-proof candidates + 6 deferred re-proofs = 46
 # against the ~50-row cap — all fit.
 _UNPROVEN_ORDER = [
     "q186", "q187", "q188",
@@ -91,7 +91,7 @@ _UNPROVEN_ORDER = [
     "q146", "q124",
     "q189", "q190", "q191", "q192", "q193", "q194", "q195", "q196", "q197",
     "q198", "q199", "q200", "q201", "q202", "q203", "q204", "q205", "q206",
-    "q207", "q208", "q209", "q210", "q211", "q212", "q213",
+    "q207", "q208", "q209", "q210", "q211", "q212", "q213", "q214",
 ]
 
 # Deferred-tier re-proofs: queries whose plan or oracle changed in r5

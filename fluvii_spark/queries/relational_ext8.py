@@ -1238,3 +1238,77 @@ def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("merge_lossless"),
         )
     )
+
+
+@register(
+    "q214_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) > 90
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN late l1 ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY numwait DESC, s.s_suppkey
+    LIMIT 20
+    """,
+    "TPC-H Q21's shape on the reduced schema: suppliers whose item was "
+    "the ONLY late one (ship lag > 90 days) in a multi-supplier order — "
+    "the classic EXISTS + NOT-EXISTS double self-join stress test. The "
+    "ORACLE keeps the textbook correlated form; the Spark plan is the "
+    "scalable aggregate REWRITE — one per-order contraction computing "
+    "(distinct suppliers, distinct late suppliers) replaces both "
+    "correlated subqueries, so lineitem is scanned twice total and "
+    "never self-joined row-to-row: late item qualifies iff n_supp >= 2 "
+    "and n_late_supp = 1. Hash-equality of the two formulations is the "
+    "semantic proof the rewrite is exact. Exact integer counts, "
+    "(numwait DESC, s_suppkey) unique tie-break",
+    ("relational", "join", "subquery", "tpch"),
+)
+def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    dated = li.join(
+        t.orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            > 90
+        ).alias("is_late"),
+    )
+    per_order = dated.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    qualifying = (
+        dated.filter(F.col("is_late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        qualifying.join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            qualifying.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(20)
+    )
