@@ -95,11 +95,14 @@ def _byte_budget_repartition(df: DataFrame, target_partition_mb: int) -> DataFra
             return df.repartition(need)
         return df
     except AttributeError:
-        # Spark Connect: no _jdf stats and no df.rdd. Degrade to the
-        # session's shuffle parallelism — conservative for media rows
-        # (more, smaller partitions) without plan-build jobs.
-        need = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-        return df.repartition(max(1, need))
+        # Spark Connect: no _jdf stats and no df.rdd — we can neither
+        # estimate payload bytes nor read the current partition count.
+        # Repartitioning blind could REDUCE parallelism on a large media
+        # scan (shuffle.partitions < scan partitions), reintroducing the
+        # giant-partition OOM this guard exists to prevent. Keep the
+        # source parallelism untouched; Connect callers that know their
+        # corpus is large should pre-repartition explicitly.
+        return df
 
 
 def _decode_features(payload: bytes, kind: str, n_features: int = 8) -> list[float]:

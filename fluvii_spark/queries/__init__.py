@@ -58,50 +58,24 @@ def register(
 # predates the current code, so they are deliberately re-queued for a fresh
 # r4 row (VERDICT r3 "Next round" #1).
 _DRIVER_PROVEN = {
-    *(f"q{i:02d}" for i in range(1, 100)),  # q01..q99 (r1..r4)
-    *(f"q{i}" for i in range(100, 186)),    # q100..q185 (r2..r4)
-} - {
-    # Edited by r4's fifth review pass (zero-norm/ANSI guards across the
-    # similarity family; q42 NULL-fingerprint row; q143 checkpoint) AFTER
-    # their last green rows. All 13 re-verified green locally under both
-    # canonicalizers, but per the bar they stay unproven until a fresh
-    # driver row lands. Only 13 candidates against the ~50-row cap this
-    # round — every one fits (VERDICT r4 "Next round" #2).
-    "q30", "q38", "q39", "q42", "q57", "q107", "q116", "q140", "q143",
-    "q146",
-    # q124 was REDEFINED in r5 (NTILE-depth semantics derived from the
-    # distributed rank, one lineitem pass — oracle rewritten to NTILE(8)
-    # with the same tie-break): green locally under both canonicalizers at
-    # sf0.001/sf0.01, re-queued for a fresh driver row.
-    "q124",
+    # r5 closed the backlog: every q01..q214 has a driver row postdating
+    # its code (CORRECTNESS_r01..r05, VERDICT r5). Members of
+    # _REPROOF_LAST below still sort in the needs-a-row tier.
+    *(f"q{i:02d}" for i in range(1, 100)),  # q01..q99
+    *(f"q{i}" for i in range(100, 215)),    # q100..q214
 }
-# q186-q188 were never sampled (alphabetically last of r4's 42 additions
-# under the cap) and are absent from _DRIVER_PROVEN by construction.
 
-# Queries awaiting a green driver row against their *current* code, in the
-# order the driver should attempt them: the three never-proven r4
-# additions first, then the ten guard-touched similarity re-proofs, then
-# the r5 q124 redefinition, then the twenty-six r5 additions (q189-q214,
-# each verified at sf0.001 AND sf0.01 under both canonicalizers before
-# registration). 40 first-proof candidates + 6 deferred re-proofs = 46
-# against the ~50-row cap — all fit.
-_UNPROVEN_ORDER = [
-    "q186", "q187", "q188",
-    "q30", "q38", "q39", "q42", "q57", "q107", "q116", "q140", "q143",
-    "q146", "q124",
-    "q189", "q190", "q191", "q192", "q193", "q194", "q195", "q196", "q197",
-    "q198", "q199", "q200", "q201", "q202", "q203", "q204", "q205", "q206",
-    "q207", "q208", "q209", "q210", "q211", "q212", "q213", "q214",
-]
+# Queries awaiting a FIRST green driver row against their current code, in
+# driver-attempt order (new r6 additions go here).
+_UNPROVEN_ORDER: list[str] = []
 
-# Deferred-tier re-proofs: queries whose plan or oracle changed in r5
-# AFTER their last green rows (q72 oracle floor-vs-// on pre-epoch
-# timestamps; q181 right-side dedup per the as-of contract; q147 integer
-# DIV register index; q178 dedup-not-agg; q69/q153 ride on the r5
-# asof_join carry-struct rename `ts` -> `_asof_ts`, an expression change
-# under their unchanged results). All re-verified green under both
-# canonicalizers at sf0.001+sf0.01; queued behind the first-proof tier.
-_REPROOF_LAST: list[str] = ["q72", "q147", "q178", "q181", "q69", "q153"]
+# Deferred-tier re-proofs: queries whose expression or oracle changed in
+# r6 AFTER their r5-green rows (ADVICE r5 fixes: q201 NULL-anchor path
+# filter pinned on both sides; q211/q212 ride on _kmeans_assignment's
+# empty-embedding filter now matching the oracle's unnest semantics). All
+# re-verified green under both canonicalizers at sf0.001+sf0.01 before
+# this queue landed; queued behind any first-proof tier.
+_REPROOF_LAST: list[str] = ["q201", "q211", "q212"]
 
 
 def _prefix(name: str) -> str:

@@ -817,7 +817,10 @@ def _kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = t.embeddings.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         ).filter(
-            F.col("v").isNotNull()  # oracle's unnest(NULL) yields no rows
+            # oracle's unnest drops BOTH NULL and zero-element embeddings
+            # (no comp rows) — mirror both so a non-null empty array can't
+            # enter the seed set / assignment here while the oracle skips it
+            F.col("v").isNotNull() & (F.size("v") > 0)
         )
         a = (
             lloyd_kmeans(emb, id_col="vec_id", vec_col="v", k=_KM_K, iters=2)

@@ -479,7 +479,8 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type || '>' || e2 || '>' || e3 AS path,
            CAST(COUNT(*) AS BIGINT) AS n_occurrences
-    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    FROM seq
+    WHERE event_type IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
     GROUP BY 1
     ORDER BY n_occurrences DESC, path
     LIMIT 20
@@ -501,7 +502,15 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type", 2).over(w).alias("e3"),
     )
     return (
-        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        # event_type must be filtered too: concat_ws SKIPS NULL args while
+        # the oracle's || propagates NULL — a NULL anchor would yield
+        # 'e2>e3' here but a dropped NULL path there. The filter sits AFTER
+        # the window on both sides so lead() still sees the full stream.
+        seq.filter(
+            F.col("event_type").isNotNull()
+            & F.col("e2").isNotNull()
+            & F.col("e3").isNotNull()
+        )
         .select(
             F.concat_ws(">", "event_type", "e2", "e3").alias("path")
         )

@@ -189,6 +189,22 @@ def streaming_minhash_candidates(
     memory/recall dial; without it, state is the full inverted index (≈4
     entries per distinct document), the exact-recall mode for bounded
     backfills.
+
+    **Rewrite amplification — size ``n_shards`` to the corpus.** Sharding
+    trades per-group Python overhead for state-write granularity: each
+    touched shard's whole sub-index is deserialized and re-serialized per
+    micro-batch (``applyInPandasWithState`` state is one value per key), so
+    the per-batch serialization cost is O(distinct_docs · N_BANDS /
+    (N_BANDS · n_shards)) per touched shard — without a TTL that grows
+    linearly with everything ever ingested, quadratic over the stream's
+    lifetime. For unbounded ingest either set ``bucket_ttl_ms`` (bounds the
+    sub-index, making rewrites O(recent docs / n_shards)) or scale
+    ``n_shards ≈ expected_distinct_docs / 512`` so a shard rewrite stays a
+    few tens of KB (the default 64 suits ≲50k-doc backfills). n_shards is a
+    state-key namespace: changing it across restarts of the same checkpoint
+    orphans old shards — pick it before first start. Re-delivery-only
+    batches skip the rewrite entirely (dirty tracking below), and without a
+    TTL arrivals of already-indexed docs never rewrite the shard.
     """
     ensure_package_on_workers(doc_stream.sparkSession)
     import time as _time
@@ -227,12 +243,16 @@ def streaming_minhash_candidates(
             return
         index: dict = json.loads(state.get[0]) if state.exists else {}
         now_ms = int(_time.time() * 1000)
+        dirty = not state.exists  # first write must materialize the key
         if bucket_ttl_ms is not None:
-            index = {
+            pruned = {
                 s: v
                 for s, v in index.items()
                 if v[0] >= now_ms - bucket_ttl_ms
             }
+            if len(pruned) != len(index):
+                dirty = True
+            index = pruned
         rows: list[tuple[str, int]] = []
         for pdf in pdfs:
             rows.extend(zip(pdf["band_sig"], (int(x) for x in pdf["doc_id"])))
@@ -249,7 +269,13 @@ def streaming_minhash_candidates(
             entry = index.get(sig)
             if entry is None:
                 entry = index[sig] = [now_ms, []]
-            entry[0] = now_ms
+                dirty = True
+            if bucket_ttl_ms is not None and entry[0] != now_ms:
+                # last-seen freshness only matters to the TTL pruner; not
+                # stamping it in no-TTL mode lets re-delivery-only batches
+                # skip the shard rewrite entirely
+                entry[0] = now_ms
+                dirty = True
             ids = entry[1]
             seen = member_sets.get(sig)
             if seen is None:
@@ -260,7 +286,9 @@ def streaming_minhash_candidates(
             prior_b.extend(ids)
             ids.append(doc_id)
             seen.add(doc_id)
-        state.update((json.dumps(index),))
+            dirty = True
+        if dirty:
+            state.update((json.dumps(index),))
         if bucket_ttl_ms is not None:
             state.setTimeoutDuration(bucket_ttl_ms)
         if new_a:

@@ -443,7 +443,20 @@ def streaming_hll_distinct(
 
     def app(txn) -> None:
         st: dict = txn.read_table_entry() or {}
-        h = int(txn.value()[hash_col])
+        raw = txn.value()[hash_col]
+        # batch q147 drops NULL values via hash/distinct semantics — mirror
+        # that: a NULL/NaN hash skips the fold but still emits the current
+        # estimate instead of crashing the stream with a TypeError
+        if raw is None or (isinstance(raw, float) and math.isnan(raw)):
+            txn.produce(
+                {
+                    key_col: txn.key,
+                    "n_regs": len(st),
+                    "estimate": hll_estimate_from_registers(st),
+                }
+            )
+            return
+        h = int(raw)
         idx = str(h // HLL_DIV)  # str keys: JSON-stable state
         rank_word = h % HLL_DIV
         rho = (
