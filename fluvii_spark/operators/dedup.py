@@ -25,6 +25,8 @@ import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fluvii_spark.operators.stats import release_local_checkpoint
+
 # 2^61 - 1 (Mersenne prime): (a*h + b) % P stays < 2^62, no int64 overflow
 # for a,b < 2^29 and h < 2^32.
 MINHASH_P = 2305843009213693951
@@ -520,6 +522,7 @@ def connected_components(
     stats: dict | None = None,
     algorithm: str = "auto",
     star_threshold: int = STAR_EDGE_THRESHOLD,
+    self_contained: bool = False,
 ) -> DataFrame:
     """(node, cluster): connected components of the near-dup pair graph —
     the step after pair finding: a dedup pipeline keeps one canonical doc
@@ -544,10 +547,19 @@ def connected_components(
       star contraction above: small inputs stay latency-optimal, 100 TB
       inputs get the diameter-independent bound.
 
-    ``localCheckpoint`` truncates lineage each round in both strategies.
-    The cluster id IS the minimum doc id — i.e. the canonical keeper.
-    Pass ``stats={}`` to receive ``{"rounds": k, "algorithm": ...}`` back
-    (tests assert the O(log n) bound on a chain graph).
+    ``localCheckpoint`` truncates lineage each round in both strategies;
+    superseded round checkpoints are unpersisted deterministically inside
+    the loop (not left to ContextCleaner GC). The cluster id IS the minimum
+    doc id — i.e. the canonical keeper. Pass ``stats={}`` to receive
+    ``{"rounds": k, "algorithm": ...}`` back (tests assert the O(log n)
+    bound on a chain graph).
+
+    ``self_contained=True`` returns an eagerly checkpointed result and
+    releases EVERY internal checkpoint before returning — the frame carries
+    its own storage blocks and no hidden ancestry. Use for long-lived /
+    memoized results; release them with
+    ``operators.stats.release_local_checkpoint`` when done (a plain
+    ``unpersist()`` cannot free checkpoint blocks).
     """
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
@@ -555,6 +567,7 @@ def connected_components(
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
+    init_edges = edges  # kept through the loops: `nodes` reads it lazily
     if algorithm == "auto":
         algorithm = "star" if edges.count() > star_threshold else "propagation"
     nodes = (
@@ -573,9 +586,20 @@ def connected_components(
             return (row["n"], row["h"])
 
         prev = None
+        releasable = None  # superseded round checkpoint, freed next round
         for _ in range(max_iters):
-            edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+            new_edges = _small_star(_large_star(edges)).localCheckpoint(
+                eager=True
+            )
             rounds += 1
+            # the PREVIOUS round's checkpoint (never the initial one —
+            # `nodes` still reads it) is dead once this round materialized
+            # eagerly: free its blocks now instead of waiting for the
+            # ContextCleaner to notice the GC'd reference
+            if releasable is not None:
+                release_local_checkpoint(releasable)
+            releasable = new_edges
+            edges = new_edges
             fp = fingerprint(edges)
             if fp == prev:
                 break
@@ -591,7 +615,7 @@ def connected_components(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).localCheckpoint(eager=False)
         labels = nodes.withColumn("label", F.col("node"))
-        for _ in range(max_iters):
+        for i in range(max_iters):
             neigh = sym.join(
                 labels, sym.v == labels.node
             ).select(F.col("u").alias("node"), "label")
@@ -608,15 +632,30 @@ def connected_components(
                 .filter(F.col("n.label") != F.col("o.label"))
                 .count()
             )
+            # `labels` (a round checkpoint from i>=1; round 0's is a plain
+            # projection) was last read by the `changed` count above —
+            # free its blocks deterministically rather than on GC
+            if i > 0:
+                release_local_checkpoint(labels)
             labels = new_labels
             if changed == 0:
                 break
+        # the final labels checkpoint truncates lineage, so the lazily
+        # checkpointed symmetric edge list is dead too
+        release_local_checkpoint(sym)
         out = labels.select("node", F.col("label").alias("cluster"))
 
     if stats is not None:
         stats["rounds"] = rounds
         stats["algorithm"] = algorithm
-    return out
+    if not self_contained:
+        return out
+    final = out.localCheckpoint(eager=True)
+    # the result now carries its own blocks — the initial edge checkpoint
+    # and the last surviving round checkpoint are dead; free them now
+    release_local_checkpoint(init_edges)
+    release_local_checkpoint(edges if algorithm == "star" else labels)
+    return final
 
 
 # Above this many vectors, embedding_near_dup_pairs(exact=None) routes to

@@ -73,3 +73,30 @@ def partitions_for_rows(
     partition would serialize the whole frontier at cluster scale.
     """
     return max(1, min((rows + rows_per_partition - 1) // rows_per_partition, max_partitions))
+
+
+def release_local_checkpoint(df: DataFrame) -> bool:
+    """Best-effort unpersist of the RDD(s) backing a ``localCheckpoint``'d
+    frame, freeing storage blocks NOW instead of whenever the JVM's
+    ContextCleaner gets to the GC'd reference.
+
+    ``DataFrame.unpersist()`` cannot do this — the blocks belong to the
+    checkpointed RDD inside the plan's ``LogicalRDD`` leaf (or leaves, for
+    a projection/filter layered over a checkpoint), not to the plan cache.
+    Call ONLY on a checkpoint that nothing will recompute from afterwards
+    (a superseded iteration round, a lazy checkpoint shadowed by a later
+    eager one, a memo-evicted self-contained result): an evicted block
+    under lineage truncation is gone for good. Returns False (no-op) on
+    Spark Connect or a plan with no checkpoint leaf.
+    """
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        it, released = leaves.iterator(), False
+        while it.hasNext():
+            leaf = it.next()
+            if leaf.getClass().getName().endswith(".LogicalRDD"):
+                leaf.rdd().unpersist(False)
+                released = True
+        return released
+    except Exception:  # noqa: BLE001 — Connect / already-stopped session
+        return False

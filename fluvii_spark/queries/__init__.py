@@ -72,10 +72,12 @@ _UNPROVEN_ORDER: list[str] = []
 # Deferred-tier re-proofs: queries whose expression or oracle changed in
 # r6 AFTER their r5-green rows (ADVICE r5 fixes: q201 NULL-anchor path
 # filter pinned on both sides; q211/q212 ride on _kmeans_assignment's
-# empty-embedding filter now matching the oracle's unnest semantics). All
-# re-verified green under both canonicalizers at sf0.001+sf0.01 before
-# this queue landed; queued behind any first-proof tier.
-_REPROOF_LAST: list[str] = ["q201", "q211", "q212"]
+# empty-embedding filter now matching the oracle's unnest semantics;
+# q60/q100 ride on the clusters memo going self-contained-checkpoint —
+# identical values, changed plan). All re-verified green under both
+# canonicalizers at sf0.001+sf0.01 before this queue landed; queued behind
+# any first-proof tier.
+_REPROOF_LAST: list[str] = ["q201", "q211", "q212", "q60", "q100"]
 
 
 def _prefix(name: str) -> str:

@@ -636,13 +636,18 @@ def _memo_key(spark: SparkSession, sf_dir: str) -> tuple:
 def _memo_swap(cache: dict, key: tuple[str, str], df: DataFrame) -> DataFrame:
     """Evict-then-insert for the single-entry memos, unpersisting what we
     evict so a second sf_dir queried in the same live session doesn't leak
-    the old persisted blocks in storage memory. Eviction may race a stopped
-    session — unpersist is best-effort."""
+    the old persisted blocks in storage memory. Checkpoint-backed entries
+    (the self-contained clusters memo) additionally need their LogicalRDD
+    blocks released — plain unpersist can't reach those. Eviction may race
+    a stopped session — both frees are best-effort."""
+    from fluvii_spark.operators.stats import release_local_checkpoint
+
     for old in cache.values():
         try:
             old.unpersist()
         except Exception:  # noqa: BLE001 — stale session's blocks die with it
             pass
+        release_local_checkpoint(old)  # no-op for persist-backed frames
     cache.clear()
     cache[key] = df
     return df
@@ -702,10 +707,13 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = _CLUSTERS_CACHE.get(key)
         if cached is not None:
             return cached
-        clusters = (
-            D.connected_components(pairs)
-            .select("node", F.col("cluster").cast("bigint").alias("cluster"))
-            .persist()
+        # self_contained: the result is ONE eager checkpoint owning its
+        # blocks, every internal round checkpoint freed by the operator.
+        # The projection over it is narrow — no separate persist needed
+        # (a persist here would store the same rows twice); eviction frees
+        # the blocks via release_local_checkpoint in _memo_swap.
+        clusters = D.connected_components(pairs, self_contained=True).select(
+            "node", F.col("cluster").cast("bigint").alias("cluster")
         )
         return _memo_swap(_CLUSTERS_CACHE, key, clusters)
 
