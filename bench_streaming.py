@@ -48,10 +48,11 @@ N_FILES = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "8"))
 FILES_PER_TRIGGER = int(os.environ.get("SPARK_GRAFT_STREAM_FPT", "2"))
 DOC_REP = int(os.environ.get("SPARK_GRAFT_STREAM_DOC_REP", "8"))
 # distinct-corpus replication for the steady-state throughput workload:
-# 8 × 5k sf0.1 docs = 40k genuinely distinct documents (every shingle
-# differs per replica), large enough that fixed micro-batch overhead is a
-# small share of wall and rows/sec measures the operator itself
-DOC_DISTINCT_REP = int(os.environ.get("SPARK_GRAFT_STREAM_DOC_DISTINCT_REP", "8"))
+# 16 × 5k sf0.1 docs = 80k genuinely distinct documents (every shingle
+# differs per replica), large enough that fixed micro-batch overhead is
+# <10% of wall (measured via overhead_share) and rows/sec measures the
+# operator itself
+DOC_DISTINCT_REP = int(os.environ.get("SPARK_GRAFT_STREAM_DOC_DISTINCT_REP", "16"))
 
 
 def stage_events(spark, sf_dir: str, root: str) -> tuple[str, int]:
