@@ -57,3 +57,33 @@ def audit(plan: str) -> dict[str, object]:
         "pushdown": "yes" if re.search(r"PushedFilters: \[[^\]]", body) else "",
         "codegen": "yes" if "codegen id" in body else "",
     }
+
+
+def runtime_explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """Execute the frame, then return its FINAL plan — under AQE the static
+    explain is an unfinalized ``AdaptiveSparkPlan`` whose join strategies,
+    partition coalescing, and codegen ids are only decided at runtime.
+
+    A ``Dataset``'s ``queryExecution`` is a cached lazy val, so draining the
+    frame through ``toLocalIterator`` (streamed — never materializes the
+    whole result on the driver) finalizes THAT plan object; the subsequent
+    explain carries ``isFinalPlan=true`` subtrees with the decisions AQE
+    actually took. A ``noop``-sink write would NOT work here: it plans and
+    executes a separate write query, leaving this frame's plan unfinalized.
+    """
+    for _ in df.toLocalIterator():
+        pass
+    return explain_str(df, mode)
+
+
+def runtime_audit(df: DataFrame) -> dict[str, object]:
+    """:func:`audit` of the executed plan, plus AQE-specific signals:
+    whether the final plan is marked finalized, and how many
+    ``AQEShuffleRead`` reads (partition coalescing / skew splitting)
+    appear."""
+    plan = runtime_explain_str(df)
+    body = plan.split("== Physical Plan ==")[-1]
+    out = audit(plan)
+    out["final"] = "yes" if "isFinalPlan=true" in body else ""
+    out["aqe_reads"] = len(re.findall(r"\(\d+\) AQEShuffleRead", body))
+    return out
