@@ -86,6 +86,32 @@ def word_shingles(
     return out.dropDuplicates([id_col, "shingle"]) if distinct else out
 
 
+def char_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4, distinct: bool = True
+) -> DataFrame:
+    """Character n-gram shingles, one row per (doc, shingle) — the
+    cross-word-boundary sibling of :func:`word_shingles` (catches edits
+    word shingling misses: hyphenation, concatenation, small typos inside
+    long words). Docs shorter than ``n`` chars yield zero shingles, same
+    as the oracle's positional enumeration.
+
+    Unlike word shingles, common char n-grams appear in nearly every
+    document — ALWAYS pair this with a df-cut before the candidate join
+    (``pair_stats_from_shingles(max_doc_freq=...)``): one corpus-hot
+    shingle like ``'e th'`` is a quadratic candidate blow-up at any scale.
+    """
+    arr = (
+        f"CASE WHEN length(txt) >= {n} THEN "
+        f"transform(sequence(1, length(txt) - {n} + 1),"
+        f" i -> substring(txt, i, {n})) "
+        f"ELSE array() END"
+    )
+    out = df.select(id_col, F.col(text_col).alias("txt")).select(
+        id_col, F.explode(F.expr(arr)).alias("shingle")
+    )
+    return out.dropDuplicates([id_col, "shingle"]) if distinct else out
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep the minimum-id row per duplicate group; returns
     (key-hash, keep_id, n_copies)."""
@@ -133,6 +159,19 @@ def ngram_pair_stats(
             else None
         )
     sh = word_shingles(df, id_col, text_col, n)
+    return pair_stats_from_shingles(sh, id_col, max_doc_freq)
+
+
+def pair_stats_from_shingles(
+    sh: DataFrame, id_col: str, max_doc_freq: int | None = None
+) -> DataFrame:
+    """The shared candidate-join core of every shingle-set similarity:
+    (id_a, id_b, n_common, n_a, n_b) from a distinct (id, shingle) frame —
+    equi-join on shared shingle → intersection counts → per-doc
+    cardinalities joined on. Word (``ngram_pair_stats``) and char
+    (``char_shingles``) shinglings both feed it. When ``max_doc_freq`` is
+    set, cardinalities count only KEPT shingles — similarity over the
+    df-cut shingle space, applied identically by any oracle."""
     if max_doc_freq is not None:
         keep = (
             sh.groupBy("shingle")

@@ -66,8 +66,13 @@ _DRIVER_PROVEN = {
 }
 
 # Queries awaiting a FIRST green driver row against their current code, in
-# driver-attempt order (new r6 additions go here).
-_UNPROVEN_ORDER: list[str] = []
+# driver-attempt order: the twelve r6 additions (each verified at sf0.001
+# AND sf0.01 under both canonicalizers before registration). 12 first
+# proofs + 5 deferred re-proofs = 17 against the ~50-row cap — all fit.
+_UNPROVEN_ORDER: list[str] = [
+    "q215", "q216", "q217", "q218", "q219", "q220", "q221", "q222",
+    "q223", "q224", "q225", "q226",
+]
 
 # Deferred-tier re-proofs: queries whose expression or oracle changed in
 # r6 AFTER their r5-green rows (ADVICE r5 fixes: q201 NULL-anchor path
@@ -91,6 +96,7 @@ def registry() -> dict[str, Query]:
         llm2,
         llm3,
         llm4,
+        llm5,
         relational,
         relational_ext,
         relational_ext2,
@@ -100,6 +106,7 @@ def registry() -> dict[str, Query]:
         relational_ext6,
         relational_ext7,
         relational_ext8,
+        relational_ext9,
     )
 
     rank = {p: i for i, p in enumerate(_UNPROVEN_ORDER)}

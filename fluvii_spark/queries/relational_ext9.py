@@ -1,0 +1,714 @@
+"""Round-6 relational additions (q215-q226 except q218/q225 in llm5):
+TPC-H-shaped decorrelations (Q17 small-quantity revenue, Q15 top supplier,
+Q22 idle high-balance customers), weighted sampling without replacement
+(A-ES exponential keys), a Lorenz revenue-concentration curve on the
+distributed global rank, inter-order gap distributions, ship-delay
+buckets, U-shaped multi-touch attribution, calendar-bucket dedup, and
+dual-constraint (idle gap + duration cap) sessionization — all under the
+package determinism rules (DECIMAL money sums, md5 uniforms instead of
+rand(), single IEEE divisions, 6-dp-rounded boundary comparisons, unique
+tie-breaks on every rank).
+
+Reference parity: the reference (rh-marketingops/fluvii) is a Kafka
+client library with no query layer; these queries are the beyond-reference
+analytics surface, re-expressed Spark-first per SURVEY.md §2.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fluvii_spark.io.readers import load_tables
+from fluvii_spark.queries import register
+
+
+@register(
+    "q215_small_qty_revenue",
+    """
+    WITH tgt AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#1' AND p_size < 15
+    ),
+    li AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN tgt ON tgt.p_partkey = l.l_partkey
+    ),
+    th AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*)) AS max_qty
+      FROM li GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / 7.0, 6) AS avg_yearly_revenue
+    FROM li JOIN th USING (l_partkey)
+    WHERE CAST(l_quantity AS DOUBLE) < max_qty
+    """,
+    "TPC-H Q17-shaped small-quantity revenue: lines of target-brand parts "
+    "below 20% of the part's average quantity. The correlated AVG subquery "
+    "is decorrelated to a per-part window over ONE broadcast-pruned "
+    "lineitem pass (no second scan, no per-row subquery): threshold = "
+    "0.2 · (exact DECIMAL sum / count) — a single IEEE division and "
+    "multiply, identical on both engines, so the boundary is deterministic",
+    ("relational", "tpch", "decorrelation"),
+)
+def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    tgt = t.part.filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    li = t.lineitem.join(
+        F.broadcast(tgt), t.lineitem.l_partkey == tgt.p_partkey
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    w = Window.partitionBy("l_partkey")
+    th = F.lit(0.2) * (
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    small = li.withColumn("max_qty", th).filter(
+        F.col("l_quantity").cast("double") < F.col("max_qty")
+    )
+    return small.agg(
+        F.count("*").cast("bigint").alias("n_small_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / 7.0,
+            6,
+        ).alias("avg_yearly_revenue"),
+    )
+
+
+@register(
+    "q216_top_supplier_quarter",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    ),
+    m AS (SELECT MAX(total) AS mx FROM rev)
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(CAST(r.total AS DOUBLE), 6) AS total_revenue
+    FROM rev r JOIN m ON r.total = m.mx
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    """,
+    "TPC-H Q15-shaped top supplier: highest discounted revenue in 1996Q1, "
+    "ALL ties returned. The revenue view aggregates exact DECIMAL products "
+    "(no float drift), the scalar max is a 1-row broadcast joined back on "
+    "exact DECIMAL equality, and the supplier dimension is broadcast — "
+    "one lineitem pass, no window over the full rollup",
+    ("relational", "tpch", "topk"),
+)
+def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    rev = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(price * (F.lit(1) - disc)).alias("total"))
+    )
+    mx = rev.agg(F.max("total").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total == F.col("mx"))
+        .join(
+            F.broadcast(t.supplier),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total").cast("double"), 6).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q217_idle_high_balance",
+    """
+    WITH seg AS (
+      SELECT c_mktsegment,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM customer WHERE CAST(c_acctbal AS DOUBLE) > 0 GROUP BY 1
+    ),
+    idle AS (
+      SELECT c.c_mktsegment, c.c_acctbal
+      FROM customer c JOIN seg ON seg.c_mktsegment = c.c_mktsegment
+      WHERE CAST(c.c_acctbal AS DOUBLE) > seg.avg_bal
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey)
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_idle,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS idle_balance
+    FROM idle GROUP BY 1
+    """,
+    "TPC-H Q22-shaped idle wealth: per market segment, customers above the "
+    "segment's positive-balance average who never placed an order. The "
+    "scalar per-segment average is a 5-row broadcast (exact DECIMAL sum, "
+    "one IEEE division), never-ordered is a LEFT ANTI against the distinct "
+    "order custkeys — no correlated EXISTS per row, no double scan of "
+    "customer",
+    ("relational", "tpch", "anti-join"),
+)
+def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    bal = F.col("c_acctbal").cast("double")
+    seg = (
+        t.customer.filter(bal > 0)
+        .groupBy("c_mktsegment")
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_bal")
+        )
+        .withColumnRenamed("c_mktsegment", "_seg")
+    )
+    idle = (
+        t.customer.join(
+            F.broadcast(seg), F.col("c_mktsegment") == F.col("_seg")
+        )
+        .filter(bal > F.col("avg_bal"))
+        .join(
+            t.orders.select("o_custkey").distinct(),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_idle"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("idle_balance"),
+    )
+
+
+@register(
+    "q219_weighted_sample_aes",
+    """
+    WITH keyed AS (
+      SELECT o_orderkey, o_totalprice,
+             -ln(((('0x' || substr(md5('aes_' || CAST(o_orderkey AS VARCHAR)),
+                    1, 8))::BIGINT) + 1) / 4294967296.0)
+               / CAST(o_totalprice AS DOUBLE) AS k
+      FROM orders WHERE CAST(o_totalprice AS DOUBLE) > 0
+    ),
+    ranked AS (
+      SELECT o_orderkey, o_totalprice, k,
+             ROW_NUMBER() OVER (ORDER BY ROUND(k, 12), o_orderkey) AS rn
+      FROM keyed
+    )
+    SELECT CAST(rn AS BIGINT) AS sample_rank, o_orderkey,
+           ROUND(CAST(o_totalprice AS DOUBLE), 6) AS weight
+    FROM ranked WHERE rn <= 20
+    """,
+    "weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES): "
+    "each order draws the exponential key -ln(u)/w with the md5-uniform "
+    "u ∈ (0,1] (deterministic, no rand()) and the 20 smallest keys are the "
+    "sample — inclusion probability proportional to o_totalprice, exactly "
+    "the priority-sampling companion to q183. Ranking compares keys "
+    "ROUNDED to 12 dp with the orderkey tie-break so a last-ulp libm ln() "
+    "difference can never reorder engines; physically a TakeOrdered "
+    "top-20, never a global sort",
+    ("relational", "sampling"),
+)
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("aes_"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    k = -F.log(u) / F.col("o_totalprice").cast("double")
+    keyed = (
+        t.orders.filter(F.col("o_totalprice").cast("double") > 0)
+        .select("o_orderkey", "o_totalprice", k.alias("k"))
+        .orderBy(F.round("k", 12), "o_orderkey")
+        .limit(20)
+    )
+    w = Window.orderBy(F.round("k", 12), "o_orderkey")
+    return keyed.select(
+        F.row_number().over(w).cast("bigint").alias("sample_rank"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("double"), 6).alias("weight"),
+    )
+
+
+_LORENZ_K = 10
+
+
+@register(
+    "q220_lorenz_curve",
+    f"""
+    WITH cr AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT rev, NTILE({_LORENZ_K}) OVER (ORDER BY rev, o_custkey) AS decile
+      FROM cr
+    ),
+    g AS (
+      SELECT decile, COUNT(*) AS n_customers, SUM(rev) AS drev
+      FROM d GROUP BY 1
+    ),
+    t AS (SELECT SUM(drev) AS total FROM g)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           ROUND(CAST(drev AS DOUBLE), 6) AS decile_revenue,
+           ROUND(CAST(SUM(drev) OVER (ORDER BY decile) AS DOUBLE)
+                 / CAST(t.total AS DOUBLE), 6) AS cum_share
+    FROM g, t
+    """,
+    "Lorenz revenue-concentration curve: customers ranked by lifetime "
+    "revenue into deciles, cumulative revenue share per decile (the curve "
+    "behind q125's Gini). The decile is derived ARITHMETICALLY from the "
+    "distributed global rank (range-repartition + per-partition offsets — "
+    "the q124 pattern), so no single-partition NTILE window ever sees the "
+    "per-customer rollup; the cumulative share runs over 10 rows",
+    ("relational", "order-statistics", "distribution"),
+)
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.ranking import distributed_row_number
+
+    t = load_tables(spark, sf_dir)
+    cr = t.orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
+    )
+    ranked = distributed_row_number(cr, ["rev", "o_custkey"], out_col="rnk")
+    tot = ranked.agg(F.count("*").alias("n_tot"))
+    k = _LORENZ_K
+    # NTILE(k) from the global rank (q124's arithmetic): q = n DIV k rows
+    # per bucket, the first n MOD k buckets hold one extra row
+    asn = ranked.crossJoin(F.broadcast(tot)).select(
+        "rev",
+        F.expr(
+            f"CAST(CASE WHEN rnk <= (n_tot % {k}) * (n_tot DIV {k} + 1) "
+            f"THEN (rnk - 1) DIV (n_tot DIV {k} + 1) + 1 "
+            f"ELSE n_tot % {k} + (rnk - (n_tot % {k}) * (n_tot DIV {k} + 1) - 1) "
+            f"DIV (n_tot DIV {k}) + 1 END AS BIGINT)"
+        ).alias("decile"),
+    )
+    g = asn.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("rev").alias("drev"),
+    )
+    total = g.agg(F.sum("drev").alias("total"))
+    wc = Window.orderBy("decile")  # 10 rows — contracted by construction
+    return (
+        g.crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            F.round(F.col("drev").cast("double"), 6).alias("decile_revenue"),
+            F.round(
+                F.sum("drev").over(wc).cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+    )
+
+
+_GAP_PS = (0.5, 0.9)
+
+
+@register(
+    "q221_interorder_gaps",
+    """
+    WITH seq AS (
+      SELECT o_custkey,
+             datediff('day',
+                      lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey),
+                      o_orderdate) AS gap,
+             o_orderkey
+      FROM orders
+    ),
+    j AS (
+      SELECT c_mktsegment, gap, o_orderkey
+      FROM seq JOIN customer ON c_custkey = o_custkey
+      WHERE gap IS NOT NULL
+    ),
+    ranked AS (
+      SELECT c_mktsegment, gap,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY gap, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM j
+    ),
+    probes AS (SELECT unnest([0.5, 0.9]) AS p)
+    SELECT r.c_mktsegment, pr.p,
+           CAST(r.gap AS BIGINT) AS gap_days,
+           CAST(r.n AS BIGINT) AS n_gaps
+    FROM ranked r JOIN probes pr
+      ON r.rn = CAST(ceiling(pr.p * r.n) AS BIGINT)
+    """,
+    "inter-order gap distribution: days between consecutive orders per "
+    "customer, discrete p50/p90 per market segment — the repurchase-cadence "
+    "statistic behind churn models. Gaps are exact integer day diffs from "
+    "a per-customer lag window; the per-segment discrete percentiles come "
+    "from distributed_row_number + broadcast per-group offsets (the q158 "
+    "pattern) — 5 segments never become 5 single-task window partitions",
+    ("relational", "quantile", "timeseries"),
+)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.ranking import distributed_row_number
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    j = seq.join(
+        t.customer.select("c_custkey", "c_mktsegment"),
+        seq.o_custkey == F.col("c_custkey"),
+    ).select("c_mktsegment", "gap", "o_orderkey")
+    ranked = distributed_row_number(
+        j, ["c_mktsegment", "gap", "o_orderkey"], out_col="rnk"
+    )
+    grp = ranked.groupBy("c_mktsegment").agg(
+        F.min("rnk").alias("base"), F.count("*").alias("n")
+    )
+    probes = grp.select(
+        F.col("c_mktsegment").alias("_seg"),
+        F.col("n"),
+        F.explode(F.array(*[F.lit(p) for p in _GAP_PS])).alias("p"),
+        (F.ceil(F.col("p") * F.col("n")) + F.col("base") - 1).alias(
+            "_target"
+        ),
+    )
+    return ranked.join(
+        F.broadcast(probes),
+        (F.col("c_mktsegment") == F.col("_seg"))
+        & (F.col("rnk") == F.col("_target")),
+    ).select(
+        "c_mktsegment",
+        "p",
+        F.col("gap").cast("bigint").alias("gap_days"),
+        F.col("n").cast("bigint").alias("n_gaps"),
+    )
+
+
+@register(
+    "q222_ship_delay_buckets",
+    """
+    WITH d AS (
+      SELECT o.o_orderpriority,
+             datediff('day', o.o_orderdate, l.l_shipdate) AS delay
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    b AS (
+      SELECT o_orderpriority,
+             CASE WHEN delay <= 7 THEN '0-7'
+                  WHEN delay <= 30 THEN '8-30'
+                  WHEN delay <= 90 THEN '31-90'
+                  ELSE '>90' END AS bucket,
+             COUNT(*) AS n
+      FROM d GROUP BY 1, 2
+    ),
+    t AS (SELECT o_orderpriority, SUM(n) AS tot FROM b GROUP BY 1)
+    SELECT b.o_orderpriority, b.bucket, CAST(b.n AS BIGINT) AS n_lines,
+           ROUND(CAST(b.n AS DOUBLE) / t.tot, 6) AS share
+    FROM b JOIN t USING (o_orderpriority)
+    """,
+    "order-to-ship delay buckets per order priority — the SLA conformance "
+    "report: integer day diffs bucketed 0-7/8-30/31-90/>90, share within "
+    "priority. One lineitem⋈orders equi-join (shuffle on orderkey), "
+    "map-side-combined bucket counts (≤20 cells), per-priority totals "
+    "joined broadcast; all boundaries are exact integers",
+    ("relational", "timeseries", "operational"),
+)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t.lineitem.join(
+        t.orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("delay"),
+    )
+    b = d.groupBy(
+        "o_orderpriority",
+        F.when(F.col("delay") <= 7, "0-7")
+        .when(F.col("delay") <= 30, "8-30")
+        .when(F.col("delay") <= 90, "31-90")
+        .otherwise(">90")
+        .alias("bucket"),
+    ).agg(F.count("*").alias("n"))
+    tot = b.groupBy(F.col("o_orderpriority").alias("_pr")).agg(
+        F.sum("n").alias("tot")
+    )
+    return b.join(
+        F.broadcast(tot), F.col("o_orderpriority") == F.col("_pr")
+    ).select(
+        "o_orderpriority",
+        "bucket",
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("share"),
+    )
+
+
+@register(
+    "q223_u_shaped_attribution",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    conv AS (SELECT user_id, ts AS cts, event_id AS cid FROM p WHERE rn = 1),
+    touches AS (
+      SELECT e.user_id, e.event_type,
+             ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS pos,
+             COUNT(*) OVER (PARTITION BY e.user_id) AS n
+      FROM events e JOIN conv c ON c.user_id = e.user_id
+      WHERE (e.ts < c.cts OR (e.ts = c.cts AND e.event_id < c.cid))
+        AND e.event_type <> 'purchase'
+    ),
+    cred AS (
+      SELECT event_type,
+             CAST(ROUND(CASE WHEN n = 1 THEN 1.0
+                             WHEN pos = 1 OR pos = n THEN 0.4
+                             ELSE 0.2 / (n - 2) END, 6)
+                  AS DECIMAL(18,6)) AS credit
+      FROM touches
+    )
+    SELECT event_type AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(CAST(SUM(credit) AS DOUBLE), 6) AS credit
+    FROM cred GROUP BY 1
+    """,
+    "U-shaped (position-based 40/20/40) multi-touch attribution — the "
+    "third member of the family (q130 first-touch, q205 linear): first and "
+    "last pre-conversion touches get 0.4 each, the middle splits 0.2. "
+    "Per-event credits are 6-dp-rounded into exact DECIMAL before the "
+    "cross-row sum, so the aggregate is order-independent; journeys use "
+    "one user-partitioned window pass with the (ts, event_id) tie-break",
+    ("relational", "attribution", "funnel"),
+)
+def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    conv = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "event_id", F.row_number().over(wp).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("_uid"),
+            F.col("ts").alias("cts"),
+            F.col("event_id").alias("cid"),
+        )
+    )
+    touches = (
+        t.events.join(conv, F.col("user_id") == F.col("_uid"))
+        .filter(
+            (
+                (F.col("ts") < F.col("cts"))
+                | (
+                    (F.col("ts") == F.col("cts"))
+                    & (F.col("event_id") < F.col("cid"))
+                )
+            )
+            & (F.col("event_type") != "purchase")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.row_number().over(wp).alias("pos"),
+            F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+        )
+    )
+    credit = (
+        F.round(
+            F.when(F.col("n") == 1, F.lit(1.0))
+            .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), 0.4)
+            .otherwise(F.lit(0.2) / (F.col("n") - 2)),
+            6,
+        )
+    ).cast("decimal(18,6)")
+    return (
+        touches.select(F.col("event_type").alias("channel"), credit.alias("c"))
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.round(F.sum("c").cast("double"), 6).alias("credit"),
+        )
+    )
+
+
+@register(
+    "q224_daily_first_dedup",
+    """
+    WITH r AS (
+      SELECT CAST(ts AS DATE) AS day,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type,
+                                             CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+           ROUND(1.0 - CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_share
+    FROM r GROUP BY 1
+    """,
+    "calendar-bucket keep-first dedup: first event per (user, type, day) "
+    "survives — the batch shape of a streaming daily-notification "
+    "suppression rule, and the calendar-keyed sibling of q64's plain "
+    "keep-first. One composite-key window (bounded partitions: one user's "
+    "one type on one day), per-day reduction ratios",
+    ("relational", "dedup", "window"),
+)
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    day = F.col("ts").cast("date")
+    w = Window.partitionBy("user_id", "event_type", day).orderBy(
+        "ts", "event_id"
+    )
+    r = t.events.select(
+        day.alias("day"), F.row_number().over(w).alias("rn")
+    )
+    kept = F.count(F.when(F.col("rn") == 1, 1))
+    return r.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        kept.cast("bigint").alias("n_kept"),
+        F.round(
+            F.lit(1.0) - kept.cast("double") / F.count("*").cast("double"), 6
+        ).alias("dup_share"),
+    )
+
+
+@register(
+    "q226_capped_sessions",
+    """
+    WITH e AS (
+      -- whole-second epochs (floor, not round): Spark's unix_timestamp
+      -- truncates to seconds while duckdb epoch() keeps the fraction and
+      -- CAST(double AS BIGINT) ROUNDS — both the 30-min gap boundary and
+      -- the span would drift by ±1s without this pin
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, ep,
+             CASE WHEN lag(ep) OVER w IS NULL
+                       OR ep - lag(ep) OVER w > 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, ts, event_id, ep,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ),
+    c AS (
+      SELECT user_id, sid, ep,
+             (ep - MIN(ep) OVER (PARTITION BY user_id, sid)) // 21600
+               AS chunk
+      FROM g
+    ),
+    f AS (
+      SELECT user_id, sid, chunk, COUNT(*) AS n_events,
+             MAX(ep) - MIN(ep) AS span_s
+      FROM c GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
+             AS avg_events,
+           CAST(MAX(span_s) AS BIGINT) AS max_span_s,
+           CAST(COUNT(CASE WHEN chunk > 0 THEN 1 END) AS BIGINT)
+             AS n_cap_chunks
+    FROM f
+    """,
+    "dual-constraint sessionization: 30-min idle gap AND a 6-hour hard cap "
+    "(long sessions split into 6h chunks — the rule real analytics "
+    "pipelines add so a bot's week-long click stream can't form one "
+    "session). Two window passes over the user-partitioned stream (gap "
+    "islands, then chunk = elapsed DIV 21600 within session), exact "
+    "integer epoch arithmetic throughout; the 6h cap is assignment by "
+    "arithmetic, not another gaps-and-islands scan",
+    ("relational", "session", "window"),
+)
+def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ep = F.unix_timestamp("ts")  # NTZ under UTC session tz == epoch(ts)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((ep - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    g = s.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    ws = Window.partitionBy("user_id", "sid")
+    c = g.select(
+        "user_id",
+        "sid",
+        ep.alias("ep"),
+        ((ep - F.min(ep).over(ws)) / F.lit(21600))
+        .cast("bigint")
+        .alias("chunk"),
+    )
+    f = c.groupBy("user_id", "sid", "chunk").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ep") - F.min("ep")).alias("span_s"),
+    )
+    return f.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count("*"), 6
+        ).alias("avg_events"),
+        F.max("span_s").cast("bigint").alias("max_span_s"),
+        F.count(F.when(F.col("chunk") > 0, 1))
+        .cast("bigint")
+        .alias("n_cap_chunks"),
+    )

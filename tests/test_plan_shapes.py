@@ -105,6 +105,7 @@ _BNLJ_ALLOWED = {
     "q208_theil_sen_trend",  # calendar-bounded (~2.4k-row) day relation broadcast for the by-definition all-pairs slope enumeration + 1-row medians
     "q209_quality_calibration",  # 9-row quantile-boundary broadcast onto scored docs
     "q213_hll_merge",  # two 1-row sketch-estimate aggregates broadcast onto counts
+    "q220_lorenz_curve",  # 1-row rank-total broadcast onto ranked rollup + 10 decile rows (q124's shape)
 }
 
 
