@@ -1213,3 +1213,62 @@ def test_arrow_is_force_enabled(spark):
         assert spark.conf.get(key) == "true"
     finally:
         spark.conf.set(key, old)
+
+
+def test_char_shingles_edges_and_df_cut(spark):
+    """char_shingles: docs shorter than n yield zero shingles; the df-cut
+    in pair_stats_from_shingles defines similarity over the KEPT shingle
+    space (cardinalities count kept shingles only)."""
+    from fluvii_spark.operators.dedup import (
+        char_shingles,
+        pair_stats_from_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "abc"), (1, "abcdef"), (2, "abcdef"), (3, "xxabcdef"), (4, None)],
+        ["doc_id", "text"],
+    )
+    sh = char_shingles(df, "doc_id", "text", n=4)
+    rows = sh.collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 3}  # "abc"/"" too short
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["shingle"])
+    assert by_doc[1] == {"abcd", "bcde", "cdef"}
+    assert by_doc[3] == {"xxab", "xabc", "abcd", "bcde", "cdef"}
+
+    stats = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["n_a"], r["n_b"])
+        for r in pair_stats_from_shingles(sh, "doc_id").collect()
+    }
+    assert stats[(1, 2)] == (3, 3, 3)  # identical docs: full overlap
+    assert stats[(1, 3)] == (3, 3, 5)
+    # df-cut 2 drops the 3-doc shingles; only doc 3's private ones survive,
+    # so no pair shares a kept shingle and cardinalities shrink with it
+    cut = pair_stats_from_shingles(sh, "doc_id", max_doc_freq=2).collect()
+    assert cut == []
+
+
+def test_release_local_checkpoint_contract(spark):
+    """Frees blocks for eager, lazy, and projection-over-checkpoint plans;
+    no-op (False) for plans without a LogicalRDD leaf."""
+    from fluvii_spark.operators.stats import release_local_checkpoint
+
+    def n_persisted() -> int:
+        return int(spark.sparkContext._jsc.getPersistentRDDs().size())
+
+    base = n_persisted()
+    df = spark.range(100).selectExpr("id", "id * 2 AS y")
+    assert release_local_checkpoint(df) is False  # no checkpoint leaf
+
+    ck = df.localCheckpoint(eager=True)
+    assert n_persisted() == base + 1
+    proj = ck.selectExpr("y + 1 AS z")  # projection over the checkpoint
+    assert proj.count() == 100
+    assert release_local_checkpoint(proj) is True
+    assert n_persisted() == base
+
+    lazy = df.localCheckpoint(eager=False)
+    assert lazy.count() == 100  # materializes the lazy checkpoint
+    assert release_local_checkpoint(lazy) is True
+    assert n_persisted() == base
