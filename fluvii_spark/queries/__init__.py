@@ -71,7 +71,8 @@ _DRIVER_PROVEN = {
 # proofs + 5 deferred re-proofs = 17 against the ~50-row cap — all fit.
 _UNPROVEN_ORDER: list[str] = [
     "q215", "q216", "q217", "q218", "q219", "q220", "q221", "q222",
-    "q223", "q224", "q225", "q226",
+    "q223", "q224", "q225", "q226", "q227", "q228", "q229", "q230",
+    "q231", "q232", "q233", "q234",
 ]
 
 # Deferred-tier re-proofs: queries whose expression or oracle changed in

@@ -182,3 +182,149 @@ def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "q231_langid_confusion",
+    """
+    WITH scores AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text,' '),
+                 t -> t IN ('der','die','das','und','ist'))) AS s_de,
+             len(list_filter(string_split(text,' '),
+                 t -> t IN ('the','a','of','and','is'))) AS s_en,
+             len(list_filter(string_split(text,' '),
+                 t -> t IN ('el','la','de','y','es'))) AS s_es,
+             len(list_filter(string_split(text,' '),
+                 t -> t IN ('le','la','et','de','est'))) AS s_fr,
+             len(list_filter(string_split(text,' '),
+                 t -> t IN ('de','le','shi','he','zai'))) AS s_zh
+      FROM documents),
+    pred AS (
+      SELECT lang AS true_lang,
+             CASE WHEN s_de >= GREATEST(s_en, s_es, s_fr, s_zh) THEN 'de'
+                  WHEN s_en >= GREATEST(s_es, s_fr, s_zh) THEN 'en'
+                  WHEN s_es >= GREATEST(s_fr, s_zh) THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+      FROM scores)
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY true_lang), 6)
+             AS row_share
+    FROM pred GROUP BY 1, 2
+    """,
+    "language-ID confusion matrix: q40's marker-token predictor against "
+    "the declared lang column, with per-true-language row shares — the "
+    "classifier-quality readout that decides whether the cheap heuristic "
+    "is good enough to gate a mixture. One scan + a window over ≤25 "
+    "contracted confusion cells",
+    ("llm", "text", "evaluation"),
+)
+def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators import text as T
+
+    t = load_tables(spark, sf_dir)
+    g = (
+        t.documents.select(
+            F.col("lang").alias("true_lang"),
+            T.predict_lang("text").alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    w = Window.partitionBy("true_lang")  # ≤25 confusion cells — contracted
+    return g.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ).alias("row_share"),
+    )
+
+
+@register(
+    "q232_ann_label_mrr",
+    """
+    WITH base AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+          FROM base WHERE vec_id < 10),
+    ranked AS (
+      SELECT q.qid, q.qlabel, b.label,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(b.v, q.qv), 6) DESC,
+                        b.vec_id) AS rn
+      FROM base b, q WHERE b.vec_id <> q.qid
+    ),
+    hit AS (
+      SELECT qid, MIN(rn) AS first_hit
+      FROM ranked WHERE label = qlabel AND rn <= 10 GROUP BY qid
+    ),
+    rr AS (
+      SELECT q.qid,
+             CAST(ROUND(COALESCE(1.0 / h.first_hit, 0.0), 6)
+                  AS DECIMAL(18,6)) AS rr
+      FROM q LEFT JOIN hit h ON h.qid = q.qid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(CAST(SUM(rr) AS DOUBLE) / COUNT(*), 6) AS mrr,
+           CAST(COUNT(CASE WHEN rr > 0 THEN 1 END) AS BIGINT) AS n_hit
+    FROM rr
+    """,
+    "retrieval MRR@10 with label relevance: for the first 10 query "
+    "vectors, the reciprocal rank of the first same-label neighbor in the "
+    "exact cosine top-10 (0 if absent) — the ranking-quality metric that "
+    "complements q189's recall (how EARLY the right answer appears, not "
+    "just whether). Brute-force scan against a 10-row broadcast probe set "
+    "(q74's shape), ranks on 6-dp-rounded cosine with the vec_id "
+    "tie-break, per-probe reciprocal ranks rounded into DECIMAL before "
+    "the cross-probe mean",
+    ("llm", "similarity", "ann", "evaluation"),
+)
+def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators import similarity as S
+
+    t = load_tables(spark, sf_dir)
+    corpus = t.embeddings
+    q = corpus.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "label",
+            "vec_id",
+            F.round(F.expr(S.cosine_sql("embedding", "qvec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    hit = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 10) & (F.col("label") == F.col("qlabel")))
+        .groupBy("qid")
+        .agg(F.min("rn").alias("first_hit"))
+        .withColumnRenamed("qid", "_hq")
+    )
+    rr = q.join(F.broadcast(hit), q.qid == F.col("_hq"), "left").select(
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_hit"), F.lit(0.0)), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("rr")
+    )
+    return rr.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.round(F.sum("rr").cast("double") / F.count("*"), 6).alias("mrr"),
+        F.count(F.when(F.col("rr") > 0, 1)).cast("bigint").alias("n_hit"),
+    )

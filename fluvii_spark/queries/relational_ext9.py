@@ -712,3 +712,390 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_cap_chunks"),
     )
+
+
+@register(
+    "q227_large_orders",
+    """
+    WITH oq AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS tq
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           ROUND(CAST(oq.tq AS DOUBLE), 6) AS total_qty
+    FROM oq JOIN orders o ON o.o_orderkey = oq.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_qty DESC, o.o_orderkey LIMIT 20
+    """,
+    "TPC-H Q18-shaped large-volume orders: per-order quantity rollup with "
+    "a HAVING gate (exact DECIMAL sum — no float boundary), survivors "
+    "joined back to orders and customer. The rollup contracts lineitem "
+    "before any dimension join; TakeOrdered 20 with the orderkey tie-break",
+    ("relational", "tpch", "having"),
+)
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    oq = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("tq"))
+        .filter(F.col("tq") > 150)
+    )
+    return (
+        oq.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(t.customer.select("c_custkey", "c_name")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.round(F.col("tq").cast("double"), 6).alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q228_supplier_variety",
+    """
+    WITH sup AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    excl AS (SELECT s_suppkey FROM supplier
+             WHERE CAST(s_acctbal AS DOUBLE) < 0)
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT s.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM sup s JOIN part p ON p.p_partkey = s.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 13, 17)
+      AND s.l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size LIMIT 20
+    """,
+    "TPC-H Q16-shaped supplier variety: distinct suppliers per "
+    "(brand, type, size) over the observed part-supplier relation, "
+    "excluding negative-balance suppliers (the complaints stand-in; the "
+    "schema has no partsupp, so supply = shipped-at-least-once). The "
+    "exclusion NOT IN decorrelates to a broadcast ANTI join (s_suppkey is "
+    "non-null — NOT IN's NULL trap can't fire); TakeOrdered 20 on the "
+    "unique group key",
+    ("relational", "tpch", "anti-join"),
+)
+def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    sup = t.lineitem.select("l_partkey", "l_suppkey").distinct()
+    excl = t.supplier.filter(
+        F.col("s_acctbal").cast("double") < 0
+    ).select("s_suppkey")
+    tgt = t.part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        sup.join(F.broadcast(tgt), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(excl),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(
+            F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "q229_duplicate_invoices",
+    """
+    SELECT a.o_orderkey AS id_a, b.o_orderkey AS id_b, a.o_custkey,
+           ROUND(CAST(a.o_totalprice AS DOUBLE), 6) AS amount,
+           CAST(datediff('day', a.o_orderdate, b.o_orderdate) AS BIGINT)
+             AS gap_days
+    FROM orders a JOIN orders b
+      ON b.o_custkey = a.o_custkey
+     AND b.o_totalprice = a.o_totalprice
+     AND b.o_orderkey > a.o_orderkey
+    WHERE ABS(datediff('day', a.o_orderdate, b.o_orderdate)) <= 7
+    """,
+    "duplicate-invoice detection: order pairs from the same customer with "
+    "the SAME total amount within 7 days — the double-billing audit. "
+    "Self-join strictly on the (custkey, totalprice) equi-key (exact "
+    "parquet-value equality — no float tolerance, so the join never fans "
+    "out beyond true amount collisions), day-gap as a residual filter, "
+    "id_a < id_b dedup built into the join condition",
+    ("relational", "dedup", "audit"),
+)
+def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    a = t.orders.select(
+        F.col("o_orderkey").alias("id_a"),
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("_d_a"),
+    )
+    b = t.orders.select(
+        F.col("o_orderkey").alias("id_b"),
+        F.col("o_custkey").alias("_ck_b"),
+        F.col("o_totalprice").alias("_tp_b"),
+        F.col("o_orderdate").alias("_d_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("_ck_b") == F.col("o_custkey"))
+            & (F.col("_tp_b") == F.col("o_totalprice"))
+            & (F.col("id_b") > F.col("id_a")),
+        )
+        .filter(
+            F.abs(F.datediff(F.col("_d_b"), F.col("_d_a"))) <= 7
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "o_custkey",
+            F.round(F.col("o_totalprice").cast("double"), 6).alias("amount"),
+            F.datediff(F.col("_d_b"), F.col("_d_a"))
+            .cast("bigint")
+            .alias("gap_days"),
+        )
+    )
+
+
+@register(
+    "q230_price_iqr_fences",
+    """
+    WITH v AS (
+      SELECT p.p_brand, CAST(l.l_extendedprice AS DOUBLE) AS x,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    ranked AS (
+      SELECT p_brand, x,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY x, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY p_brand) AS n
+      FROM v
+    ),
+    qs AS (
+      SELECT p_brand, MAX(n) AS n,
+             MAX(CASE WHEN rn = CAST(ceiling(0.25 * n) AS BIGINT)
+                      THEN x END) AS q1,
+             MAX(CASE WHEN rn = CAST(ceiling(0.75 * n) AS BIGINT)
+                      THEN x END) AS q3
+      FROM ranked GROUP BY 1
+    ),
+    f AS (
+      SELECT p_brand, n, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+      FROM qs
+    )
+    SELECT f.p_brand, CAST(f.n AS BIGINT) AS n_lines,
+           ROUND(f.q1, 6) AS q1, ROUND(f.q3, 6) AS q3,
+           CAST(COUNT(CASE WHEN v.x < f.lo OR v.x > f.hi THEN 1 END)
+                AS BIGINT) AS n_outliers
+    FROM v JOIN f USING (p_brand)
+    GROUP BY 1, 2, 3, 4
+    """,
+    "Tukey IQR fences per brand: discrete Q1/Q3 (actual observed values at "
+    "rank ceil(p·n) — dyadic p, exact boundary), fences q1±1.5·IQR, "
+    "outlier share — the robust-outlier companion to z-score (q110), MAD "
+    "(q91) and winsorizing (q113). Ranks come from distributed_row_number "
+    "+ per-group offsets (never 25 single-task windows); fences return as "
+    "a 25-row broadcast against the line scan",
+    ("relational", "quantile", "outliers"),
+)
+def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.ranking import distributed_row_number
+
+    t = load_tables(spark, sf_dir)
+    v = t.lineitem.join(
+        F.broadcast(t.part.select("p_partkey", "p_brand")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    ).select(
+        "p_brand",
+        F.col("l_extendedprice").cast("double").alias("x"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = distributed_row_number(
+        v, ["p_brand", "x", "l_orderkey", "l_linenumber"], out_col="rnk"
+    )
+    grp = ranked.groupBy(F.col("p_brand").alias("_b")).agg(
+        F.min("rnk").alias("base"), F.count("*").alias("n")
+    )
+    qs = (
+        ranked.join(
+            F.broadcast(grp), F.col("p_brand") == F.col("_b")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(
+                F.when(
+                    F.col("rnk")
+                    == F.ceil(0.25 * F.col("n")) + F.col("base") - 1,
+                    F.col("x"),
+                )
+            ).alias("q1"),
+            F.max(
+                F.when(
+                    F.col("rnk")
+                    == F.ceil(0.75 * F.col("n")) + F.col("base") - 1,
+                    F.col("x"),
+                )
+            ).alias("q3"),
+        )
+    )
+    f = qs.select(
+        F.col("p_brand").alias("_fb"),
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        v.join(F.broadcast(f), F.col("p_brand") == F.col("_fb"))
+        .groupBy("p_brand", "n", "q1", "q3")
+        .agg(
+            F.count(
+                F.when((F.col("x") < F.col("lo")) | (F.col("x") > F.col("hi")), 1)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "p_brand",
+            F.col("n").cast("bigint").alias("n_lines"),
+            F.round("q1", 6).alias("q1"),
+            F.round("q3", 6).alias("q3"),
+            "n_outliers",
+        )
+    )
+
+
+@register(
+    "q233_rare_category_collapse",
+    """
+    WITH c AS (SELECT p_type, COUNT(*) AS n FROM part GROUP BY 1),
+    t AS (SELECT SUM(n) AS total FROM c),
+    lab AS (
+      SELECT CASE WHEN CAST(n AS DOUBLE) / t.total >= 0.02 THEN p_type
+                  ELSE 'OTHER' END AS category,
+             n, t.total
+      FROM c, t
+    )
+    SELECT category, CAST(SUM(n) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(n) AS DOUBLE) / MAX(total), 6) AS share
+    FROM lab GROUP BY 1
+    """,
+    "rare-category collapse: part types below a 2% share fold into "
+    "'OTHER' — the cardinality-control transform every feature pipeline "
+    "applies before one-hot/embedding. One hash aggregate contracts to "
+    "|types| rows; the 1-row total broadcasts back; the 2% boundary is a "
+    "single identical IEEE division on both engines",
+    ("relational", "categorical"),
+)
+def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t.part.groupBy("p_type").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").alias("total"))
+    lab = c.crossJoin(F.broadcast(tot)).select(
+        F.when(
+            F.col("n").cast("double") / F.col("total") >= 0.02,
+            F.col("p_type"),
+        )
+        .otherwise("OTHER")
+        .alias("category"),
+        "n",
+        "total",
+    )
+    return lab.groupBy("category").agg(
+        F.sum("n").cast("bigint").alias("n_parts"),
+        F.round(
+            F.sum("n").cast("double") / F.max("total"), 6
+        ).alias("share"),
+    )
+
+
+@register(
+    "q234_session_entropy",
+    """
+    WITH c AS (
+      SELECT user_id,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS c1,
+             COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS c2,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS c3,
+             COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS c4,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS c5,
+             COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    h AS (
+      SELECT user_id,
+             CAST(ROUND(
+               0 - (CASE WHEN c1 = 0 THEN 0 ELSE (CAST(c1 AS DOUBLE)/n)
+                         * ln(CAST(c1 AS DOUBLE)/n) END
+                  + CASE WHEN c2 = 0 THEN 0 ELSE (CAST(c2 AS DOUBLE)/n)
+                         * ln(CAST(c2 AS DOUBLE)/n) END
+                  + CASE WHEN c3 = 0 THEN 0 ELSE (CAST(c3 AS DOUBLE)/n)
+                         * ln(CAST(c3 AS DOUBLE)/n) END
+                  + CASE WHEN c4 = 0 THEN 0 ELSE (CAST(c4 AS DOUBLE)/n)
+                         * ln(CAST(c4 AS DOUBLE)/n) END
+                  + CASE WHEN c5 = 0 THEN 0 ELSE (CAST(c5 AS DOUBLE)/n)
+                         * ln(CAST(c5 AS DOUBLE)/n) END), 6)
+               AS DECIMAL(18,6)) AS ent
+      FROM c
+    )
+    SELECT CAST(FLOOR(CAST(ent AS DOUBLE) / 0.05) AS BIGINT) AS ent_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(ent) AS DOUBLE) / COUNT(*), 6) AS avg_entropy
+    FROM h GROUP BY 1
+    """,
+    "behavioral diversity: per-user Shannon entropy of the event-type "
+    "distribution, bucketed at 0.05 nats — bots cluster at 0 (one action "
+    "repeated), engaged humans spread out. The 5 entropy terms are a "
+    "FIXED-ORDER in-row expression (never a cross-row float sum), per-user "
+    "entropy is 6-dp-rounded into DECIMAL before the bucket aggregate, and "
+    "the bucket edge divides identically-derived doubles on both engines",
+    ("relational", "entropy", "behavior"),
+)
+def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cnt = [
+        F.count(F.when(F.col("event_type") == et, 1)).alias(f"c{i+1}")
+        for i, et in enumerate(
+            ["click", "error", "purchase", "signup", "view"]
+        )
+    ]
+    c = t.events.groupBy("user_id").agg(*cnt, F.count("*").alias("n"))
+
+    def term(col: str):
+        p = F.col(col).cast("double") / F.col("n")
+        return F.when(F.col(col) == 0, F.lit(0.0)).otherwise(p * F.log(p))
+
+    ent = F.round(
+        F.lit(0)
+        - (
+            term("c1") + term("c2") + term("c3") + term("c4") + term("c5")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    h = c.select(ent.alias("ent"))
+    return h.groupBy(
+        F.floor(F.col("ent").cast("double") / 0.05)
+        .cast("bigint")
+        .alias("ent_bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.sum("ent").cast("double") / F.count("*"), 6).alias(
+            "avg_entropy"
+        ),
+    )
