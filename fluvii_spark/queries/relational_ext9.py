@@ -58,8 +58,10 @@ def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = t.part.filter(
         (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15)
     ).select("p_partkey")
+    # tgt is a ~1% slice of part but part itself grows with the corpus —
+    # no forced broadcast; AQE converts the pruned side when small
     li = t.lineitem.join(
-        F.broadcast(tgt), t.lineitem.l_partkey == tgt.p_partkey
+        tgt, t.lineitem.l_partkey == tgt.p_partkey
     ).select("l_partkey", "l_quantity", "l_extendedprice")
     w = Window.partitionBy("l_partkey")
     th = F.lit(0.2) * (
@@ -119,10 +121,12 @@ def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(price * (F.lit(1) - disc)).alias("total"))
     )
     mx = rev.agg(F.max("total").alias("mx"))
+    # broadcast the CONTRACTED side (max-revenue rows: ~1), never the
+    # supplier dimension — suppliers grow with the corpus
+    top = rev.join(F.broadcast(mx), rev.total == F.col("mx"))
     return (
-        rev.join(F.broadcast(mx), rev.total == F.col("mx"))
-        .join(
-            F.broadcast(t.supplier),
+        t.supplier.join(
+            F.broadcast(top),
             F.col("s_suppkey") == F.col("l_suppkey"),
         )
         .select(
@@ -743,9 +747,12 @@ def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tq") > 150)
     )
     return (
+        # the HAVING-gated rollup contracts the join long before customer;
+        # no forced broadcast of a dimension that grows with the corpus —
+        # AQE converts the contracted side when it is in fact small
         oq.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(
-            F.broadcast(t.customer.select("c_custkey", "c_name")),
+            t.customer.select("c_custkey", "c_name"),
             F.col("c_custkey") == F.col("o_custkey"),
         )
         .select(
@@ -794,9 +801,11 @@ def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 5, 9, 13, 17)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
-        sup.join(F.broadcast(tgt), F.col("p_partkey") == F.col("l_partkey"))
+        # tgt (~10% of part) and excl (~half of supplier) both GROW with
+        # the corpus — no forced broadcasts; AQE converts when small
+        sup.join(tgt, F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(excl),
+            excl,
             F.col("s_suppkey") == F.col("l_suppkey"),
             "left_anti",
         )
@@ -915,8 +924,11 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluvii_spark.operators.ranking import distributed_row_number
 
     t = load_tables(spark, sf_dir)
+    # the full part projection grows with the corpus — no forced
+    # broadcast (AQE converts when it is in fact small); the 25-row
+    # fences relation below IS broadcast
     v = t.lineitem.join(
-        F.broadcast(t.part.select("p_partkey", "p_brand")),
+        t.part.select("p_partkey", "p_brand"),
         F.col("p_partkey") == F.col("l_partkey"),
     ).select(
         "p_brand",
