@@ -45,6 +45,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = registry()
+    # SPARK_GRAFT_BENCH_ONLY=q01_...,q02_... restricts the run — the
+    # apples-to-apples lever for round-over-round trend adjudication
+    # (re-run exactly the PREVIOUS round's inventory so added queries
+    # can't inflate shared per-query walls via pool contention)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {n for n in only.split(",") if n}
+        qs = {n: q for n, q in qs.items() if n in keep}
     timings: dict[str, float] = {}
 
     # warm the JVM/codegen/file-index paths so timings measure queries, not
@@ -84,6 +92,7 @@ def main() -> None:
     # longest-processing-time makespan heuristic (ordering from measured
     # BENCH history; unknown names just run in name order afterwards).
     heavy_first = [
+        "q218_char_ngram_jaccard", "q220_lorenz_curve", "q221_interorder_gaps",
         "q208_theil_sen_trend", "q198_triangle_count", "q207_pagerank_brands",
         "q206_ship_latency_quantiles", "q210_degree_powerlaw_fit",
         "q194_minhash_fidelity", "q209_quality_calibration",
