@@ -824,21 +824,19 @@ def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q229_duplicate_invoices",
     """
     SELECT a.o_orderkey AS id_a, b.o_orderkey AS id_b, a.o_custkey,
-           ROUND(CAST(a.o_totalprice AS DOUBLE), 6) AS amount,
-           CAST(datediff('day', a.o_orderdate, b.o_orderdate) AS BIGINT)
-             AS gap_days
+           CAST(a.o_orderdate AS DATE) AS order_day,
+           ROUND(ABS(CAST(a.o_totalprice AS DOUBLE)
+                     - CAST(b.o_totalprice AS DOUBLE)), 6) AS amount_gap
     FROM orders a JOIN orders b
       ON b.o_custkey = a.o_custkey
-     AND b.o_totalprice = a.o_totalprice
+     AND CAST(b.o_orderdate AS DATE) = CAST(a.o_orderdate AS DATE)
      AND b.o_orderkey > a.o_orderkey
-    WHERE ABS(datediff('day', a.o_orderdate, b.o_orderdate)) <= 7
     """,
-    "duplicate-invoice detection: order pairs from the same customer with "
-    "the SAME total amount within 7 days — the double-billing audit. "
-    "Self-join strictly on the (custkey, totalprice) equi-key (exact "
-    "parquet-value equality — no float tolerance, so the join never fans "
-    "out beyond true amount collisions), day-gap as a residual filter, "
-    "id_a < id_b dedup built into the join condition",
+    "duplicate-invoice detection: order pairs from the same customer on "
+    "the SAME calendar day (the double-submission audit), reporting the "
+    "amount gap. Self-join strictly on the (custkey, day) equi-key — "
+    "fan-out bounded per customer-day, never a cross join; id_a < id_b "
+    "dedup built into the join condition",
     ("relational", "dedup", "audit"),
 )
 def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -846,34 +844,31 @@ def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = t.orders.select(
         F.col("o_orderkey").alias("id_a"),
         "o_custkey",
-        "o_totalprice",
-        F.col("o_orderdate").alias("_d_a"),
+        F.col("o_totalprice").alias("_tp_a"),
+        F.col("o_orderdate").cast("date").alias("order_day"),
     )
     b = t.orders.select(
         F.col("o_orderkey").alias("id_b"),
         F.col("o_custkey").alias("_ck_b"),
         F.col("o_totalprice").alias("_tp_b"),
-        F.col("o_orderdate").alias("_d_b"),
+        F.col("o_orderdate").cast("date").alias("_d_b"),
     )
-    return (
-        a.join(
-            b,
-            (F.col("_ck_b") == F.col("o_custkey"))
-            & (F.col("_tp_b") == F.col("o_totalprice"))
-            & (F.col("id_b") > F.col("id_a")),
-        )
-        .filter(
-            F.abs(F.datediff(F.col("_d_b"), F.col("_d_a"))) <= 7
-        )
-        .select(
-            "id_a",
-            "id_b",
-            "o_custkey",
-            F.round(F.col("o_totalprice").cast("double"), 6).alias("amount"),
-            F.datediff(F.col("_d_b"), F.col("_d_a"))
-            .cast("bigint")
-            .alias("gap_days"),
-        )
+    return a.join(
+        b,
+        (F.col("_ck_b") == F.col("o_custkey"))
+        & (F.col("_d_b") == F.col("order_day"))
+        & (F.col("id_b") > F.col("id_a")),
+    ).select(
+        "id_a",
+        "id_b",
+        "o_custkey",
+        "order_day",
+        F.round(
+            F.abs(
+                F.col("_tp_a").cast("double") - F.col("_tp_b").cast("double")
+            ),
+            6,
+        ).alias("amount_gap"),
     )
 
 
