@@ -93,92 +93,107 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q225_embedding_norm_audit",
     """
-    WITH norms AS (
-      SELECT label,
-             CAST(ROUND(sqrt(list_sum(list_transform(
-                    CAST(embedding AS DOUBLE[]), x -> x * x))) * 1000000.0)
-                  AS BIGINT) AS ni
+    WITH v AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS e
       FROM embeddings
       WHERE embedding IS NOT NULL AND len(embedding) > 0
     ),
+    scaled AS (
+      SELECT label,
+             CAST(ROUND(sqrt(list_sum(list_transform(e, x -> x * x)))
+                        * 1000000.0) AS BIGINT) AS ni,
+             CAST(ROUND((list_sum(e) / len(e)) * 1000000.0) AS BIGINT) AS bi
+      FROM v
+    ),
     m AS (
       SELECT label, COUNT(*) AS n,
-             SUM(CAST(ni AS HUGEINT)) AS s1,
-             SUM(CAST(ni AS HUGEINT) * ni) AS s2
-      FROM norms GROUP BY 1
+             SUM(CAST(ni AS HUGEINT)) AS sn,
+             SUM(CAST(bi AS HUGEINT)) AS s1,
+             SUM(CAST(bi AS HUGEINT) * bi) AS s2
+      FROM scaled GROUP BY 1
     ),
     st AS (
       SELECT label, n,
-             CAST(s1 AS DOUBLE) / n / 1000000.0 AS mean_norm,
+             CAST(sn AS DOUBLE) / n / 1000000.0 AS mean_norm,
+             CAST(s1 AS DOUBLE) / n / 1000000.0 AS bias_mean,
              sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n / 1000000.0 AS sd
       FROM m
     )
     SELECT st.label, CAST(st.n AS BIGINT) AS n_vectors,
            ROUND(mean_norm, 6) AS mean_norm,
-           ROUND(sd, 6) AS sd_norm,
-           CAST(COUNT(CASE WHEN ABS(CAST(ni AS DOUBLE) / 1000000.0
-                                    - mean_norm) > 2 * sd
+           ROUND(bias_mean, 6) AS bias_mean,
+           ROUND(sd, 6) AS bias_sd,
+           CAST(COUNT(CASE WHEN ABS(CAST(bi AS DOUBLE) / 1000000.0
+                                    - bias_mean) > 2 * sd
                            THEN 1 END) AS BIGINT) AS n_outliers
-    FROM norms JOIN st USING (label)
-    GROUP BY 1, 2, 3, 4
+    FROM scaled JOIN st USING (label)
+    GROUP BY 1, 2, 3, 4, 5
     """,
-    "embedding norm hygiene per label: mean/sd of L2 norms and the count "
-    "of >2σ outliers — the vector-quality gate run before indexing (a "
-    "norm outlier is a broken encode or an unnormalized batch). Norms are "
-    "6-dp-rounded then scaled to exact INTEGERS, so the cross-row moment "
-    "sums are order-independent (the float-accumulation trap); mean/sd "
-    "are single IEEE divisions from exact integer moments; the z-boundary "
-    "compares identically-derived doubles on both engines. One scan + a "
-    "5-row broadcast back over labels",
+    "embedding hygiene per label: mean L2 norm (asserts the corpus is "
+    "normalized — it reads 1.0 here) plus the per-vector COMPONENT-BIAS "
+    "distribution (mean coordinate): mean/sd and >2\u03c3 outlier counts — a "
+    "biased mean coordinate is the classic symptom of a broken encoder "
+    "batch or a missing centering step. Norms and biases are 6-dp-rounded "
+    "then scaled to exact INTEGERS so the cross-row moment sums are "
+    "order-independent (the float-accumulation trap); mean/sd are single "
+    "IEEE divisions from exact integer moments; the z-boundary compares "
+    "identically-derived doubles on both engines. One scan + a 10-row "
+    "broadcast back over labels",
     ("llm", "embedding", "quality"),
 )
 def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     v = F.col("embedding").cast("array<double>")
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(v, lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    acc = lambda col: F.aggregate(  # noqa: E731 — in-row fold, index order
+        col, F.lit(0.0), lambda a, x: a + x
     )
-    ni = F.round(norm * F.lit(1000000.0)).cast("bigint")
-    norms = t.embeddings.filter(v.isNotNull() & (F.size(v) > 0)).select(
-        "label", ni.alias("ni")
+    norm = F.sqrt(acc(F.transform(v, lambda x: x * x)))
+    meanc = acc(v) / F.size(v)
+    scaled = t.embeddings.filter(v.isNotNull() & (F.size(v) > 0)).select(
+        "label",
+        F.round(norm * F.lit(1000000.0)).cast("bigint").alias("ni"),
+        F.round(meanc * F.lit(1000000.0)).cast("bigint").alias("bi"),
     )
-    m = norms.groupBy("label").agg(
+    m = scaled.groupBy("label").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("ni").cast("decimal(38,0)")).alias("s1"),
-        F.sum(
-            F.col("ni").cast("decimal(38,0)") * F.col("ni")
-        ).alias("s2"),
+        F.sum(F.col("ni").cast("decimal(38,0)")).alias("sn"),
+        F.sum(F.col("bi").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("bi").cast("decimal(38,0)") * F.col("bi")).alias("s2"),
     )
     st = m.select(
         F.col("label").alias("_lbl"),
         "n",
-        (F.col("s1").cast("double") / F.col("n") / 1000000.0).alias(
+        (F.col("sn").cast("double") / F.col("n") / 1000000.0).alias(
             "mean_norm"
         ),
+        (F.col("s1").cast("double") / F.col("n") / 1000000.0).alias(
+            "bias_mean"
+        ),
         (
-            F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+            F.sqrt(
+                (
+                    F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+                ).cast("double")
+            )
             / F.col("n")
             / 1000000.0
         ).alias("sd"),
     )
     out = F.when(
-        F.abs(F.col("ni").cast("double") / 1000000.0 - F.col("mean_norm"))
+        F.abs(F.col("bi").cast("double") / 1000000.0 - F.col("bias_mean"))
         > 2 * F.col("sd"),
         1,
     )
     return (
-        norms.join(F.broadcast(st), norms.label == F.col("_lbl"))
-        .groupBy("label", "n", "mean_norm", "sd")
+        scaled.join(F.broadcast(st), scaled.label == F.col("_lbl"))
+        .groupBy("label", "n", "mean_norm", "bias_mean", "sd")
         .agg(F.count(out).cast("bigint").alias("n_outliers"))
         .select(
             "label",
             F.col("n").cast("bigint").alias("n_vectors"),
             F.round("mean_norm", 6).alias("mean_norm"),
-            F.round("sd", 6).alias("sd_norm"),
+            F.round("bias_mean", 6).alias("bias_mean"),
+            F.round("sd", 6).alias("bias_sd"),
             "n_outliers",
         )
     )

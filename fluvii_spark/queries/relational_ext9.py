@@ -138,7 +138,7 @@ def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q217_idle_high_balance",
+    "q217_dormant_wealth",
     """
     WITH seg AS (
       SELECT c_mktsegment,
@@ -146,25 +146,32 @@ def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
                / COUNT(*) AS avg_bal
       FROM customer WHERE CAST(c_acctbal AS DOUBLE) > 0 GROUP BY 1
     ),
-    idle AS (
+    last AS (
+      SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d
+      FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS m FROM orders),
+    dormant AS (
       SELECT c.c_mktsegment, c.c_acctbal
-      FROM customer c JOIN seg ON seg.c_mktsegment = c.c_mktsegment
+      FROM customer c
+      JOIN seg ON seg.c_mktsegment = c.c_mktsegment
+      JOIN last ON last.o_custkey = c.c_custkey, mx
       WHERE CAST(c.c_acctbal AS DOUBLE) > seg.avg_bal
-        AND NOT EXISTS (SELECT 1 FROM orders o
-                        WHERE o.o_custkey = c.c_custkey)
+        AND datediff('day', last.last_d, mx.m) > 730
     )
-    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_idle,
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_dormant,
            ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6)
-             AS idle_balance
-    FROM idle GROUP BY 1
+             AS dormant_balance
+    FROM dormant GROUP BY 1
     """,
-    "TPC-H Q22-shaped idle wealth: per market segment, customers above the "
-    "segment's positive-balance average who never placed an order. The "
-    "scalar per-segment average is a 5-row broadcast (exact DECIMAL sum, "
-    "one IEEE division), never-ordered is a LEFT ANTI against the distinct "
-    "order custkeys — no correlated EXISTS per row, no double scan of "
-    "customer",
-    ("relational", "tpch", "anti-join"),
+    "TPC-H Q22-flavored dormant wealth: per market segment, customers "
+    "above the segment's positive-balance average whose LAST order is "
+    ">730 days before the corpus's latest order — the churned-high-value "
+    "list a win-back campaign targets. The per-segment average (5 rows, "
+    "exact DECIMAL sum + one IEEE division) and the 1-row max date "
+    "broadcast; the last-order rollup contracts orders to one row per "
+    "customer before the join; day arithmetic on exact DATEs",
+    ("relational", "tpch", "churn"),
 )
 def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -180,22 +187,26 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("c_mktsegment", "_seg")
     )
-    idle = (
+    last = t.orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d")
+    )
+    mx = t.orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("m")
+    )
+    dormant = (
         t.customer.join(
             F.broadcast(seg), F.col("c_mktsegment") == F.col("_seg")
         )
         .filter(bal > F.col("avg_bal"))
-        .join(
-            t.orders.select("o_custkey").distinct(),
-            F.col("o_custkey") == F.col("c_custkey"),
-            "left_anti",
-        )
+        .join(last, F.col("o_custkey") == F.col("c_custkey"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.datediff(F.col("m"), F.col("last_d")) > 730)
     )
-    return idle.groupBy("c_mktsegment").agg(
-        F.count("*").cast("bigint").alias("n_idle"),
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_dormant"),
         F.round(
             F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 6
-        ).alias("idle_balance"),
+        ).alias("dormant_balance"),
     )
 
 
@@ -643,7 +654,7 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT user_id, sid, ep,
-             (ep - MIN(ep) OVER (PARTITION BY user_id, sid)) // 21600
+             (ep - MIN(ep) OVER (PARTITION BY user_id, sid)) // 1800
                AS chunk
       FROM g
     ),
@@ -660,12 +671,12 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_cap_chunks
     FROM f
     """,
-    "dual-constraint sessionization: 30-min idle gap AND a 6-hour hard cap "
-    "(long sessions split into 6h chunks — the rule real analytics "
+    "dual-constraint sessionization: 30-min idle gap AND a 30-min hard cap "
+    "(continuously-active sessions split into 30-min chunks — the rule real analytics "
     "pipelines add so a bot's week-long click stream can't form one "
     "session). Two window passes over the user-partitioned stream (gap "
-    "islands, then chunk = elapsed DIV 21600 within session), exact "
-    "integer epoch arithmetic throughout; the 6h cap is assignment by "
+    "islands, then chunk = elapsed DIV 1800 within session), exact "
+    "integer epoch arithmetic throughout; the cap is assignment by "
     "arithmetic, not another gaps-and-islands scan",
     ("relational", "session", "window"),
 )
@@ -698,7 +709,7 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "sid",
         ep.alias("ep"),
-        ((ep - F.min(ep).over(ws)) / F.lit(21600))
+        ((ep - F.min(ep).over(ws)) / F.lit(1800))
         .cast("bigint")
         .alias("chunk"),
     )
