@@ -343,3 +343,144 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("rr").cast("double") / F.count("*"), 6).alias("mrr"),
         F.count(F.when(F.col("rr") > 0, 1)).cast("bigint").alias("n_hit"),
     )
+
+
+def _q239_oracle_sql() -> str:
+    from fluvii_spark.queries.llm import _JACCARD, _SH3, _SIMHASH
+
+    return f"""
+    WITH
+    {_SIMHASH},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       AND ((a.simhash >> 16) = (b.simhash >> 16)
+            OR (a.simhash & 65535) = (b.simhash & 65535))
+    ),
+    flagged AS (
+      SELECT id_a, id_b FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+    ),
+    {_SH3},
+    {_JACCARD},
+    scored AS (
+      SELECT COALESCE(ROUND(j.jaccard, 6), 0.0) AS j
+      FROM flagged f LEFT JOIN jac j
+        ON j.id_a = f.id_a AND j.id_b = f.id_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_flagged,
+           CAST(COUNT(CASE WHEN j < 0.3 THEN 1 END) AS BIGINT)
+             AS n_false_pos,
+           ROUND(CAST(COUNT(CASE WHEN j < 0.3 THEN 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS fp_rate
+    FROM scored
+    """
+
+
+@register(
+    "q239_simhash_fp_audit",
+    _q239_oracle_sql(),
+    "SimHash false-positive audit: of the pairs the 2-block pigeonhole "
+    "scheme flags at Hamming <= 6 (q37's production rule), how many have "
+    "word-3-gram Jaccard < 0.3 — the precision readout that calibrates "
+    "the Hamming threshold before trusting the cheap filter at corpus "
+    "scale. Reuses the persisted simhash and ngram-stats memos (one build "
+    "each per session/dataset); flagged pairs LEFT JOIN the Jaccard "
+    "relation so no-shared-shingle pairs score 0; boundary on the "
+    "6-dp-rounded score",
+    ("llm", "dedup", "evaluation"),
+)
+def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators import dedup as D
+    from fluvii_spark.queries.llm import doc_ngram_stats, doc_simhash
+
+    t = load_tables(spark, sf_dir)
+    flagged = D.simhash_pairs(
+        t.documents, max_hamming=6, signatures=doc_simhash(spark, sf_dir)
+    ).select("id_a", "id_b")
+    jac = doc_ngram_stats(spark, sf_dir).select(
+        F.col("id_a").alias("_ja"),
+        F.col("id_b").alias("_jb"),
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+    )
+    scored = flagged.join(
+        jac,
+        (F.col("id_a") == F.col("_ja")) & (F.col("id_b") == F.col("_jb")),
+        "left",
+    ).select(F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("j"))
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_flagged"),
+        F.count(F.when(F.col("j") < 0.3, 1))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.round(
+            F.count(F.when(F.col("j") < 0.3, 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+@register(
+    "q240_bigram_frequency_spectrum",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    bg AS (
+      SELECT a.tok || ' ' || b.tok AS g
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    cnt AS (SELECT g, COUNT(*) AS c FROM bg GROUP BY 1)
+    SELECT CAST(CASE WHEN c = 1 THEN 1 WHEN c <= 2 THEN 2
+                     WHEN c <= 4 THEN 4 WHEN c <= 8 THEN 8
+                     WHEN c <= 16 THEN 16 WHEN c <= 32 THEN 32
+                     WHEN c <= 64 THEN 64 ELSE 128 END AS BIGINT)
+             AS freq_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams
+    FROM cnt GROUP BY 1
+    """,
+    "bigram frequency spectrum (count-of-counts) with geometric power-of-2 "
+    "buckets: how many bigram types occur once, <=2, <=4, ... times and "
+    "the token mass per bucket — the Zipf-tail diagnostic behind "
+    "vocabulary truncation and Good-Turing smoothing, generalizing q163's "
+    "hapax ratio to the whole spectrum (bigrams, because this corpus's "
+    "unigram vocabulary is deliberately tiny). Exact integer thresholds, "
+    "two hash aggregates over the adjacent-pair explode",
+    ("llm", "text", "vocabulary"),
+)
+def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.dedup import word_shingles
+
+    t = load_tables(spark, sf_dir)
+    # non-distinct word 2-grams — the operator materializes the token
+    # array once per doc (inlining split() into the transform re-splits
+    # per position, the measured 3x trap its docstring records)
+    bg = word_shingles(
+        t.documents, "doc_id", "text", n=2, distinct=False
+    ).select(F.col("shingle").alias("g"))
+    cnt = bg.groupBy("g").agg(F.count("*").alias("c"))
+    bucket = (
+        F.when(F.col("c") == 1, 1)
+        .when(F.col("c") <= 2, 2)
+        .when(F.col("c") <= 4, 4)
+        .when(F.col("c") <= 8, 8)
+        .when(F.col("c") <= 16, 16)
+        .when(F.col("c") <= 32, 32)
+        .when(F.col("c") <= 64, 64)
+        .otherwise(128)
+    )
+    return cnt.groupBy(
+        bucket.cast("bigint").alias("freq_bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+    )

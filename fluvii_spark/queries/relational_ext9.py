@@ -1117,3 +1117,240 @@ def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_entropy"
         ),
     )
+
+
+@register(
+    "q235_disjunctive_revenue",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6))))
+                      AS DOUBLE), 6) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND CAST(l_quantity AS DOUBLE) BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND CAST(l_quantity AS DOUBLE) BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+           AND CAST(l_quantity AS DOUBLE) BETWEEN 20 AND 30)
+    """,
+    "TPC-H Q19-shaped disjunctive bracket revenue: an OR of three "
+    "(brand, size-range, quantity-range) brackets across the join — the "
+    "predicate shape that stresses CNF conversion and partial pushdown "
+    "(Catalyst pushes the extractable common conjuncts to each scan). "
+    "Exact DECIMAL revenue, one join, one 1-row aggregate",
+    ("relational", "tpch", "pushdown"),
+)
+def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    qty = F.col("l_quantity").cast("double")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 35)
+            & qty.between(20, 30)
+        )
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    return (
+        t.lineitem.join(t.part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(bracket)
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum(price * (F.lit(1) - disc)).cast("double"), 6
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q236_event_debounce",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, ep,
+             lag(ep) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ep
+      FROM e
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN prev_ep IS NULL OR ep - prev_ep > 3600
+                           THEN 1 END) AS BIGINT) AS n_kept,
+           ROUND(CAST(COUNT(CASE WHEN prev_ep IS NOT NULL
+                                      AND ep - prev_ep <= 3600
+                            THEN 1 END) AS DOUBLE) / COUNT(*), 6)
+             AS debounced_share
+    FROM s GROUP BY 1
+    """,
+    "lag-debounce audit: per event type, how many events land within an "
+    "hour of the user's PREVIOUS raw event of the same type — the "
+    "rapid-repeat share a notification/ingest debounce rule would drop. "
+    "One composite-key window on floor-truncated whole-second epochs "
+    "(the q226 engine pin); lag-based (vs chain-based) semantics "
+    "documented: the gap is to the previous RAW event, not previous kept",
+    ("relational", "dedup", "window"),
+)
+def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ep = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    s = t.events.select(
+        "event_type",
+        ep.alias("ep"),
+        F.lag(ep).over(w).alias("prev_ep"),
+    )
+    kept = F.count(
+        F.when(
+            F.col("prev_ep").isNull()
+            | ((F.col("ep") - F.col("prev_ep")) > 3600),
+            1,
+        )
+    )
+    dropped = F.count(
+        F.when(
+            F.col("prev_ep").isNotNull()
+            & ((F.col("ep") - F.col("prev_ep")) <= 3600),
+            1,
+        )
+    )
+    return s.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        kept.cast("bigint").alias("n_kept"),
+        F.round(dropped.cast("double") / F.count("*"), 6).alias(
+            "debounced_share"
+        ),
+    )
+
+
+@register(
+    "q237_time_to_third_purchase",
+    """
+    WITH p AS (
+      SELECT user_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS k
+      FROM events WHERE event_type = 'purchase'
+    ),
+    f AS (
+      SELECT user_id,
+             MIN(CASE WHEN k = 1 THEN ts END) AS t1,
+             MIN(CASE WHEN k = 3 THEN ts END) AS t3
+      FROM p WHERE k <= 3 GROUP BY 1
+    ),
+    d AS (
+      SELECT datediff('day', t1, t3) AS days FROM f WHERE t3 IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(days AS BIGINT)) AS DOUBLE) / COUNT(*), 6)
+             AS avg_days,
+           CAST(MIN(days) AS BIGINT) AS min_days,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM d
+    """,
+    "activation velocity: days from a user's first to their third "
+    "purchase — the time-to-habit metric growth teams track. One "
+    "user-partitioned rank window pruned to k<=3, conditional-min pivot, "
+    "exact integer day arithmetic with a single IEEE division for the "
+    "mean",
+    ("relational", "funnel", "window"),
+)
+def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.row_number().over(w).alias("k"))
+        .filter(F.col("k") <= 3)
+    )
+    f = p.groupBy("user_id").agg(
+        F.min(F.when(F.col("k") == 1, F.col("ts"))).alias("t1"),
+        F.min(F.when(F.col("k") == 3, F.col("ts"))).alias("t3"),
+    )
+    d = f.filter(F.col("t3").isNotNull()).select(
+        F.datediff(F.col("t3"), F.col("t1")).alias("days")
+    )
+    return d.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(
+            F.sum(F.col("days").cast("bigint")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_days"),
+        F.min("days").cast("bigint").alias("min_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )
+
+
+@register(
+    "q238_inventory_aging",
+    """
+    WITH last AS (
+      SELECT l_partkey, MAX(CAST(l_shipdate AS DATE)) AS last_ship
+      FROM lineitem GROUP BY 1
+    ),
+    mx AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS m FROM lineitem),
+    age AS (
+      SELECT p.p_brand, datediff('day', last.last_ship, mx.m) AS age_days
+      FROM part p JOIN last ON last.l_partkey = p.p_partkey, mx
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(CASE WHEN age_days <= 30 THEN 1 END) AS BIGINT)
+             AS fresh_30d,
+           CAST(COUNT(CASE WHEN age_days > 365 THEN 1 END) AS BIGINT)
+             AS stale_1y,
+           CAST(MAX(age_days) AS BIGINT) AS max_age_days
+    FROM age GROUP BY 1
+    """,
+    "inventory aging per brand: days since each part last shipped, "
+    "against the corpus's latest ship date — fresh/stale shelf buckets. "
+    "The last-ship rollup contracts lineitem to one row per part BEFORE "
+    "the dimension join; the 1-row max date broadcasts; exact DATE "
+    "arithmetic",
+    ("relational", "timeseries", "operational"),
+)
+def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    last = t.lineitem.groupBy("l_partkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship")
+    )
+    mx = t.lineitem.agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("m")
+    )
+    age = (
+        t.part.join(last, F.col("l_partkey") == F.col("p_partkey"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "p_brand",
+            F.datediff(F.col("m"), F.col("last_ship")).alias("age_days"),
+        )
+    )
+    return age.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.count(F.when(F.col("age_days") <= 30, 1))
+        .cast("bigint")
+        .alias("fresh_30d"),
+        F.count(F.when(F.col("age_days") > 365, 1))
+        .cast("bigint")
+        .alias("stale_1y"),
+        F.max("age_days").cast("bigint").alias("max_age_days"),
+    )

@@ -107,6 +107,7 @@ _BNLJ_ALLOWED = {
     "q213_hll_merge",  # two 1-row sketch-estimate aggregates broadcast onto counts
     "q220_lorenz_curve",  # 1-row rank-total broadcast onto ranked rollup + 10 decile rows (q124's shape)
     "q217_dormant_wealth",  # 1-row max-orderdate aggregate broadcast onto the joined scan
+    "q238_inventory_aging",  # 1-row max-shipdate aggregate broadcast onto the part join
     "q232_ann_label_mrr",  # bounded 10-row probe-vector set broadcast (q74/q146/q189's shape)
     "q233_rare_category_collapse",  # 1-row category-total broadcast onto |types| rows
 }
