@@ -91,6 +91,8 @@ DEFAULT_QUERIES = [
     "q187_bootstrap_ci",
     "q124_equi_depth_histogram",
     "q214_waiting_suppliers",
+    "q218_char_ngram_jaccard",
+    "q239_simhash_fp_audit",
 ]
 
 # Queries whose documented algorithmic bound is superlinear in ROWS — none
@@ -107,6 +109,19 @@ EXPECTED_BOUNDS = {
         "O(days²) pair enumeration is calendar-bound (unchanged by "
         "replication); only the daily rollup scan grows, expect ~linear "
         "in the scan with a large constant floor"
+    ),
+    "q218_char_ngram_jaccard": (
+        "replicas are exact text duplicates, so every shingle's doc-freq "
+        "multiplies by K and the FIXED df-cut (20) prunes almost all of "
+        "them: candidate work SHRINKS while the shingle explode grows "
+        "linearly — expect ≤linear"
+    ),
+    "q239_simhash_fp_audit": (
+        "exact-dup replicas share identical simhashes, so half-key "
+        "buckets grow K× and TRUE near-dup pairs grow K² — the flagged "
+        "set itself is quadratic in the duplication factor "
+        "(output-bound, not a plan defect); expect superlinear up to "
+        "exponent 2 on THIS replication, linear on a distinct corpus"
     ),
 }
 
