@@ -87,7 +87,12 @@ def streaming_sessions(
             ]
         return None, []
 
-    src = events.select(
+    src = events.filter(
+        # a NULL key can't form a session and a NULL timestamp can't be
+        # ordered into one — drop both up front instead of crashing the
+        # stream in the fold (the streaming-HLL NULL-guard rule)
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
         F.col(user_col).alias("user_id"),
         F.unix_timestamp(F.col(ts_col)).alias("ep"),
         F.col(ts_col).alias("_ts"),

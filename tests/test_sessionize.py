@@ -201,3 +201,30 @@ def test_idle_flush_emits_open_tail(spark, tmp_path):
         time.sleep(0.5)
     q.stop()
     assert got == [(1, 0, 2, 300, "flush")]
+
+
+def test_null_user_and_ts_rows_are_dropped(spark, tmp_path):
+    """NULL keys / timestamps can't session — they must be filtered, not
+    crash the fold with a TypeError (the streaming-HLL NULL-guard rule)."""
+    staged = str(tmp_path / "staged")
+    rows = [
+        (None, "2024-01-01 00:00:00", 1),
+        (1, None, 2),
+        (1, "2024-01-01 00:00:00", 3),
+        (1, "2024-01-01 02:00:00", 4),  # >30min gap closes session 0
+    ]
+    spark.createDataFrame(
+        rows, "user_id LONG, ts STRING, event_id LONG"
+    ).selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "event_id"
+    ).coalesce(1).write.parquet(staged)
+    src = (
+        spark.readStream.schema(
+            "user_id LONG, ts TIMESTAMP_NTZ, event_id LONG"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_to_parquet(spark, src, out, ck)
+    assert _collect_sessions(spark, out) == [(1, 0, 1, 0, "gap")]
