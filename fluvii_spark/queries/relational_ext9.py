@@ -1354,3 +1354,300 @@ def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("stale_1y"),
         F.max("age_days").cast("bigint").alias("max_age_days"),
     )
+
+
+@register(
+    "q241_brand_leaderboard_volatility",
+    """
+    WITH mb AS (
+      SELECT date_trunc('month', o.o_orderdate) AS month, p.p_brand,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT month, p_brand,
+             ROW_NUMBER() OVER (PARTITION BY month
+                                ORDER BY rev DESC, p_brand) AS rnk
+      FROM mb
+    ),
+    d AS (
+      SELECT p_brand, rnk,
+             lag(rnk) OVER (PARTITION BY p_brand ORDER BY month) AS prev
+      FROM r
+    )
+    SELECT p_brand,
+           CAST(COUNT(prev) AS BIGINT) AS n_months,
+           CAST(SUM(ABS(rnk - prev)) AS BIGINT) AS total_rank_moves,
+           CAST(MAX(ABS(rnk - prev)) AS BIGINT) AS max_jump,
+           CAST(COUNT(CASE WHEN rnk <= 3 THEN 1 END) AS BIGINT)
+             AS months_in_top3
+    FROM d GROUP BY 1
+    """,
+    "brand leaderboard volatility: monthly revenue rank per brand, total "
+    "absolute rank movement month-over-month, biggest jump, and months "
+    "spent in the top 3 — the stability diagnostic behind 'is this "
+    "leaderboard signal or noise'. The month×brand rollup contracts to "
+    "≤ months·25 rows BEFORE any window (exact DECIMAL revenue, unique "
+    "brand tie-break); both windows run on that contracted relation",
+    ("relational", "window", "ranking"),
+)
+def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    mb = (
+        t.lineitem.join(
+            t.orders.select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            t.part.select("p_partkey", "p_brand"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"), "p_brand"
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias(
+                "rev"
+            )
+        )
+    )
+    wr = Window.partitionBy("month").orderBy(
+        F.col("rev").desc(), "p_brand"
+    )
+    r = mb.select(
+        "month", "p_brand", F.row_number().over(wr).alias("rnk")
+    )
+    wl = Window.partitionBy("p_brand").orderBy("month")
+    d = r.select(
+        "p_brand", "rnk", F.lag("rnk").over(wl).alias("prev")
+    )
+    move = F.abs(F.col("rnk") - F.col("prev"))
+    return d.groupBy("p_brand").agg(
+        F.count("prev").cast("bigint").alias("n_months"),
+        F.sum(move).cast("bigint").alias("total_rank_moves"),
+        F.max(move).cast("bigint").alias("max_jump"),
+        F.count(F.when(F.col("rnk") <= 3, 1))
+        .cast("bigint")
+        .alias("months_in_top3"),
+    )
+
+
+@register(
+    "q242_basket_size_economics",
+    """
+    WITH ob AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(rev) AS DOUBLE), 6) AS revenue,
+           ROUND(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 6)
+             AS avg_order_value
+    FROM ob GROUP BY 1
+    """,
+    "basket-size economics: orders and revenue by lines-per-order — the "
+    "distribution behind minimum-basket and bundling decisions (do "
+    "7-line orders earn more per order than 1-line ones). One lineitem "
+    "rollup contracts to one row per order, then a ≤7-cell histogram; "
+    "exact DECIMAL sums, one IEEE division per cell",
+    ("relational", "histogram", "operational"),
+)
+def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ob = t.lineitem.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("rev"),
+    )
+    return ob.groupBy(
+        F.col("n_lines").cast("bigint").alias("n_lines")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("rev").cast("double"), 6).alias("revenue"),
+        F.round(
+            F.sum("rev").cast("double") / F.count("*"), 6
+        ).alias("avg_order_value"),
+    )
+
+
+@register(
+    "q243_brand_share_shift",
+    """
+    WITH half AS (
+      SELECT p.p_brand,
+             CASE WHEN EXTRACT(month FROM l.l_shipdate) <= 6
+                  THEN 'H1' ELSE 'H2' END AS h,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT h, SUM(rev) AS trev FROM half GROUP BY 1),
+    sh AS (
+      SELECT half.p_brand, half.h,
+             CAST(half.rev AS DOUBLE) / CAST(tot.trev AS DOUBLE) AS share
+      FROM half JOIN tot USING (h)
+    )
+    SELECT p_brand,
+           ROUND(MAX(CASE WHEN h = 'H1' THEN share END), 6) AS h1_share,
+           ROUND(MAX(CASE WHEN h = 'H2' THEN share END), 6) AS h2_share,
+           ROUND(MAX(CASE WHEN h = 'H2' THEN share END)
+                 - MAX(CASE WHEN h = 'H1' THEN share END), 6)
+             AS share_shift
+    FROM sh GROUP BY 1
+    """,
+    "seasonal brand share shift: each brand's revenue share in "
+    "first-half vs second-half ship months and the delta — the "
+    "mix-shift report behind assortment planning. The brand×half rollup "
+    "contracts to ≤50 rows; the 2-row half totals broadcast back; shares "
+    "are single IEEE divisions of exact DECIMAL sums, pivoted with "
+    "conditional MAX",
+    ("relational", "share", "pivot"),
+)
+def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    half = (
+        t.lineitem.join(
+            t.part.select("p_partkey", "p_brand"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(
+            "p_brand",
+            F.when(F.month("l_shipdate") <= 6, "H1")
+            .otherwise("H2")
+            .alias("h"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias(
+                "rev"
+            )
+        )
+    )
+    tot = half.groupBy(F.col("h").alias("_h")).agg(
+        F.sum("rev").alias("trev")
+    )
+    sh = half.join(F.broadcast(tot), F.col("h") == F.col("_h")).select(
+        "p_brand",
+        "h",
+        (F.col("rev").cast("double") / F.col("trev").cast("double")).alias(
+            "share"
+        ),
+    )
+    h1 = F.max(F.when(F.col("h") == "H1", F.col("share")))
+    h2 = F.max(F.when(F.col("h") == "H2", F.col("share")))
+    return sh.groupBy("p_brand").agg(
+        F.round(h1, 6).alias("h1_share"),
+        F.round(h2, 6).alias("h2_share"),
+        F.round(h2 - h1, 6).alias("share_shift"),
+    )
+
+
+@register(
+    "q244_new_vs_returning_revenue",
+    """
+    WITH first_m AS (
+      SELECT o_custkey,
+             MIN(CAST(date_trunc('month', o_orderdate) AS DATE)) AS fm
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             CASE WHEN CAST(date_trunc('month', o.o_orderdate) AS DATE) = f.fm
+                  THEN 'new' ELSE 'returning' END AS cohort,
+             CAST(o.o_totalprice AS DECIMAL(18,6)) AS rev
+      FROM orders o JOIN first_m f ON f.o_custkey = o.o_custkey
+    )
+    SELECT month, cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(rev) AS DOUBLE), 6) AS revenue
+    FROM m GROUP BY 1, 2
+    """,
+    "new vs returning revenue per month: an order is 'new' when it lands "
+    "in its customer's first-ever order month — the acquisition-vs-"
+    "retention revenue split (q90's cohort retention counts users; this "
+    "splits the money). The first-month rollup contracts orders to one "
+    "row per customer, joined back on custkey; exact DECIMAL revenue, "
+    "calendar-bounded output",
+    ("relational", "cohort", "timeseries"),
+)
+def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    # date_trunc returns TIMESTAMP in Spark but DATE in duckdb — pin DATE
+    month = F.date_trunc("month", "o_orderdate").cast("date")
+    first_m = t.orders.groupBy(F.col("o_custkey").alias("_ck")).agg(
+        F.min(month).alias("fm")
+    )
+    m = t.orders.join(
+        first_m, F.col("_ck") == F.col("o_custkey")
+    ).select(
+        month.alias("month"),
+        F.when(month == F.col("fm"), "new")
+        .otherwise("returning")
+        .alias("cohort"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("rev"),
+    )
+    return m.groupBy("month", "cohort").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("rev").cast("double"), 6).alias("revenue"),
+    )
+
+
+@register(
+    "q245_error_rate_wilson",
+    """
+    WITH h AS (
+      SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+             COUNT(*) AS n,
+             COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS e
+      FROM events GROUP BY 1
+    )
+    SELECT hour, CAST(n AS BIGINT) AS n_events, CAST(e AS BIGINT) AS n_errors,
+           ROUND(CAST(e AS DOUBLE) / n, 6) AS error_rate,
+           ROUND((CAST(e AS DOUBLE) / n + 3.8416 / (2 * n)
+                  - 1.96 * sqrt((CAST(e AS DOUBLE) / n)
+                                * (1 - CAST(e AS DOUBLE) / n) / n
+                                + 3.8416 / (4.0 * n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_lo,
+           ROUND((CAST(e AS DOUBLE) / n + 3.8416 / (2 * n)
+                  + 1.96 * sqrt((CAST(e AS DOUBLE) / n)
+                                * (1 - CAST(e AS DOUBLE) / n) / n
+                                + 3.8416 / (4.0 * n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_hi
+    FROM h
+    """,
+    "error rate per hour-of-day with 95% Wilson score bounds — the SLO "
+    "readout that distinguishes 'one bad hour' from 'a real regression' "
+    "by carrying the denominator's uncertainty (q187's bootstrap is the "
+    "resampling approach; Wilson is the closed form). 24 contracted "
+    "cells; the interval is a fixed IEEE expression of exact integer "
+    "counts evaluated identically on both engines (z=1.96, z²=3.8416 as "
+    "literals)",
+    ("relational", "operational", "statistics"),
+)
+def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    h = t.events.groupBy(
+        F.hour(F.col("ts").cast("timestamp")).cast("bigint").alias("hour")
+    ).agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("e"),
+    )
+    p = F.col("e").cast("double") / F.col("n")
+    z2 = F.lit(3.8416)
+    center = p + z2 / (2 * F.col("n"))
+    rad = F.lit(1.96) * F.sqrt(
+        p * (1 - p) / F.col("n")
+        + z2 / (F.lit(4.0) * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z2 / F.col("n")
+    return h.select(
+        "hour",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("e").cast("bigint").alias("n_errors"),
+        F.round(p, 6).alias("error_rate"),
+        F.round((center - rad) / denom, 6).alias("wilson_lo"),
+        F.round((center + rad) / denom, 6).alias("wilson_hi"),
+    )
