@@ -78,27 +78,57 @@ def main() -> None:
             .parquet(staged)
         )
         out, ck = os.path.join(root, "out"), os.path.join(root, "ck")
+        # idle_flush emits every user's open tail once the stream drains,
+        # so the streaming session set equals the batch one EXACTLY and
+        # the q226 parity claim below is asserted, not just stated
         query = (
-            streaming_sessions(src, gap_s=1800, cap_s=1800)
+            streaming_sessions(src, gap_s=1800, cap_s=1800,
+                               idle_flush_ms=1000)
             .writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ck)
             .outputMode("append")
             .start()
         )
-        query.processAllAvailable()
+        # NO processAllAvailable here: ProcessingTimeTimeout keeps the
+        # engine running timer batches forever, so pAA never unblocks —
+        # poll the sink instead (the test_idle_flush pattern)
+        batch = q.fn(spark, SF_DIR).first()
+        deadline = time.time() + 120
+        n = 0
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(out).count()
+            except Exception:  # sink not yet materialized
+                n = 0
+            if n >= batch["n_sessions"]:
+                break
+            time.sleep(0.5)
         query.stop()
 
         closed = spark.read.parquet(out)
-        n = closed.count()
-        print(f"\nstreaming: {n} sessions closed mid-stream "
-              "(per-user open tails still in state):")
+        print(f"\nstreaming: {n} sessions (incl. flushed open tails):")
         closed.groupBy("closed_by").agg(
             F.count("*").alias("n_sessions"),
             F.round(F.avg("n_events"), 2).alias("avg_events"),
             F.max("span_s").alias("max_span_s"),
         ).show()
-        assert n > 0
+
+        got = closed.agg(
+            F.count("*").alias("n_sessions"),
+            F.round(
+                F.sum("n_events").cast("double") / F.count("*"), 6
+            ).alias("avg_events"),
+            F.max("span_s").cast("bigint").alias("max_span_s"),
+            F.count(F.when(F.col("closed_by") == "cap", 1))
+            .cast("bigint")
+            .alias("n_cap_chunks"),
+        ).first()
+        # every chunk the batch rollup counts as chunk>0 was OPENED by a
+        # cap close, so cap-closed emissions == n_cap_chunks
+        for k in ("n_sessions", "avg_events", "max_span_s", "n_cap_chunks"):
+            assert got[k] == batch[k], (k, got[k], batch[k])
+        print("streaming == batch on all four q226 stats ✔")
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()

@@ -1,14 +1,23 @@
 """Streaming dual-constraint sessionization — the q226 batch semantics
 kept incrementally: a session closes on a >``gap_s`` idle gap OR when an
-event lands ``cap_s`` or more seconds after the session start (the hard
-cap that stops a bot's week-long click stream from forming one session).
+event crosses into the next ``cap_s``-wide chunk window (the hard cap
+that stops a bot's week-long click stream from forming one session).
+
+Cap anchoring matches q226 EXACTLY: chunk windows are fixed intervals
+``[origin + i*cap_s, origin + (i+1)*cap_s)`` anchored at the GAP
+session's first event (``chunk = (ep - origin) DIV cap_s``), NOT
+re-anchored at each chunk's first event. For epochs 0,1000,2500,3800
+with gap_s=cap_s=1800 that yields THREE chunks ({0,1000},{2500},{3800})
+— 3800 lands in window [3600,5400) while 2500's window is [1800,3600) —
+exactly the batch assignment; a re-anchoring fold would merge the last
+two. Only a gap close moves the anchor.
 
 Closed sessions are emitted as they close; the tail session of a key is
 emitted only by the idle-timeout flush (``idle_flush_ms``), mirroring
 Spark's own ``session_window`` watermark-close behavior while keeping the
 cap rule Spark's built-in cannot express declaratively. State per key is
-one tiny dict (start/last/count/ordinal) — O(1) per user forever, the
-shape that survives 100 TB keyspaces on RocksDB.
+one tiny dict (origin/first/last/count/ordinal) — O(1) per user forever,
+the shape that survives 100 TB keyspaces on RocksDB.
 
 Event-time discipline: events are folded in ``(ts, event_id)`` order
 WITHIN a micro-batch (the fold's order_by); cross-batch order is the
@@ -49,25 +58,51 @@ def streaming_sessions(
         ep = int(txn.value()["ep"])
         if st is None:
             txn.update_table_entry(
-                {"start": ep, "last": ep, "n": 1, "sid": 0}
+                {"origin": ep, "first": ep, "last": ep, "n": 1, "sid": 0}
             )
             return
-        # q226 parity: gap closes on STRICTLY greater idle, cap closes
-        # when the elapsed time reaches cap_s (chunk = elapsed DIV cap)
-        if ep - st["last"] > gap_s or ep - st["start"] >= cap_s:
+        # q226 parity: gap closes on STRICTLY greater idle and MOVES the
+        # chunk anchor; cap closes when the event's fixed chunk window
+        # ((ep - origin) DIV cap_s) differs from the open chunk's — the
+        # anchor stays at the gap session's first event
+        if ep - st["last"] > gap_s:
             txn.produce(
                 {
                     "user_id": txn.key,
                     "session_no": st["sid"],
                     "n_events": st["n"],
-                    "span_s": st["last"] - st["start"],
-                    "closed_by": (
-                        "gap" if ep - st["last"] > gap_s else "cap"
-                    ),
+                    "span_s": st["last"] - st["first"],
+                    "closed_by": "gap",
                 }
             )
             txn.update_table_entry(
-                {"start": ep, "last": ep, "n": 1, "sid": st["sid"] + 1}
+                {
+                    "origin": ep,
+                    "first": ep,
+                    "last": ep,
+                    "n": 1,
+                    "sid": st["sid"] + 1,
+                }
+            )
+            return
+        if (ep - st["origin"]) // cap_s != (st["first"] - st["origin"]) // cap_s:
+            txn.produce(
+                {
+                    "user_id": txn.key,
+                    "session_no": st["sid"],
+                    "n_events": st["n"],
+                    "span_s": st["last"] - st["first"],
+                    "closed_by": "cap",
+                }
+            )
+            txn.update_table_entry(
+                {
+                    "origin": st["origin"],
+                    "first": ep,
+                    "last": ep,
+                    "n": 1,
+                    "sid": st["sid"] + 1,
+                }
             )
             return
         st["last"] = ep
@@ -75,13 +110,13 @@ def streaming_sessions(
         txn.update_table_entry(st)
 
     def flush(key, st):
-        if st and st.get("start") is not None:
+        if st and st.get("first") is not None:
             return None, [
                 {
                     "user_id": key,
                     "session_no": st["sid"],
                     "n_events": st["n"],
-                    "span_s": st["last"] - st["start"],
+                    "span_s": st["last"] - st["first"],
                     "closed_by": "flush",
                 }
             ]

@@ -445,16 +445,10 @@ def streaming_hll_distinct(
         st: dict = txn.read_table_entry() or {}
         raw = txn.value()[hash_col]
         # batch q147 drops NULL values via hash/distinct semantics — mirror
-        # that: a NULL/NaN hash skips the fold but still emits the current
-        # estimate instead of crashing the stream with a TypeError
+        # that: a NULL/NaN hash skips the fold AND the emission (no state
+        # change happened, so a row here would be a duplicate no-op and
+        # output counts would stop matching folded-event counts)
         if raw is None or (isinstance(raw, float) and math.isnan(raw)):
-            txn.produce(
-                {
-                    key_col: txn.key,
-                    "n_regs": len(st),
-                    "estimate": hll_estimate_from_registers(st),
-                }
-            )
             return
         h = int(raw)
         idx = str(h // HLL_DIV)  # str keys: JSON-stable state

@@ -1133,3 +1133,36 @@ def test_streaming_hll_survives_restart(spark, sf_dir, tmp_path):
     assert len(batch) > 0
     for r in batch:
         assert round(stream_est[r["event_type"]], 6) == r["hll_estimate"], r
+
+
+def test_streaming_hll_skips_null_hashes(spark, tmp_path):
+    """A NULL/NaN hash skips the fold AND the emission (ADVICE r6): batch
+    q147 drops NULLs with no output row, so emitting a no-op estimate per
+    skipped event would break output-count == folded-event-count."""
+    from fluvii_spark.streaming.sketch import streaming_hll_distinct
+
+    df = spark.createDataFrame(
+        [
+            ("k", 123456789, 1),
+            ("k", None, 2),
+            ("k", 987654321, 3),
+            ("k", None, 4),
+        ],
+        "g string, h long, seq long",
+    )
+    d = str(tmp_path / "null_hll")
+    df.coalesce(1).write.parquet(d)
+    src = spark.readStream.schema(df.schema).parquet(d)
+    out = streaming_hll_distinct(src, "g", "h", order_by=["seq"])
+    q = (
+        out.writeStream.format("memory")
+        .outputMode("append")
+        .queryName("hll_nulls")
+        .option("checkpointLocation", str(tmp_path / "ck_hll_nulls"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("hll_nulls").collect()
+    assert len(rows) == 2  # only the 2 non-NULL arrivals emit
+    assert all(r["n_regs"] >= 1 and r["estimate"] > 0 for r in rows)

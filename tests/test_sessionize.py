@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 import shutil
 import time
+from datetime import datetime
 
 from pyspark.sql import functions as F
 
@@ -62,26 +63,42 @@ def _reference_sessions(spark, sf_dir) -> list[tuple]:
         .orderBy("ts", "event_id")
         .collect()
     )
+    return _sequential_fold(
+        [(r["user_id"], int(r["ep"])) for r in rows]
+    )
+
+
+def _sequential_fold(pairs: list[tuple]) -> list[tuple]:
+    """q226's exact batch rules, folded sequentially: a >GAP_S idle gap
+    closes and MOVES the chunk anchor; the cap closes when the event's
+    fixed chunk window ((ep - origin) DIV CAP_S) differs from the open
+    chunk's — anchored at the GAP session's first event, never
+    re-anchored at a chunk's first event."""
     state: dict = {}
     closed: list[tuple] = []
-    for r in rows:
-        u, ep = r["user_id"], int(r["ep"])
+    for u, ep in pairs:
         st = state.get(u)
         if st is None:
-            state[u] = {"start": ep, "last": ep, "n": 1, "sid": 0}
+            state[u] = {"origin": ep, "first": ep, "last": ep, "n": 1, "sid": 0}
             continue
-        if ep - st["last"] > GAP_S or ep - st["start"] >= CAP_S:
+        if ep - st["last"] > GAP_S:
             closed.append(
-                (
-                    u,
-                    st["sid"],
-                    st["n"],
-                    st["last"] - st["start"],
-                    "gap" if ep - st["last"] > GAP_S else "cap",
-                )
+                (u, st["sid"], st["n"], st["last"] - st["first"], "gap")
             )
             state[u] = {
-                "start": ep,
+                "origin": ep,
+                "first": ep,
+                "last": ep,
+                "n": 1,
+                "sid": st["sid"] + 1,
+            }
+        elif (ep - st["origin"]) // CAP_S != (st["first"] - st["origin"]) // CAP_S:
+            closed.append(
+                (u, st["sid"], st["n"], st["last"] - st["first"], "cap")
+            )
+            state[u] = {
+                "origin": st["origin"],
+                "first": ep,
                 "last": ep,
                 "n": 1,
                 "sid": st["sid"] + 1,
@@ -228,3 +245,36 @@ def test_null_user_and_ts_rows_are_dropped(spark, tmp_path):
     out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
     _run_to_parquet(spark, src, out, ck)
     assert _collect_sessions(spark, out) == [(1, 0, 1, 0, "gap")]
+
+
+def test_cap_anchor_matches_batch_chunks(spark, tmp_path):
+    """The ADVICE r6 counterexample: epochs 0,1000,2500,3800 (all gaps
+    <= 1800) must form THREE cap chunks anchored at the gap session's
+    first event — {0,1000},{2500},{3800} — like q226's
+    ``(ep - min(ep)) DIV 1800``. A fold that re-anchors the cap window
+    at each chunk's first event would merge {2500,3800} into one."""
+    epochs = [0, 1000, 2500, 3800]
+    want = _sequential_fold([(1, ep) for ep in epochs])
+    assert want == [(1, 0, 2, 1000, "cap"), (1, 1, 1, 0, "cap")]
+
+    staged = str(tmp_path / "staged")
+    rows = [
+        (1, datetime.utcfromtimestamp(ep).strftime("%Y-%m-%d %H:%M:%S"), i)
+        for i, ep in enumerate(epochs)
+    ]
+    spark.createDataFrame(
+        rows, "user_id LONG, ts STRING, event_id LONG"
+    ).selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "event_id"
+    ).coalesce(1).write.parquet(staged)
+    src = (
+        spark.readStream.schema(
+            "user_id LONG, ts TIMESTAMP_NTZ, event_id LONG"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_to_parquet(spark, src, out, ck)
+    # {3800} stays open in state; the two cap-closed chunks must match
+    assert _collect_sessions(spark, out) == want

@@ -129,7 +129,20 @@ EXPECTED_BOUNDS = {
 def build_replicated(spark, base: str, out: str, k: int) -> None:
     marker = os.path.join(out, "_FLUVII_STRESS_OK")
     if os.path.exists(marker):
-        print(f"replica corpus exists: {out}", file=sys.stderr)
+        # a pinned SPARK_GRAFT_STRESS_DIR can hold a PRIOR run's corpus:
+        # reusing it with a different k (or base) would compute growth
+        # exponents with the wrong log(K) denominator — validate, don't
+        # trust (ADVICE r6)
+        with open(marker) as fh:
+            meta = json.load(fh)
+        if meta.get("k") != k or meta.get("base") != base:
+            raise SystemExit(
+                f"stress corpus at {out} was built with k={meta.get('k')} "
+                f"base={meta.get('base')!r} but this run wants k={k} "
+                f"base={base!r} — remove the directory or point "
+                "SPARK_GRAFT_STRESS_DIR elsewhere"
+            )
+        print(f"replica corpus exists (k={k} verified): {out}", file=sys.stderr)
         return
     os.makedirs(out, exist_ok=True)
     offsets: dict[str, int] = {}
