@@ -58,33 +58,119 @@ def register(
 # predates the current code, so they are deliberately re-queued for a fresh
 # r4 row (VERDICT r3 "Next round" #1).
 _DRIVER_PROVEN = {
-    # r5 closed the backlog: every q01..q214 has a driver row postdating
-    # its code (CORRECTNESS_r01..r05, VERDICT r5). Members of
+    # r6 closed the backlog again: every q01..q245 has a driver row
+    # postdating its code (CORRECTNESS_r01..r06, VERDICT r6). Members of
     # _REPROOF_LAST below still sort in the needs-a-row tier.
     *(f"q{i:02d}" for i in range(1, 100)),  # q01..q99
-    *(f"q{i}" for i in range(100, 215)),    # q100..q214
+    *(f"q{i}" for i in range(100, 246)),    # q100..q245
 }
 
 # Queries awaiting a FIRST green driver row against their current code, in
-# driver-attempt order: the twelve r6 additions (each verified at sf0.001
-# AND sf0.01 under both canonicalizers before registration). 12 first
-# proofs + 5 deferred re-proofs = 17 against the ~50-row cap — all fit.
-_UNPROVEN_ORDER: list[str] = [
-    "q215", "q216", "q217", "q218", "q219", "q220", "q221", "q222",
-    "q223", "q224", "q225", "q226", "q227", "q228", "q229", "q230",
-    "q231", "q232", "q233", "q234", "q235", "q236", "q237", "q238",
-    "q239", "q240", "q241", "q242", "q243", "q244", "q245",
+# driver-attempt order (each verified at sf0.001 AND sf0.01 under both
+# canonicalizers before registration).
+_UNPROVEN_ORDER: list[str] = []
+
+# Deferred-tier re-proofs: queries whose expression or oracle changed
+# AFTER their last green row. All re-verified green under both
+# canonicalizers at sf0.001+sf0.01 before this queue landed; queued behind
+# any first-proof tier. r7: the six degeneracy-gate de-vacuations (q20
+# empty EXCEPT branch, q63 all-NULL extraction, q71 constant pair counts,
+# q89 no funnel drop-off, q164 one-point curve, q189 identically-zero
+# recall) plus q146's fixed-size probe set (VERDICT r6 ask #2).
+_REPROOF_LAST: list[str] = ["q20", "q63", "q71", "q89", "q146", "q164", "q189"]
+
+# Proof-trail rotation (VERDICT r6 ask #3): queries whose NEWEST driver
+# row is r1/r2 — their code is unchanged and full sweeps re-prove them
+# every round, so this is row staleness, not a correctness gap. They sort
+# in a third tier, AFTER every needs-a-row query but BEFORE fresh-proven
+# ones, oldest round first, so the driver's spare row budget (~cap minus
+# first-proofs/re-proofs) refreshes the oldest artifacts each round. The
+# list may exceed the per-round cap — the driver simply refreshes the
+# prefix that fits and the rest roll to the next round.
+_AGE_ROTATION: list[str] = [
+    # newest row r1 (q20 moved to _REPROOF_LAST)
+    "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19",
+    "q21", "q22", "q23", "q24", "q25", "q26", "q27", "q28", "q29",
+    "q31", "q32", "q33", "q35", "q36", "q37", "q40", "q41", "q43", "q44",
+    "q45", "q46", "q47", "q59",
+    # newest row r2 (q63/q71/q89 moved to _REPROOF_LAST)
+    "q48", "q49", "q50", "q51", "q52", "q53", "q54", "q55", "q61", "q62",
+    "q64", "q65", "q66", "q67", "q68", "q70", "q73", "q74",
+    "q75", "q76", "q77", "q78", "q79", "q108", "q109", "q110", "q111",
+    "q112", "q113", "q114", "q115", "q117", "q119",
 ]
 
-# Deferred-tier re-proofs: queries whose expression or oracle changed in
-# r6 AFTER their r5-green rows (ADVICE r5 fixes: q201 NULL-anchor path
-# filter pinned on both sides; q211/q212 ride on _kmeans_assignment's
-# empty-embedding filter now matching the oracle's unnest semantics;
-# q60/q100 ride on the clusters memo going self-contained-checkpoint —
-# identical values, changed plan). All re-verified green under both
-# canonicalizers at sf0.001+sf0.01 before this queue landed; queued behind
-# any first-proof tier.
-_REPROOF_LAST: list[str] = ["q201", "q211", "q212", "q60", "q100"]
+
+# Non-degeneracy gate waivers (VERDICT r6 ask #4): tools/drive_contract.py
+# asserts every query's sf0.01 result is non-vacuous (>=2 rows, no all-NULL
+# column, >=2 columns varying). Queries whose INTENDED shape trips a rule
+# are waived here, each with the argument; an unwaived trip fails the
+# sweep. The r7 gate rollout ALSO caught six genuinely vacuous forms that
+# were fixed instead of waived (q20/q63/q71/q89/q164/q189 — see
+# _REPROOF_LAST above).
+_ONE_ROW = "intended single-row corpus summary (scalar analytics)"
+DEGENERACY_WAIVERS: dict[str, str] = {
+    # --- intended single-row summaries: the whole point is ONE scalar
+    # row per corpus (the driver hash still pins every value) ---
+    "q05_count_distinct": _ONE_ROW,
+    "q26_case_when": _ONE_ROW + " (bucketed CASE counts in one row)",
+    "q77_try_cast": _ONE_ROW + " (cast-failure tally)",
+    "q104_kmv_merge": _ONE_ROW + " (merged-sketch estimate vs exact)",
+    "q125_gini_revenue": _ONE_ROW,
+    "q129_chi2_contingency": _ONE_ROW + " (test statistic)",
+    "q132_data_profile": _ONE_ROW + " (8 profile fields of one corpus)",
+    "q152_pareto_topshare": _ONE_ROW,
+    "q160_degree_assortativity": _ONE_ROW + " (graph-level coefficient)",
+    "q165_ks_distance": _ONE_ROW + " (two-sample statistic)",
+    "q178_conversion_horizons": _ONE_ROW + " (4 horizon counts)",
+    "q182_cdc_apply": _ONE_ROW + " (post-apply state checksum)",
+    "q187_bootstrap_ci": _ONE_ROW + " (point estimate + CI bounds)",
+    "q198_triangle_count": _ONE_ROW + " (graph-level count)",
+    "q200_quality_auc": _ONE_ROW + " (ROC AUC)",
+    "q204_mean_shift_changepoint": _ONE_ROW + " (argmax day + shift size)",
+    "q208_theil_sen_trend": _ONE_ROW + " (median slope + intercept)",
+    "q210_degree_powerlaw_fit": _ONE_ROW + " (alpha + xmin + n_tail)",
+    "q213_hll_merge": _ONE_ROW + " (merge-losslessness bit check)",
+    "q215_small_qty_revenue": _ONE_ROW + " (TPC-H Q17 shape)",
+    "q216_top_supplier_quarter": _ONE_ROW + " (argmax row)",
+    "q226_capped_sessions": _ONE_ROW + " (session rollup stats)",
+    "q232_ann_label_mrr": _ONE_ROW + " (MRR@10)",
+    "q235_disjunctive_revenue": _ONE_ROW + " (TPC-H Q19 shape)",
+    "q237_time_to_third_purchase": _ONE_ROW + " (median latency)",
+    "q239_simhash_fp_audit": _ONE_ROW + " (precision/recall of the index)",
+    # --- constant-metric columns that are true data properties of the
+    # synthetic corpus, not untested code paths ---
+    "q102_kmv_distinct_sketch": (
+        "exact_distinct==150 for every event type (every synthetic user "
+        "triggers every type) and the KMV estimate is exact below k — "
+        "both engines must still agree on all 15 cells"
+    ),
+    "q147_hll_distinct_sketch": (
+        "same corpus property as q102: per-type distinct-user counts are "
+        "all 150; the register pipeline is further pinned by q213's "
+        "bit-losslessness check and the streaming-fold parity tests"
+    ),
+    "q174_referential_audit": (
+        "orphans==0 for all 5 FK checks IS the correct audit verdict on "
+        "referentially-consistent testdata; the join machinery is the "
+        "surface, and any future fixture break flips the column"
+    ),
+    "q56_collect_sorted": (
+        "every nation's customers span all 5 market segments, so the "
+        "collected sorted segment list is identical per nation — the "
+        "collect+sort surface (array ordering, dedup) is still exercised "
+        "and hash-pinned"
+    ),
+    "q62_listagg": (
+        "same corpus property as q56 via string aggregation (listagg/"
+        "concat_ws ordering is the surface under test)"
+    ),
+    "q82_salted_distinct": (
+        "n_distinct==150 users for every event type (every user triggers "
+        "every type); the salted two-stage distinct plumbing is the "
+        "surface, and its count must still equal the plain distinct"
+    ),
+}
 
 
 def _prefix(name: str) -> str:
@@ -113,16 +199,26 @@ def registry() -> dict[str, Query]:
 
     rank = {p: i for i, p in enumerate(_UNPROVEN_ORDER)}
     rank.update({p: 20_000 + i for i, p in enumerate(_REPROOF_LAST)})
+    rank.update({p: 30_000 + i for i, p in enumerate(_AGE_ROTATION)})
+
+    def tier(name: str) -> int:
+        p = _prefix(name)
+        # 0: needs a row (never-proven OR re-queued after a code change —
+        #    a _REPROOF_LAST member still in _DRIVER_PROVEN must sort here
+        #    too, else it lands past the driver's ~50-row cap and its
+        #    stale proof never refreshes);
+        # 1: age rotation (proven, but the newest row is old);
+        # 2: proven with a fresh row.
+        if p not in _DRIVER_PROVEN or p in _REPROOF_LAST:
+            return 0
+        if p in _AGE_ROTATION:
+            return 1
+        return 2
+
     items = sorted(
         _REGISTRY.items(),
         key=lambda kv: (
-            # needs-a-row tier first: never-proven OR stale-proof re-queues.
-            # (A _REPROOF_LAST member still in _DRIVER_PROVEN must sort in
-            # this tier too — leaving it in the proven tier put it at the
-            # very END of the registry, past the driver's ~50-row cap, so
-            # its stale proof could never refresh.)
-            _prefix(kv[0]) in _DRIVER_PROVEN
-            and _prefix(kv[0]) not in _REPROOF_LAST,
+            tier(kv[0]),
             rank.get(_prefix(kv[0]), 10_000),    # in explicit numeric order
             kv[0],
         ),

@@ -100,12 +100,20 @@ _SIMHASH = """
   )
 """
 
-_LSH_BUCKETS = """
+def lsh_buckets_cte(planes: int = 8) -> str:
+    """The hyperplane-LSH bucket CTE chain, parameterized on plane count —
+    the bucket table a production 8-plane index serves from by default;
+    evaluation queries can pick a coarser grid (fewer planes) when the
+    eval corpus is too small to populate 2^8 buckets (q189)."""
+    return _LSH_BUCKETS_TPL.replace("__MAXPLANE__", str(planes - 1))
+
+
+_LSH_BUCKETS_TPL = """
   hp AS (
     SELECT p.plane, d.dim,
            ((('0x' || substr(md5('plane_' || p.plane || '_' || d.dim), 1, 8))::BIGINT
              % 2001) - 1000) / 1000.0 AS w
-    FROM generate_series(0, 7) AS p(plane), generate_series(0, 63) AS d(dim)
+    FROM generate_series(0, __MAXPLANE__) AS p(plane), generate_series(0, 63) AS d(dim)
   ),
   comp AS (
     SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
@@ -123,6 +131,9 @@ _LSH_BUCKETS = """
     FROM dots GROUP BY vec_id
   )
 """
+
+# the production 8-plane bucket table (q39/q107/q116's index)
+_LSH_BUCKETS = lsh_buckets_cte(8)
 
 _STOPWORD_LIST = ", ".join(f"'{s}'" for s in T.STOPWORDS)
 

@@ -606,7 +606,7 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_K = 5
-_PROBE_MOD = 25
+_PROBE_N = 64
 
 
 @register(
@@ -614,7 +614,8 @@ _PROBE_MOD = 25
     f"""
     WITH probes AS (
       SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
-      FROM embeddings WHERE vec_id % {_PROBE_MOD} = 0
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PROBE_N}
     ),
     scored AS (
       SELECT p.qid, p.qlabel, e.vec_id, e.label,
@@ -647,13 +648,18 @@ _PROBE_MOD = 25
                       AS DOUBLE) / COUNT(*), 6) AS accuracy
     FROM pred WHERE pr = 1 GROUP BY qlabel
     """,
-    f"k-NN label-classifier evaluation (k={_KNN_K}): every {_PROBE_MOD}th "
-    "vector is a held-out probe classified by majority label of its "
+    f"k-NN label-classifier evaluation (k={_KNN_K}): a FIXED-size "
+    f"deterministic sample of {_PROBE_N} held-out probes (md5-hash order "
+    "with a vec_id tie-break — the q149 pattern) classified by majority "
+    "label of their "
     "cosine neighbors in ONE corpus scan (broadcast probe set + "
     "per-probe top-k window — q74's shape, now with a voting head). "
     "Cosines round to 6dp BEFORE ranking so the neighbor sets are "
     "engine-deterministic; the embedding-quality smoke test every "
-    "vector pipeline wants",
+    "vector pipeline wants. The probe count no longer scales with the "
+    "corpus (the first form took every 25th vector, so probe x corpus "
+    "work grew superlinearly under replication — stress exponent 0.854, "
+    "VERDICT r6 ask #2); a fixed probe set makes the scan O(corpus)",
     ("llm", "similarity"),
 )
 def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,7 +672,8 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
     # values are bit-identical, at 1/(|probes|) the sqrt-fold work
     e = t.embeddings.withColumn("n_e", F.expr(norm_sql("embedding")))
     probes = (
-        e.filter(F.col("vec_id") % _PROBE_MOD == 0)
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_PROBE_N)
         .select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qvec"),

@@ -22,14 +22,19 @@ from fluvii_spark.operators import dedup as D
 from fluvii_spark.operators import similarity as S
 from fluvii_spark.operators import text as T
 from fluvii_spark.queries import register
-from fluvii_spark.queries.llm import _LSH_BUCKETS, _JACCARD, _MINHASH, _SH3
+from fluvii_spark.queries.llm import (
+    _JACCARD,
+    _MINHASH,
+    _SH3,
+    lsh_buckets_cte,
+)
 
 
 @register(
     "q189_ann_recall_eval",
     f"""
     WITH
-    {_LSH_BUCKETS},
+    {lsh_buckets_cte(4)},
     base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < 10),
     exact AS (
@@ -55,8 +60,13 @@ from fluvii_spark.queries.llm import _LSH_BUCKETS, _JACCARD, _MINHASH, _SH3
     FROM exact e LEFT JOIN lsh l ON l.qid = e.qid AND l.vec_id = e.vec_id
     GROUP BY e.qid
     """,
-    "recall@5 of the 8-plane LSH index against exact brute-force ground "
-    "truth for the first 10 query vectors — the retrieval-quality "
+    "recall@5 of a 4-plane (16-bucket) LSH index against exact "
+    "brute-force ground truth for the first 10 query vectors — the "
+    "retrieval-quality evaluation every ANN deployment needs. 4 planes "
+    "(not the production 8) because the eval corpus (200 vectors at "
+    "sf0.01) leaves 2^8 buckets ~0.8-deep: every probe's bucket was "
+    "empty and recall was identically 0 — a vacuous eval "
+    "(degeneracy-gate catch, r7). The retrieval-quality "
     "evaluation every ANN deployment needs before trusting the index. "
     "Both sides rank with (cosine DESC, vec_id); ground truth is one "
     "corpus scan against a 10-row broadcast probe set (q74's pattern), "
@@ -67,7 +77,7 @@ from fluvii_spark.queries.llm import _LSH_BUCKETS, _JACCARD, _MINHASH, _SH3
 def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     corpus = t.embeddings
-    buckets = S.lsh_buckets(corpus, dims=64)
+    buckets = S.lsh_buckets(corpus, dims=64, planes=4)
     queries = corpus.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )

@@ -398,21 +398,33 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q20_intersect_except",
     """
+    WITH top10 AS (
+        SELECT s_nationkey FROM supplier
+        ORDER BY s_acctbal DESC, s_suppkey LIMIT 10)
     SELECT 'intersect' AS op, nationkey FROM (
         SELECT c_nationkey AS nationkey FROM customer
-        INTERSECT SELECT s_nationkey FROM supplier)
+        INTERSECT SELECT s_nationkey FROM top10)
     UNION ALL
     SELECT 'except' AS op, nationkey FROM (
         SELECT c_nationkey AS nationkey FROM customer
-        EXCEPT SELECT s_nationkey FROM supplier)
+        EXCEPT SELECT s_nationkey FROM top10)
     """,
-    "intersect and except, tagged and unioned into one result",
+    "intersect and except against the top-10-acctbal suppliers' nations, "
+    "tagged and unioned into one result. The right side is a bounded "
+    "ranked subset (unique tie-break on s_suppkey) so BOTH branches are "
+    "non-empty at every SF — against all suppliers every customer nation "
+    "intersected and the except branch was silently empty "
+    "(degeneracy-gate catch, r7)",
     ("relational", "setop"),
 )
 def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     cust = t.customer.select(F.col("c_nationkey").alias("nationkey"))
-    supp = t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    supp = (
+        t.supplier.orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+        .limit(10)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     inter = cust.intersect(supp).select(F.lit("intersect").alias("op"), "nationkey")
     exc = cust.subtract(supp).select(F.lit("except").alias("op"), "nationkey")
     return inter.unionByName(exc)

@@ -68,21 +68,40 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q63_json_multi_extract",
     """
-    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
-           json_extract_string(props, '$.source') AS source,
+    WITH doc AS (
+      SELECT json_object(
+               't', event_type,
+               'k', CAST(json_extract_string(props, '$.k') AS INTEGER)
+             ) AS j
+      FROM events
+    )
+    SELECT CAST(json_extract_string(j, '$.k') AS INTEGER) AS k_value,
+           json_extract_string(j, '$.t') AS source,
            COUNT(*) AS n
-    FROM events
+    FROM doc
     GROUP BY 1, 2
     """,
-    "multi-field JSON extraction (json_tuple) + grouped counts",
+    "JSON round-trip + multi-field extraction: build a two-field document "
+    "(event type + the props 'k' value) with to_json/json_object, then "
+    "json_tuple both fields back out and group on them. The first form "
+    "extracted a '$.source' key the synthetic props never carry, so one "
+    "output column was all-NULL and the second extraction path was "
+    "untested (degeneracy-gate catch, r7); integer-only payloads render "
+    "identically in both engines' JSON writers",
     ("relational", "json"),
 )
 def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    doc = t.events.select(
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("t"),
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+            )
+        ).alias("j")
+    )
     return (
-        t.events.select(
-            F.json_tuple("props", "k", "source").alias("k_raw", "source")
-        )
+        doc.select(F.json_tuple("j", "k", "t").alias("k_raw", "source"))
         .select(F.col("k_raw").cast("int").alias("k_value"), "source")
         .groupBy("k_value", "source")
         .agg(F.count("*").alias("n"))

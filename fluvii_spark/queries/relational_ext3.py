@@ -62,7 +62,9 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_US_60S = 60_000_000  # exact integer µs — no float boundary drift vs oracle
+# 10 minutes: at 60 s nearly every user had exactly ONE qualifying pair
+# (constant n_pairs — degeneracy-gate catch, r7); 600 s gives 1..6 pairs
+_US_600S = 600_000_000  # exact integer µs — no float boundary drift vs oracle
 
 
 @register(
@@ -72,12 +74,12 @@ _US_60S = 60_000_000  # exact integer µs — no float boundary drift vs oracle
     SELECT a.user_id, COUNT(*) AS n_pairs
     FROM e a JOIN e b
       ON a.user_id = b.user_id
-     AND b.t >= a.t AND b.t - a.t <= 60000000
+     AND b.t >= a.t AND b.t - a.t <= 600000000
      AND (b.t > a.t OR b.event_id > a.event_id)
     GROUP BY a.user_id
     """,
-    "bounded-range self-join (pairs of a user's events ≤60 s apart) via "
-    "time-bucketing: explode the left side into its two candidate 60 s "
+    "bounded-range self-join (pairs of a user's events ≤600 s apart) via "
+    "time-bucketing: explode the left side into its two candidate 600 s "
     "buckets and equi-join on (user, bucket) — SortMergeJoin, not the "
     "O(n²)-per-key theta join duckdb's IEJoin oracle runs; each pair "
     "matches exactly one bucket key so no dedup pass",
@@ -97,7 +99,7 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("ta"),
         F.explode(
             F.array(
-                F.floor(F.col("t") / _US_60S), F.floor(F.col("t") / _US_60S) + 1
+                F.floor(F.col("t") / _US_600S), F.floor(F.col("t") / _US_600S) + 1
             )
         ).alias("bucket"),
     )
@@ -105,11 +107,11 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("id_b"),
         "user_id",
         F.col("t").alias("tb"),
-        F.floor(F.col("t") / _US_60S).alias("bucket"),
+        F.floor(F.col("t") / _US_600S).alias("bucket"),
     )
     pairs = a.join(b, ["user_id", "bucket"]).filter(
         (F.col("tb") >= F.col("ta"))
-        & (F.col("tb") - F.col("ta") <= _US_60S)
+        & (F.col("tb") - F.col("ta") <= _US_600S)
         & ((F.col("tb") > F.col("ta")) | (F.col("id_b") > F.col("id_a")))
     )
     return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
@@ -761,17 +763,22 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (SELECT user_id, MIN(t) AS tv FROM e
           WHERE event_type = 'view' GROUP BY user_id),
     c AS (SELECT e.user_id, MIN(t) AS tc FROM e JOIN v USING (user_id)
-          WHERE event_type = 'click' AND t > tv GROUP BY e.user_id),
+          WHERE event_type = 'click' AND t > tv
+            AND t - tv <= 86400000000 GROUP BY e.user_id),
     p AS (SELECT e.user_id, MIN(t) AS tp FROM e JOIN c USING (user_id)
-          WHERE event_type = 'purchase' AND t > tc GROUP BY e.user_id)
+          WHERE event_type = 'purchase' AND t > tc
+            AND t - tc <= 259200000000 GROUP BY e.user_id)
     SELECT 'view' AS stage, COUNT(*) AS n_users FROM v
     UNION ALL SELECT 'view>click', COUNT(*) FROM c
     UNION ALL SELECT 'view>click>purchase', COUNT(*) FROM p
     """,
-    "ordered funnel (view -> later click -> later purchase): stage user "
-    "counts via chained first-occurrence aggregates — each stage joins the "
-    "(small) survivor set back to events, so the event table is scanned, "
-    "never self-joined row x row",
+    "ordered funnel with conversion horizons (first view -> click within "
+    "24 h -> purchase within 72 h of that click): stage user counts via "
+    "chained first-occurrence aggregates — each stage joins the (small) "
+    "survivor set back to events, so the event table is scanned, never "
+    "self-joined row x row. Unbounded horizons let every user complete "
+    "the funnel (no drop-off — degeneracy-gate catch, r7); the windows "
+    "give 150/60/45 at sf0.01",
     ("relational", "funnel"),
 )
 def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,14 +795,14 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         e.filter("event_type = 'click'")
         .join(v, "user_id")
-        .filter("t > tv")
+        .filter("t > tv AND t - tv <= 86400000000")  # click within 24 h
         .groupBy("user_id")
         .agg(F.min("t").alias("tc"))
     )
     p = (
         e.filter("event_type = 'purchase'")
         .join(c, "user_id")
-        .filter("t > tc")
+        .filter("t > tc AND t - tc <= 259200000000")  # purchase within 72 h
         .groupBy("user_id")
         .agg(F.min("t").alias("tp"))
     )

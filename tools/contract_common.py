@@ -73,3 +73,45 @@ def duck_views(sf_dir: str):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
+
+
+def degeneracy_check(cols: list[str], rows: list[tuple]) -> str | None:
+    """Non-degeneracy assertion for a query's sf0.01 result (VERDICT r6
+    ask #4): the r6 audit caught six queries whose first forms were
+    silently vacuous (empty results, zero variance, single buckets) only
+    by manual review. Returns a reason string when the result looks
+    degenerate, else None. Waivable per-query via
+    ``fluvii_spark.queries.DEGENERACY_WAIVERS`` (each waiver carries the
+    argument for why the shape is intended).
+
+    Rules: no rows → degenerate; a single row → degenerate (a 1-row
+    summary can't show variation — waive it with the argument); any
+    all-NULL column → degenerate; with >=2 rows and >=2 columns, at
+    least TWO columns must each take >=2 distinct values (one varying
+    column is just the group key — a constant metric beside it is the
+    q225 zero-variance class)."""
+    if not rows:
+        return "empty result"
+    ncols = len(cols)
+    distinct = [set() for _ in range(ncols)]
+    non_null = [False] * ncols
+    for r in rows:
+        for i in range(ncols):
+            v = r[i]
+            if v is not None:
+                non_null[i] = True
+            distinct[i].add(repr(v))
+    for i in range(ncols):
+        if not non_null[i]:
+            return f"column {cols[i]!r} is all-NULL"
+    if len(rows) == 1:
+        return "single-row result"
+    varying = sum(1 for s in distinct if len(s) >= 2)
+    need = 2 if ncols >= 2 else 1
+    if varying < need:
+        flat = [cols[i] for i in range(ncols) if len(distinct[i]) < 2]
+        return (
+            f"only {varying} of {ncols} columns vary across "
+            f"{len(rows)} rows (constant: {flat})"
+        )
+    return None

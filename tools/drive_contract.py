@@ -15,7 +15,13 @@ import datetime as dt
 from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from contract_common import build_spark, duck_views, load_entry_module, resolve_only
+from contract_common import (
+    build_spark,
+    degeneracy_check,
+    duck_views,
+    load_entry_module,
+    resolve_only,
+)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
@@ -67,8 +73,11 @@ def vhash(cols, rows):
 qs = mod.queries()
 ONLY = resolve_only(ONLY, list(qs))
 oracles = mod.oracle_sql()
+from fluvii_spark.queries import DEGENERACY_WAIVERS  # noqa: E402
+
 print(f"queries={len(qs)} oracles={len(oracles)}")
 fails = []
+degenerate = []
 timings = {}  # name -> (spark_s, duck_s)
 for name in sorted(qs):
     if ONLY is not None and name not in ONLY:
@@ -83,6 +92,17 @@ for name in sorted(qs):
         fails.append(name)
         continue
     t_spark = time.time() - t0
+    # non-degeneracy gate (fails only at the driver's sf0.01 proof scale;
+    # other SFs print the reason without failing — smaller fixtures shrink
+    # legitimately)
+    reason = degeneracy_check(s_cols, s_rows)
+    if reason is not None and name not in DEGENERACY_WAIVERS:
+        gate = os.path.basename(SF_DIR.rstrip("/")) == "sf0.01"
+        print(f"  {name}: {'DEGENERATE' if gate else 'degenerate (not gated at this SF)'} — {reason}")
+        if gate:
+            degenerate.append(name)
+            fails.append(name)
+            continue
     if name not in oracles:
         timings[name] = (t_spark, 0.0)
         print(f"  {name}: rows-only rows={len(s_rows)} (spark {t_spark:.1f}s)")
@@ -121,5 +141,7 @@ print(f"\nTIMING: spark total {tot_s:.1f}s, duckdb total {tot_d:.1f}s")
 print("slowest (spark+duck):")
 for name, (ts, td) in sorted(timings.items(), key=lambda kv: -(kv[1][0] + kv[1][1]))[:15]:
     print(f"  {name}: {ts + td:.1f}s (spark {ts:.1f} + duck {td:.1f})")
+if degenerate:
+    print(f"DEGENERATE (unwaived): {degenerate}")
 print(f"\nRESULT: {len(fails)} failures" + (f": {fails}" if fails else " — ALL MATCH"))
 sys.exit(1 if fails else 0)

@@ -1,0 +1,378 @@
+#!/usr/bin/env python
+"""TRUE-growth scale ladder (VERDICT r6 "Next round" #1).
+
+``stress_bench.py`` replicates sf0.1 into DISJOINT key domains: per-key
+cardinalities, join fan-outs, and skew ratios stay constant, so it can't
+exercise AQE behavior under real growth. This tool builds a
+TPC-H-faithful grown corpus instead — the way ``dbgen`` grows a scale
+factor:
+
+- **fixed dimensions stay fixed**: region/nation are copied once, so
+  per-nation fan-in grows G× (15k → 150k customers across the same 25
+  nations) — the opposite of disjoint replication;
+- **entity domains grow G×** (customer/supplier/part/orders/lineitem/
+  events-users/documents/embeddings): replica i shifts each PRIMARY key
+  by ``i * domain_offset`` exactly like stress_bench;
+- **foreign keys are REMAPPED uniformly across the whole grown domain**
+  (``fk + (crc32(salt||pk) % G) * offset``), so the join graph is one
+  connected component: an order's customer comes from any of the G
+  customer replicas, a lineitem's part/supplier from the whole grown
+  part/supplier space. Per-key fan-outs keep their base distribution in
+  expectation (uniform remap of G× rows over G× keys) — "more entities,
+  same entity sizes", which is what a real 100 TB corpus looks like;
+- **texts/embeddings are perturbed per replica** (a replica token
+  appended to ``text``; a position-dependent 1e-4·i delta added to
+  ``embedding``), so dedup/ANN see near-dups and distinct vectors rather
+  than G-sized exact-dup clusters — the realistic load, not the
+  degenerate one;
+- **the calendar does not stretch** (dates unchanged — TPC-H growth adds
+  rows per day, not days).
+
+Optionally (``--skew``) a second variant of ``lineitem`` redirects a
+fraction of ``l_suppkey`` values to ONE hot supplier, and the join-heavy
+queries are re-run with AQE skew-join thresholds scaled down to the
+local data size (256 MB-class production thresholds can't trigger on a
+~500 MB corpus) to demonstrate — and record — AQE's skew-split handling.
+
+Usage::
+
+    python tools/growth_bench.py [--g 10] [--out STRESS_BENCH_r7.json]
+        [--queries q198,...] [--passes 2] [--build-only] [--skew 0.2]
+
+Env: SPARK_GRAFT_SF_DIR (base corpus, default /root/testdata/sf0.1),
+SPARK_GRAFT_GROWTH_DIR (output, default /tmp/fluvii_growth_g{G}).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fluvii_spark.io.readers import TABLES  # noqa: E402
+from fluvii_spark.planshape import runtime_explain_str  # noqa: E402
+from fluvii_spark.queries import registry  # noqa: E402
+from fluvii_spark.session import apply_runtime_confs, get_session  # noqa: E402
+from stress_bench import run_queries  # noqa: E402
+
+# primary-key columns per table -> their growth domain (shifted per replica)
+PRIMARY_KEYS: dict[str, dict[str, str]] = {
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders"},
+    # lineitem's "primary" side follows its order's replica
+    "lineitem": {"l_orderkey": "orders"},
+    "events": {"event_id": "events", "user_id": "users"},
+    "documents": {"doc_id": "docs"},
+    "embeddings": {"vec_id": "docs"},
+}
+
+# foreign keys remapped ACROSS the grown domain: table -> list of
+# (fk_col, fk_domain, crc_salt_cols) — the remap replica index is
+# crc32(salt || row identity) % G, deterministic and rand()-free
+FOREIGN_KEYS: dict[str, list[tuple[str, str, list[str]]]] = {
+    "orders": [("o_custkey", "customer", ["o_orderkey"])],
+    "lineitem": [
+        ("l_partkey", "part", ["l_orderkey", "l_linenumber"]),
+        ("l_suppkey", "supplier", ["l_orderkey", "l_linenumber"]),
+    ],
+}
+
+# 25 most expensive inventory queries by BENCH_LOCAL_r6.json, plus the
+# join-heavy tail the VERDICT names for skew evidence
+DEFAULT_QUERIES = [
+    "q208_theil_sen_trend",
+    "q218_char_ngram_jaccard",
+    "q120_prefix_filter_pairs",
+    "q198_triangle_count",
+    "q206_ship_latency_quantiles",
+    "q194_minhash_fidelity",
+    "q171_bpe_merge_scan",
+    "q118_recursive_hierarchy",
+    "q146_knn_classify",
+    "q190_bigram_logprob",
+    "q107_semantic_rep_select",
+    "q155_shingle_novelty",
+    "q209_quality_calibration",
+    "q196_decile_transitions",
+    "q57_ann_ivf_topk",
+    "q75_correlated_subquery",
+    "q151_rfm_segments",
+    "q187_bootstrap_ci",
+    "q124_equi_depth_histogram",
+    "q214_waiting_suppliers",
+    "q239_simhash_fp_audit",
+    "q219_weighted_sample_aes",
+    "q07_join_multi",
+    "q11_join_broadcast",
+    "q199_basket_lift",
+    "q227_large_orders",
+]
+
+SKEW_QUERIES = [
+    "q07_join_multi",
+    "q11_join_broadcast",
+    "q199_basket_lift",
+    "q214_waiting_suppliers",
+    "q227_large_orders",
+]
+
+# superlinear-by-design arguments carried into the report
+EXPECTED_BOUNDS = {
+    "q208_theil_sen_trend": (
+        "O(days²) slope enumeration is calendar-bound and the calendar "
+        "does not grow; only the daily rollup scan grows — expect ~flat "
+        "with a large constant floor"
+    ),
+    "q198_triangle_count": (
+        "true growth keeps co-purchase degree distributions while "
+        "growing the key domain; wedge work is sum(deg²) over G× keys "
+        "with ~constant degrees — expect ~linear"
+    ),
+    "q120_prefix_filter_pairs": (
+        "near-dup texts are perturbed per replica, so candidate pairs "
+        "come from real prefix collisions, not G-sized exact-dup "
+        "clusters — expect ~linear"
+    ),
+}
+
+
+def _offsets(spark, base: str) -> dict[str, int]:
+    offs: dict[str, int] = {}
+    for t, keys in PRIMARY_KEYS.items():
+        df = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
+        for col, domain in keys.items():
+            m = int(df.agg(F.max(col)).first()[0] or 0) + 1
+            offs[domain] = max(offs.get(domain, 0), m)
+    for fks in FOREIGN_KEYS.values():
+        for _, domain, _ in fks:
+            assert domain in offs, domain
+    return offs
+
+
+def _crc_mod(salt: str, cols: list[str], g: int):
+    return F.crc32(
+        F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in cols])
+    ) % g
+
+
+def build_grown(
+    spark, base: str, out: str, g: int, skew_frac: float = 0.0
+) -> None:
+    marker = os.path.join(out, "_FLUVII_GROWTH_OK")
+    want = {"g": g, "base": base, "skew": skew_frac}
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            meta = json.load(fh)
+        if {k: meta.get(k) for k in want} != want:
+            raise SystemExit(
+                f"growth corpus at {out} was built with {meta} but this "
+                f"run wants {want} — remove it or repoint "
+                "SPARK_GRAFT_GROWTH_DIR"
+            )
+        print(f"growth corpus exists (g={g} verified): {out}", file=sys.stderr)
+        return
+    os.makedirs(out, exist_ok=True)
+    offs = _offsets(spark, base)
+
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
+        if t in ("region", "nation"):
+            # fixed dimensions: TPC-H growth does NOT add nations — the
+            # per-nation fan-in is what grows
+            df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+            print(f"built {t} (fixed dim)", file=sys.stderr)
+            continue
+        reps = []
+        for i in range(g):
+            rep = df
+            for col, domain in PRIMARY_KEYS.get(t, {}).items():
+                dt = dict(df.dtypes)[col]
+                rep = rep.withColumn(
+                    col, (F.col(col) + F.lit(i * offs[domain])).cast(dt)
+                )
+            for col, domain, salt_cols in FOREIGN_KEYS.get(t, []):
+                dt = dict(df.dtypes)[col]
+                # remap across the WHOLE grown domain — use the shifted
+                # row identity (post-PK-shift salt cols differ per i) so
+                # each replica's rows scatter independently
+                rep = rep.withColumn(
+                    col,
+                    (
+                        F.col(col)
+                        + _crc_mod(f"{t}.{col}", salt_cols, g)
+                        * F.lit(offs[domain])
+                    ).cast(dt),
+                )
+            if t == "documents" and i > 0:
+                rep = rep.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" zrep{i}"))
+                ).withColumn(
+                    "n_chars", F.col("n_chars") + F.lit(len(f" zrep{i}"))
+                )
+            if t == "embeddings" and i > 0:
+                delta = i * 1e-4
+                rep = rep.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, pos, d=delta: (
+                            x + F.lit(d) * (pos % 7 - 3).cast("double")
+                        ).cast("float"),
+                    ),
+                )
+            if t == "lineitem" and skew_frac > 0:
+                # hot-supplier injection: a crc-chosen fraction of rows
+                # redirects to supplier key 1 — the AQE skew-join probe
+                rep = rep.withColumn(
+                    "l_suppkey",
+                    F.when(
+                        _crc_mod("hot", ["l_orderkey", "l_linenumber"], 1000)
+                        < int(skew_frac * 1000),
+                        F.lit(1),
+                    ).otherwise(F.col("l_suppkey")),
+                )
+            reps.append(rep)
+        big = reps[0]
+        for r in reps[1:]:
+            big = big.unionByName(r)
+        big.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+        print(f"built {t} x{g}", file=sys.stderr)
+    with open(marker, "w") as fh:
+        fh.write(json.dumps({**want, "offsets": offs}))
+
+
+def skew_audit(spark, names: list[str], sf_dir: str) -> dict:
+    """Execute each query at ``sf_dir`` and read the FINALIZED plan for
+    AQE evidence: how many AQEShuffleRead nodes, and whether any carries
+    a skew split ('skewed' in the read spec)."""
+    qs = registry()
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            plan = runtime_explain_str(qs[name].fn(spark, sf_dir))
+            body = plan.split("== Physical Plan ==")[-1]
+            out[name] = {
+                "wall_sec": round(time.perf_counter() - t0, 3),
+                "aqe_reads": len(re.findall(r"\(\d+\) AQEShuffleRead", body)),
+                "skewed_reads": len(re.findall(r"\bskewed\b", body)),
+                "final": "isFinalPlan=true" in body,
+            }
+        except Exception as e:  # noqa: BLE001
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        print(f"  skew-audit {name}: {out[name]}", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--g", type=int, default=10)
+    ap.add_argument("--out", default="STRESS_BENCH_r7.json")
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--build-only", action="store_true")
+    ap.add_argument(
+        "--skew",
+        type=float,
+        default=0.0,
+        help="also build a hot-supplier lineitem variant (fraction of "
+        "rows redirected to one key) and record AQE skew evidence",
+    )
+    args = ap.parse_args()
+
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    grown = os.environ.get(
+        "SPARK_GRAFT_GROWTH_DIR", f"/tmp/fluvii_growth_g{args.g}"
+    )
+    names = [n for n in args.queries.split(",") if n]
+
+    spark = get_session("fluvii-growth-bench")
+    apply_runtime_confs(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    build_grown(spark, base, grown, args.g)
+    skew_dir = None
+    if args.skew > 0:
+        skew_dir = f"{grown}_skew{args.skew}"
+        build_grown(spark, base, skew_dir, args.g, skew_frac=args.skew)
+    if args.build_only:
+        return
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+
+    print("== base scale ==", file=sys.stderr)
+    base_walls = run_queries(spark, names, base, args.passes)
+    print("== grown scale ==", file=sys.stderr)
+    grown_walls = run_queries(spark, names, grown, args.passes)
+
+    queries = {}
+    for n in names:
+        b, g_w = base_walls.get(n, -1.0), grown_walls.get(n, -1.0)
+        exp = (
+            round(math.log(g_w / b) / math.log(args.g), 3)
+            if b > 0 and g_w > 0
+            else None
+        )
+        queries[n] = {
+            "base_sec": round(b, 3),
+            "grown_sec": round(g_w, 3),
+            "growth_exponent": exp,
+            **(
+                {"expected_bound": EXPECTED_BOUNDS[n]}
+                if n in EXPECTED_BOUNDS
+                else {}
+            ),
+        }
+
+    out = {
+        "metric": "true_growth_exponent",
+        "mode": "tpch_faithful_growth (fixed dims, grown key domains, "
+        "remapped FKs, perturbed texts/embeddings)",
+        "g": args.g,
+        "base_sf_dir": base,
+        "grown_sf_dir": grown,
+        "passes": args.passes,
+        "queries": queries,
+    }
+
+    if skew_dir:
+        # scale AQE skew thresholds to the local corpus (production
+        # defaults are sized for multi-GB shuffle partitions; a ~500 MB
+        # corpus can't reach them, and the point is to show the
+        # mechanism engaging, not to tune production)
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "8m",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        print("== skew variant (AQE audit) ==", file=sys.stderr)
+        out["skew"] = {
+            "skew_frac": args.skew,
+            "skew_dir": skew_dir,
+            "thresholds": "skewedPartitionThresholdInBytes=8m, "
+            "advisoryPartitionSizeInBytes=4m, skewedPartitionFactor=2 "
+            "(scaled to local corpus size)",
+            "uniform": skew_audit(spark, SKEW_QUERIES, grown),
+            "hot": skew_audit(spark, SKEW_QUERIES, skew_dir),
+        }
+
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
