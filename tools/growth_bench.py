@@ -220,13 +220,16 @@ def build_grown(
                     "n_chars", F.col("n_chars") + F.lit(len(f" zrep{i}"))
                 )
             if t == "embeddings" and i > 0:
-                delta = i * 1e-4
+                # bind the per-replica delta OUTSIDE the lambda: transform
+                # infers higher-order arity from the Python signature, so a
+                # default arg would read as a 3-arg lambda
+                dlt = F.lit(i * 1e-4)
                 rep = rep.withColumn(
                     "embedding",
                     F.transform(
                         "embedding",
-                        lambda x, pos, d=delta: (
-                            x + F.lit(d) * (pos % 7 - 3).cast("double")
+                        lambda x, pos: (  # noqa: B023 — dlt rebound per loop
+                            x + dlt * (pos % 7 - 3).cast("double")
                         ).cast("float"),
                     ),
                 )
@@ -251,27 +254,96 @@ def build_grown(
         fh.write(json.dumps({**want, "offsets": offs}))
 
 
-def skew_audit(spark, names: list[str], sf_dir: str) -> dict:
+def skew_audit(
+    spark, names: list[str], sf_dir: str, no_broadcast: bool = False
+) -> dict:
     """Execute each query at ``sf_dir`` and read the FINALIZED plan for
-    AQE evidence: how many AQEShuffleRead nodes, and whether any carries
-    a skew split ('skewed' in the read spec)."""
+    AQE evidence: how many AQEShuffleRead nodes, whether any carries a
+    skew split ('skewed' in the read spec), and the join strategies.
+
+    ``no_broadcast`` disables auto-broadcast for the audit: at local
+    scale every dimension fits the broadcast threshold, so hot keys never
+    reach a shuffle join (broadcast joins are skew-immune — itself the
+    finding); forcing SortMergeJoin is the controlled experiment that
+    lets AQE's skew-split engage the way it would at 100 TB, where the
+    dim side outgrows the driver."""
     qs = registry()
     out = {}
-    for name in names:
-        t0 = time.perf_counter()
-        try:
-            plan = runtime_explain_str(qs[name].fn(spark, sf_dir))
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    if no_broadcast:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in names:
+            t0 = time.perf_counter()
+            try:
+                plan = runtime_explain_str(qs[name].fn(spark, sf_dir))
+                body = plan.split("== Physical Plan ==")[-1]
+                out[name] = {
+                    "wall_sec": round(time.perf_counter() - t0, 3),
+                    "aqe_reads": len(
+                        re.findall(r"\(\d+\) AQEShuffleRead", body)
+                    ),
+                    "skewed_reads": len(re.findall(r"\bskewed\b", body)),
+                    "smj": len(re.findall(r"\(\d+\) SortMergeJoin", body)),
+                    "bhj": len(
+                        re.findall(r"\(\d+\) BroadcastHashJoin", body)
+                    ),
+                    "final": "isFinalPlan=true" in body,
+                }
+            except Exception as e:  # noqa: BLE001
+                out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            print(f"  skew-audit {name}: {out[name]}", file=sys.stderr)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    return out
+
+
+def skew_probe(spark, sf_dir: str, passes: int = 2) -> dict:
+    """The distilled skew-join demonstration: lineitem ⋈ supplier on
+    l_suppkey (the hot-injected key), forced SortMergeJoin, grouped to a
+    25-row rollup. On the hot corpus AQE must mark the join
+    ``SortMergeJoin(skew=true)`` and split the hot partition
+    (``AQEShuffleRead Arguments: skewed``) — the inventory queries'
+    supplier joins filter/pre-aggregate below the (scaled) skew
+    threshold, so this probe is the clean before/after pair."""
+    from pyspark.sql import functions as F  # local: keep module import light
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        best: dict = {}
+        for _ in range(passes):
+            li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            su = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+            j = (
+                li.join(su, li.l_suppkey == su.s_suppkey)
+                .groupBy("s_nationkey")
+                .agg(
+                    F.sum("l_extendedprice").alias("rev"),
+                    F.count("*").alias("n"),
+                )
+            )
+            t0 = time.perf_counter()
+            plan = runtime_explain_str(j)
+            wall = round(time.perf_counter() - t0, 3)
             body = plan.split("== Physical Plan ==")[-1]
-            out[name] = {
-                "wall_sec": round(time.perf_counter() - t0, 3),
-                "aqe_reads": len(re.findall(r"\(\d+\) AQEShuffleRead", body)),
-                "skewed_reads": len(re.findall(r"\bskewed\b", body)),
+            cur = {
+                "wall_sec": wall,
+                "smj": len(re.findall(r"\(\d+\) SortMergeJoin", body)),
+                "skew_true_joins": len(
+                    re.findall(r"SortMergeJoin\(skew=true\)", body)
+                ),
+                "skewed_reads": len(
+                    re.findall(r"Arguments: .*\bskewed\b", body)
+                ),
                 "final": "isFinalPlan=true" in body,
             }
-        except Exception as e:  # noqa: BLE001
-            out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
-        print(f"  skew-audit {name}: {out[name]}", file=sys.stderr)
-    return out
+            if not best or cur["wall_sec"] < best["wall_sec"]:
+                best = cur
+        print(f"  skew-probe @{os.path.basename(sf_dir)}: {best}", file=sys.stderr)
+        return best
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
 
 
 def main() -> None:
@@ -281,6 +353,12 @@ def main() -> None:
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--build-only", action="store_true")
+    ap.add_argument(
+        "--skew-only",
+        action="store_true",
+        help="skip the growth timing passes; redo only the skew-audit "
+        "section and merge it into an existing --out file",
+    )
     ap.add_argument(
         "--skew",
         type=float,
@@ -310,40 +388,45 @@ def main() -> None:
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
 
-    print("== base scale ==", file=sys.stderr)
-    base_walls = run_queries(spark, names, base, args.passes)
-    print("== grown scale ==", file=sys.stderr)
-    grown_walls = run_queries(spark, names, grown, args.passes)
+    if args.skew_only:
+        # keep the committed timing passes; redo only the skew section
+        with open(args.out) as fh:
+            out = json.load(fh)
+    else:
+        print("== base scale ==", file=sys.stderr)
+        base_walls = run_queries(spark, names, base, args.passes)
+        print("== grown scale ==", file=sys.stderr)
+        grown_walls = run_queries(spark, names, grown, args.passes)
 
-    queries = {}
-    for n in names:
-        b, g_w = base_walls.get(n, -1.0), grown_walls.get(n, -1.0)
-        exp = (
-            round(math.log(g_w / b) / math.log(args.g), 3)
-            if b > 0 and g_w > 0
-            else None
-        )
-        queries[n] = {
-            "base_sec": round(b, 3),
-            "grown_sec": round(g_w, 3),
-            "growth_exponent": exp,
-            **(
-                {"expected_bound": EXPECTED_BOUNDS[n]}
-                if n in EXPECTED_BOUNDS
-                else {}
-            ),
+        queries = {}
+        for n in names:
+            b, g_w = base_walls.get(n, -1.0), grown_walls.get(n, -1.0)
+            exp = (
+                round(math.log(g_w / b) / math.log(args.g), 3)
+                if b > 0 and g_w > 0
+                else None
+            )
+            queries[n] = {
+                "base_sec": round(b, 3),
+                "grown_sec": round(g_w, 3),
+                "growth_exponent": exp,
+                **(
+                    {"expected_bound": EXPECTED_BOUNDS[n]}
+                    if n in EXPECTED_BOUNDS
+                    else {}
+                ),
+            }
+
+        out = {
+            "metric": "true_growth_exponent",
+            "mode": "tpch_faithful_growth (fixed dims, grown key domains, "
+            "remapped FKs, perturbed texts/embeddings)",
+            "g": args.g,
+            "base_sf_dir": base,
+            "grown_sf_dir": grown,
+            "passes": args.passes,
+            "queries": queries,
         }
-
-    out = {
-        "metric": "true_growth_exponent",
-        "mode": "tpch_faithful_growth (fixed dims, grown key domains, "
-        "remapped FKs, perturbed texts/embeddings)",
-        "g": args.g,
-        "base_sf_dir": base,
-        "grown_sf_dir": grown,
-        "passes": args.passes,
-        "queries": queries,
-    }
 
     if skew_dir:
         # scale AQE skew thresholds to the local corpus (production
@@ -367,6 +450,19 @@ def main() -> None:
             "(scaled to local corpus size)",
             "uniform": skew_audit(spark, SKEW_QUERIES, grown),
             "hot": skew_audit(spark, SKEW_QUERIES, skew_dir),
+            # at local scale every dim broadcasts (skew-immune by
+            # strategy); force SMJ to show the 100 TB path where AQE's
+            # skew-split takes over
+            "uniform_no_broadcast": skew_audit(
+                spark, SKEW_QUERIES, grown, no_broadcast=True
+            ),
+            "hot_no_broadcast": skew_audit(
+                spark, SKEW_QUERIES, skew_dir, no_broadcast=True
+            ),
+            # the distilled before/after: same forced-SMJ join, uniform
+            # vs hot — AQE must convert the hot side to skew-split reads
+            "probe_uniform": skew_probe(spark, grown),
+            "probe_hot": skew_probe(spark, skew_dir),
         }
 
     with open(args.out, "w") as fh:
