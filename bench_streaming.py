@@ -22,6 +22,8 @@ Pipelines (all per-arrival emission, the reference's per-message contract):
   heavy_hitters  streaming_heavy_hitters: O(m) Misra-Gries per type
   trending       streaming_trending: windowed MG on (type, 1h window)
   tumbling       built-in watermark+window count agg (engine baseline)
+  cdc_apply      streaming_cdc_apply: LWW upsert/tombstone changelog apply
+                 (the q182 MERGE-sink twin; state = one row per live key)
   minhash_dedup  streaming_minhash_candidates over the documents table:
                  per-arrival near-dup candidates from the stateful banded
                  inverted index (state = the index itself, ~4 rows/doc)
@@ -244,6 +246,22 @@ def pipelines() -> dict:
             .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
         )
 
+    def cdc_apply(src):
+        from fluvii_spark.streaming.cdc import streaming_cdc_apply
+
+        log = src.filter(
+            F.col("event_type").isin("view", "click", "purchase")
+        ).select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", "delete")
+            .otherwise("upsert")
+            .alias("op"),
+            F.col("value").alias("v"),
+        )
+        return streaming_cdc_apply(log)
+
     return {
         "keyed_fold": keyed_fold,
         "kmv_distinct": kmv,
@@ -251,6 +269,7 @@ def pipelines() -> dict:
         "heavy_hitters": heavy_hitters,
         "trending": trending,
         "tumbling": tumbling,
+        "cdc_apply": cdc_apply,
     }
 
 
