@@ -68,7 +68,7 @@ _DRIVER_PROVEN = {
 # Queries awaiting a FIRST green driver row against their current code, in
 # driver-attempt order (each verified at sf0.001 AND sf0.01 under both
 # canonicalizers before registration).
-_UNPROVEN_ORDER: list[str] = []
+_UNPROVEN_ORDER: list[str] = ["q246", "q247", "q248"]
 
 # Deferred-tier re-proofs: queries whose expression or oracle changed
 # AFTER their last green row. All re-verified green under both

@@ -484,3 +484,93 @@ def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_types"),
         F.sum("c").cast("bigint").alias("n_bigrams"),
     )
+
+
+from fluvii_spark.queries.llm import lsh_buckets_cte  # noqa: E402
+
+
+@register(
+    "q246_mutual_nn_pairs",
+    f"""
+    WITH
+    {lsh_buckets_cte(4)},
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+    best AS (
+      SELECT vec_id, nb, cos_r FROM (
+        SELECT a.vec_id, b.vec_id AS nb,
+               round(list_cosine_similarity(bb.v, aa.v), 6) AS cos_r,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(bb.v, aa.v), 6)
+                          DESC, b.vec_id) AS rn
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        JOIN base aa ON aa.vec_id = a.vec_id
+        JOIN base bb ON bb.vec_id = b.vec_id
+      ) WHERE rn = 1
+    )
+    SELECT CAST(x.vec_id AS BIGINT) AS id_a,
+           CAST(x.nb AS BIGINT) AS id_b,
+           x.cos_r AS cosine
+    FROM best x JOIN best y
+      ON y.vec_id = x.nb AND y.nb = x.vec_id AND x.vec_id < x.nb
+    ORDER BY cosine DESC, id_a
+    """,
+    "reciprocal best match (mutual nearest neighbors) within the 4-plane "
+    "LSH index: pairs where each vector is the other's top-1 cosine "
+    "neighbor among its bucket-mates — the high-precision alignment "
+    "primitive bitext mining and cross-corpus dedup use (a one-sided "
+    "top-1 keeps hub vectors that attract many queries; mutuality "
+    "filters them). Candidates only ever come from the bucket equi-join "
+    "(never all-pairs), rank on 6-dp-rounded cosine with the vec_id "
+    "tie-break, mutuality is one self-join of the per-vector top-1 "
+    "relation on the reversed pair",
+    ("llm", "similarity", "ann", "dedup"),
+)
+def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators import similarity as S
+
+    t = load_tables(spark, sf_dir)
+    corpus = t.embeddings
+    buckets = S.lsh_buckets(corpus, dims=64, planes=4)
+    vecs = corpus.select("vec_id", "embedding")
+    a = buckets.join(vecs, "vec_id").select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        "bucket",
+    )
+    scored = (
+        buckets.join(vecs, "vec_id")
+        .join(a, "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                F.expr(S.cosine_sql("embedding", "qvec")), 6
+            ).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_r").desc(), "vec_id")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("vec_id").alias("nb"), "cos_r")
+    )
+    rev = best.select(
+        F.col("qid").alias("r_qid"), F.col("nb").alias("r_nb")
+    )
+    return (
+        best.join(
+            rev,
+            (F.col("r_qid") == F.col("nb"))
+            & (F.col("r_nb") == F.col("qid"))
+            & (F.col("qid") < F.col("nb")),
+        )
+        .select(
+            F.col("qid").cast("bigint").alias("id_a"),
+            F.col("nb").cast("bigint").alias("id_b"),
+            F.col("cos_r").alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "id_a")
+    )

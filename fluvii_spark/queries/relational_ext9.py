@@ -1651,3 +1651,118 @@ def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - rad) / denom, 6).alias("wilson_lo"),
         F.round((center + rad) / denom, 6).alias("wilson_hi"),
     )
+
+
+@register(
+    "q247_returned_item_ranking",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                 AS DOUBLE), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "TPC-H Q10 shape: top-20 customers by revenue lost to returned items "
+    "in a two-quarter window — the returned-flag filter pushes to the "
+    "lineitem scan, the date filter to the orders scan, nation broadcasts, "
+    "revenue is the DECIMAL-exact order-independent sum, and the ranking "
+    "is TakeOrdered-20 with the c_custkey tie-break",
+    ("relational", "tpch", "join", "topk"),
+)
+def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+    )
+    return (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            t.orders.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-07-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q248_local_supplier_revenue",
+    """
+    SELECT n.n_name,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                 AS DOUBLE), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region rg ON n.n_regionkey = rg.r_regionkey
+    WHERE rg.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1 ORDER BY revenue DESC
+    """,
+    "TPC-H Q5 shape: revenue by nation from LOCAL-supplier line items "
+    "(customer and supplier share a nation) within one region and a "
+    "two-year window — the classic 6-table snowflake join whose "
+    "region/nation dims broadcast and whose c_nationkey = s_nationkey "
+    "equality rides the supplier join as a residual conjunct; "
+    "DECIMAL-exact revenue, deterministic order (revenue DESC over "
+    "distinct per-nation sums)",
+    ("relational", "tpch", "join"),
+)
+def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+    )
+    asia_nations = (
+        t.nation.join(
+            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    return (
+        t.lineitem.join(
+            t.orders.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1998-01-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )

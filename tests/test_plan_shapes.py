@@ -93,6 +93,9 @@ _BNLJ_ALLOWED = {
     "q164_vocab_coverage_curve",  # 1-row corpus-total broadcast onto 3 probe rows
     "q165_ks_distance",  # 1-row sample-size aggregate broadcast onto ranked rows
     "q173_benford_deviation",  # 1-row grand-total broadcast onto 9 digit rows
+    "q246_mutual_nn_pairs",  # 4×64 hyperplane scaffold crossJoin, ×4: the
+    # buckets subtree is inlined on both sides of the bucket join and again
+    # for the reversed-pair self-join (as q39/q107/q189)
     "q179_weekday_hour_heatmap",  # 1-row total broadcast onto ≤168 cells
     "q185_unigram_logprob",  # 1-row corpus-token-total broadcast onto token rows
     "q187_bootstrap_ci",  # 1-row point-estimate broadcast onto 32 replica rows
