@@ -1,0 +1,173 @@
+"""The TRUE-growth corpus builder (tools/growth_bench.py) is evidence
+infrastructure: STRESS_BENCH_r7.json's growth exponents are only
+meaningful if the grown corpus actually is TPC-H-faithful growth. This
+suite builds a G=2 grown corpus of sf0.001 and proves the properties
+that distinguish it from disjoint replication:
+
+- fixed dimensions stay fixed (region/nation row counts unchanged) while
+  entity tables scale exactly G×;
+- no foreign-key orphans anywhere (lineitem→orders/part/supplier,
+  orders→customer) — the FK remap never leaves the grown domain;
+- the join graph is CONNECTED: replica-0 orders reference customers in
+  EVERY replica (disjoint replication would keep them in replica 0);
+- per-key fan-out distributions are preserved (orders per customer keeps
+  its base mean — more entities, same entity sizes);
+- per-nation fan-in grows G× (the fixed-dim consequence);
+- texts and embeddings are perturbed per replica (all distinct — near-dup
+  load, not G-sized exact-dup clusters);
+- the hot-key variant redirects ~the requested fraction of lineitem rows
+  to supplier key 1.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.growth_bench import build_grown
+
+G = 2
+
+
+@pytest.fixture(scope="module")
+def grown_dir(spark, sf_dir, tmp_path_factory) -> str:
+    out = str(tmp_path_factory.mktemp("growth"))
+    build_grown(spark, sf_dir, out, G)
+    return out
+
+
+@pytest.fixture(scope="module")
+def hot_dir(spark, sf_dir, tmp_path_factory) -> str:
+    out = str(tmp_path_factory.mktemp("growth_hot"))
+    build_grown(spark, sf_dir, out, G, skew_frac=0.2)
+    return out
+
+
+def _t(spark, d, t):
+    return spark.read.parquet(os.path.join(d, f"{t}.parquet"))
+
+
+def test_fixed_dims_fixed_entities_scale(spark, sf_dir, grown_dir):
+    for t in ["region", "nation"]:
+        assert _t(spark, grown_dir, t).count() == _t(spark, sf_dir, t).count()
+    for t in ["customer", "supplier", "part", "orders", "lineitem",
+              "events", "documents", "embeddings"]:
+        assert (
+            _t(spark, grown_dir, t).count()
+            == G * _t(spark, sf_dir, t).count()
+        ), t
+
+
+def test_no_fk_orphans(spark, grown_dir):
+    pairs = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ]
+    for ft, fk, pt, pk in pairs:
+        orphans = (
+            _t(spark, grown_dir, ft)
+            .join(
+                _t(spark, grown_dir, pt),
+                F.col(fk) == F.col(pk),
+                "left_anti",
+            )
+            .count()
+        )
+        assert orphans == 0, (ft, fk)
+
+
+def test_join_graph_is_connected_across_replicas(spark, sf_dir, grown_dir):
+    """Replica-0 orders must reference customers in EVERY replica — the
+    property disjoint replication cannot have."""
+    max_cust = _t(spark, sf_dir, "customer").agg(
+        F.max("c_custkey")
+    ).first()[0]
+    max_ord = _t(spark, sf_dir, "orders").agg(F.max("o_orderkey")).first()[0]
+    reps = (
+        _t(spark, grown_dir, "orders")
+        .filter(F.col("o_orderkey") <= max_ord)
+        .select(
+            (F.col("o_custkey") / (max_cust + 1)).cast("int").alias("rep")
+        )
+        .distinct()
+        .count()
+    )
+    assert reps == G, f"replica-0 orders reach only {reps} of {G} replicas"
+
+
+def test_fanout_distributions_preserved(spark, sf_dir, grown_dir):
+    base = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .count()
+        .agg(F.avg("count"))
+        .first()[0]
+    )
+    grown = (
+        _t(spark, grown_dir, "orders")
+        .groupBy("o_custkey")
+        .count()
+        .agg(F.avg("count"))
+        .first()[0]
+    )
+    # uniform remap keeps the MEAN fan-out (variance widens slightly)
+    assert abs(grown - base) / base < 0.25, (base, grown)
+    # and per-nation fan-in grows exactly Gx (every customer keeps its
+    # nation; only custkeys shift)
+    b = dict(
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .count()
+        .collect()
+    )
+    g = dict(
+        _t(spark, grown_dir, "customer")
+        .groupBy("c_nationkey")
+        .count()
+        .collect()
+    )
+    assert g == {k: G * v for k, v in b.items()}
+
+
+def test_texts_and_embeddings_perturbed(spark, sf_dir, grown_dir):
+    n_docs = _t(spark, sf_dir, "documents").count()
+    assert (
+        _t(spark, grown_dir, "documents").select("text").distinct().count()
+        > n_docs
+    )
+    n_vecs = _t(spark, sf_dir, "embeddings").count()
+    assert (
+        _t(spark, grown_dir, "embeddings")
+        .select(F.col("embedding").cast("string"))
+        .distinct()
+        .count()
+        == G * n_vecs
+    )
+    # dtype preserved: perturbation must not widen float -> double
+    assert (
+        dict(_t(spark, grown_dir, "embeddings").dtypes)["embedding"]
+        == dict(_t(spark, sf_dir, "embeddings").dtypes)["embedding"]
+    )
+
+
+def test_hot_variant_redirects_requested_fraction(spark, hot_dir):
+    frac = (
+        _t(spark, hot_dir, "lineitem")
+        .agg(F.avg((F.col("l_suppkey") == 1).cast("double")))
+        .first()[0]
+    )
+    assert 0.15 < frac < 0.25, frac
+
+
+def test_marker_validates_g_and_base(spark, sf_dir, grown_dir):
+    """Reusing a corpus built with different parameters must fail loudly
+    (the stress_bench ADVICE r6 class)."""
+    with pytest.raises(SystemExit):
+        build_grown(spark, sf_dir, grown_dir, G + 1)
