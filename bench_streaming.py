@@ -247,20 +247,12 @@ def pipelines() -> dict:
         )
 
     def cdc_apply(src):
-        from fluvii_spark.streaming.cdc import streaming_cdc_apply
-
-        log = src.filter(
-            F.col("event_type").isin("view", "click", "purchase")
-        ).select(
-            "user_id",
-            "ts",
-            "event_id",
-            F.when(F.col("event_type") == "purchase", "delete")
-            .otherwise("upsert")
-            .alias("op"),
-            F.col("value").alias("v"),
+        from fluvii_spark.streaming.cdc import (
+            events_to_cdc_changelog,
+            streaming_cdc_apply,
         )
-        return streaming_cdc_apply(log)
+
+        return streaming_cdc_apply(events_to_cdc_changelog(src))
 
     return {
         "keyed_fold": keyed_fold,

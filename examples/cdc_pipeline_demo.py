@@ -34,7 +34,11 @@ from pyspark.sql import functions as F
 from fluvii_spark import get_session
 from fluvii_spark.io.readers import load_table
 from fluvii_spark.queries import registry
-from fluvii_spark.streaming.cdc import cdc_snapshot, streaming_cdc_apply
+from fluvii_spark.streaming.cdc import (
+    cdc_snapshot,
+    events_to_cdc_changelog,
+    streaming_cdc_apply,
+)
 
 SF_DIR = os.environ.get("FLUVII_SPARK_DEMO_SF_DIR", "/root/testdata/sf0.001")
 
@@ -53,17 +57,7 @@ def main() -> None:
         # ---- stage the changelog as 3 sequential files (mtime-pinned:
         # FileStreamSource orders by (modTime, path)) -------------------
         log = (
-            load_table(spark, SF_DIR, "events")
-            .filter(F.col("event_type").isin("view", "click", "purchase"))
-            .select(
-                "user_id",
-                "ts",
-                "event_id",
-                F.when(F.col("event_type") == "purchase", "delete")
-                .otherwise("upsert")
-                .alias("op"),
-                F.col("value").alias("v"),
-            )
+            events_to_cdc_changelog(load_table(spark, SF_DIR, "events"))
             .orderBy("ts", "event_id")
             .collect()
         )

@@ -80,10 +80,14 @@ def main() -> None:
         out, ck = os.path.join(root, "out"), os.path.join(root, "ck")
         # idle_flush emits every user's open tail once the stream drains,
         # so the streaming session set equals the batch one EXACTLY and
-        # the q226 parity claim below is asserted, not just stated
+        # the q226 parity claim below is asserted, not just stated.
+        # The flush window sits far above any micro-batch gap: a flush
+        # firing MID-stream (a user absent from one staged file on a
+        # slow host) would drop that user's state and split their
+        # event-time session, breaking the exact-equality assert
         query = (
             streaming_sessions(src, gap_s=1800, cap_s=1800,
-                               idle_flush_ms=1000)
+                               idle_flush_ms=15_000)
             .writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ck)

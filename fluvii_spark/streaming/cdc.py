@@ -40,6 +40,37 @@ CDC_SCHEMA = (
 )
 
 
+def _keyed_schema(key_col: str, fixed_cols: str) -> str:
+    """Output schema for a keyed fold: the (LONG) group key followed by
+    the fold's fixed columns. Built structurally — string-replacing a
+    template would corrupt the schema whenever ``key_col`` collides with
+    a fixed column name, so collisions are rejected instead."""
+    fixed_names = [c.strip().split(" ")[0] for c in fixed_cols.split(",")]
+    if key_col in fixed_names:
+        raise ValueError(
+            f"key_col {key_col!r} collides with an output column "
+            f"({fixed_names}) — rename the key before folding"
+        )
+    return f"{key_col} LONG, {fixed_cols}"
+
+
+def events_to_cdc_changelog(events: DataFrame) -> DataFrame:
+    """The q182 changelog mapping, shared by the bench, the demo, and the
+    parity tests so the three can't drift: views/clicks UPSERT the key's
+    value, purchases are tombstones."""
+    return events.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        F.col("value").alias("v"),
+    )
+
+
 def streaming_cdc_apply(
     changelog: DataFrame,
     key_col: str = "user_id",
@@ -74,7 +105,12 @@ def streaming_cdc_apply(
         )
 
     src = changelog.filter(
-        F.col(key_col).isNotNull() & F.col(op_col).isNotNull()
+        # a NULL key can't address a table row, a NULL op can't be
+        # applied, and a NULL timestamp can't be ordered into an
+        # LWW fold (the sessionizer's NULL-guard discipline)
+        F.col(key_col).isNotNull()
+        & F.col(op_col).isNotNull()
+        & F.col(ts_col).isNotNull()
     ).select(
         F.col(key_col),
         F.col(op_col),
@@ -86,7 +122,7 @@ def streaming_cdc_apply(
         src,
         [key_col],
         app,
-        CDC_SCHEMA.replace("user_id", key_col),
+        _keyed_schema(key_col, "op STRING, v DOUBLE, n_applied LONG"),
         order_by=["_ts", "_ord"],
     )
 
@@ -177,7 +213,10 @@ def streaming_scd2_fold(
         src,
         [key_col],
         app,
-        SCD2_SCHEMA.replace("user_id", key_col),
+        _keyed_schema(
+            key_col,
+            "k LONG, valid_from_ep LONG, valid_to_ep LONG, version LONG",
+        ),
         order_by=["_ts", "_ord"],
         timeout_ms=idle_flush_ms,
         on_timeout=flush if idle_flush_ms is not None else None,

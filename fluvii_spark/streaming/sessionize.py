@@ -39,6 +39,24 @@ SESSION_SCHEMA = (
 )
 
 
+def _migrate(st: dict | None) -> dict | None:
+    """Tolerate checkpoints written by the pre-r7 fold, whose state kept
+    a single 'start' key (the cap re-anchored at each chunk's first
+    event): map it onto the batch-anchored shape so a restart never
+    raises KeyError or silently drops an open session. The migrated
+    session's origin is its start — exactly what the old rule had
+    accumulated."""
+    if st is not None and "origin" not in st and "start" in st:
+        return {
+            "origin": st["start"],
+            "first": st["start"],
+            "last": st["last"],
+            "n": st["n"],
+            "sid": st["sid"],
+        }
+    return st
+
+
 def streaming_sessions(
     events: DataFrame,
     user_col: str = "user_id",
@@ -54,7 +72,7 @@ def streaming_sessions(
     drop their state)."""
 
     def app(txn) -> None:
-        st = txn.read_table_entry()
+        st = _migrate(txn.read_table_entry())
         ep = int(txn.value()["ep"])
         if st is None:
             txn.update_table_entry(
@@ -110,6 +128,7 @@ def streaming_sessions(
         txn.update_table_entry(st)
 
     def flush(key, st):
+        st = _migrate(st)
         if st and st.get("first") is not None:
             return None, [
                 {

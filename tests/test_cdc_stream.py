@@ -16,32 +16,38 @@ from decimal import Decimal
 from pyspark.sql import functions as F
 
 from fluvii_spark.io.readers import load_table
-from fluvii_spark.streaming.cdc import cdc_snapshot, streaming_cdc_apply
+from fluvii_spark.streaming.cdc import (
+    cdc_snapshot,
+    events_to_cdc_changelog,
+    streaming_cdc_apply,
+)
 
 N_FILES = 4
 
 
 def _changelog_rows(spark, sf_dir) -> list[tuple]:
-    """events → the q182 changelog: views/clicks upsert value, purchases
-    tombstone; (ts, event_id)-ordered."""
+    """events → the q182 changelog (the SHARED mapping the bench and demo
+    also use, so the three can't drift); (ts, event_id)-ordered."""
     return (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("view", "click", "purchase"))
-        .select(
-            "user_id",
-            "ts",
-            "event_id",
-            F.when(F.col("event_type") == "purchase", "delete")
-            .otherwise("upsert")
-            .alias("op"),
-            F.col("value").alias("v"),
-        )
+        events_to_cdc_changelog(load_table(spark, sf_dir, "events"))
         .orderBy("ts", "event_id")
         .collect()
     )
 
 
-def _stage_ordered(spark, rows, root: str, n_files: int = N_FILES) -> str:
+CDC_ROW_SCHEMA = (
+    "user_id LONG, ts TIMESTAMP_NTZ, event_id LONG, op STRING, v DOUBLE"
+)
+SCD2_ROW_SCHEMA = "user_id LONG, ts TIMESTAMP_NTZ, event_id LONG, k LONG"
+
+
+def _stage_ordered(
+    spark, rows, root: str, schema: str = CDC_ROW_SCHEMA,
+    n_files: int = N_FILES,
+) -> str:
+    """rows → n_files sequential part files with PINNED mtimes — the
+    FileStreamSource orders by (modTime, path), and fresh copy-time
+    mtimes would tie, leaving micro-batch order undefined."""
     staged = os.path.join(root, "staged")
     os.makedirs(staged, exist_ok=True)
     chunk = (len(rows) + n_files - 1) // n_files
@@ -50,10 +56,7 @@ def _stage_ordered(spark, rows, root: str, n_files: int = N_FILES) -> str:
         if not part_rows:
             continue
         d = os.path.join(root, f"build{i}")
-        spark.createDataFrame(
-            part_rows,
-            "user_id LONG, ts TIMESTAMP_NTZ, event_id LONG, op STRING, v DOUBLE",
-        ).coalesce(1).write.parquet(d)
+        spark.createDataFrame(part_rows, schema).coalesce(1).write.parquet(d)
         part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
         dst = os.path.join(staged, f"{i:02d}.parquet")
         shutil.copy(os.path.join(d, part), dst)
@@ -238,25 +241,7 @@ def _scd2_sequential(rows_with_ep) -> tuple[list, dict]:
     return sorted(closed), state
 
 
-def _stage_scd2(spark, rows, root: str, n_files: int = N_FILES) -> str:
-    staged = os.path.join(root, "staged")
-    os.makedirs(staged, exist_ok=True)
-    chunk = (len(rows) + n_files - 1) // n_files
-    for i in range(n_files):
-        part_rows = rows[i * chunk : (i + 1) * chunk]
-        if not part_rows:
-            continue
-        d = os.path.join(root, f"build{i}")
-        spark.createDataFrame(
-            part_rows,
-            "user_id LONG, ts TIMESTAMP_NTZ, event_id LONG, k LONG",
-        ).coalesce(1).write.parquet(d)
-        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
-        dst = os.path.join(staged, f"{i:02d}.parquet")
-        shutil.copy(os.path.join(d, part), dst)
-        t = time.time() - 300 + i * 10
-        os.utime(dst, (t, t))
-    return staged
+
 
 
 def _run_scd2(spark, src, out: str, ck: str, flush_ms=None):
@@ -303,7 +288,7 @@ def test_streaming_scd2_matches_sequential_and_q126(spark, sf_dir, tmp_path):
         for u, ts, _e, k in rows
     ]
     closed_want, open_state = _scd2_sequential(eps)
-    staged = _stage_scd2(spark, rows, str(tmp_path))
+    staged = _stage_ordered(spark, rows, str(tmp_path), SCD2_ROW_SCHEMA)
     out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
     # idle flush emits every open tail once the stream drains, so the
     # emission log becomes the COMPLETE version history. NO
@@ -364,7 +349,9 @@ def test_streaming_scd2_restart_invariance(spark, sf_dir, tmp_path):
         for u, ts, _e, k in rows
     ]
     closed_want, _ = _scd2_sequential(eps)
-    full = _stage_scd2(spark, rows, str(tmp_path / "full"))
+    full = _stage_ordered(
+        spark, rows, str(tmp_path / "full"), SCD2_ROW_SCHEMA
+    )
     files = sorted(os.listdir(full))
     staged = str(tmp_path / "staged")
     os.makedirs(staged)
@@ -381,3 +368,19 @@ def test_streaming_scd2_restart_invariance(spark, sf_dir, tmp_path):
     q.stop()
     # no flush: the emission log is exactly the CLOSED version history
     assert _collect_scd2(spark, out) == closed_want
+
+
+def test_keyed_schema_rejects_colliding_key():
+    """A key_col colliding with a fold output column must fail loudly at
+    build time, not silently corrupt the output schema (review r7)."""
+    import pytest as _pytest
+
+    from fluvii_spark.streaming.cdc import _keyed_schema
+
+    assert _keyed_schema("doc_id", "op STRING, v DOUBLE").startswith(
+        "doc_id LONG, op"
+    )
+    with _pytest.raises(ValueError):
+        _keyed_schema("v", "op STRING, v DOUBLE, n_applied LONG")
+    with _pytest.raises(ValueError):
+        _keyed_schema("k", "k LONG, valid_from_ep LONG")

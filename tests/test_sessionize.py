@@ -278,3 +278,22 @@ def test_cap_anchor_matches_batch_chunks(spark, tmp_path):
     _run_to_parquet(spark, src, out, ck)
     # {3800} stays open in state; the two cap-closed chunks must match
     assert _collect_sessions(spark, out) == want
+
+
+def test_state_migration_from_pre_anchor_format():
+    """A checkpoint written by the pre-r7 fold kept {'start',...}; the
+    migration shim must map it onto the batch-anchored shape so a restart
+    never raises KeyError or drops an open session (review r7)."""
+    from fluvii_spark.streaming.sessionize import _migrate
+
+    old = {"start": 100, "last": 900, "n": 3, "sid": 2}
+    assert _migrate(old) == {
+        "origin": 100,
+        "first": 100,
+        "last": 900,
+        "n": 3,
+        "sid": 2,
+    }
+    new = {"origin": 0, "first": 50, "last": 60, "n": 2, "sid": 1}
+    assert _migrate(new) is new
+    assert _migrate(None) is None
