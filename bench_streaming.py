@@ -24,6 +24,8 @@ Pipelines (all per-arrival emission, the reference's per-message contract):
   tumbling       built-in watermark+window count agg (engine baseline)
   cdc_apply      streaming_cdc_apply: LWW upsert/tombstone changelog apply
                  (the q182 MERGE-sink twin; state = one row per live key)
+  funnel         streaming_funnel: q89's view->click(24h)->purchase(72h)
+                 ladder, stage completions emitted as reached (O(1)/user)
   minhash_dedup  streaming_minhash_candidates over the documents table:
                  per-arrival near-dup candidates from the stateful banded
                  inverted index (state = the index itself, ~4 rows/doc)
@@ -254,6 +256,11 @@ def pipelines() -> dict:
 
         return streaming_cdc_apply(events_to_cdc_changelog(src))
 
+    def funnel(src):
+        from fluvii_spark.streaming.funnel import streaming_funnel
+
+        return streaming_funnel(src)
+
     return {
         "keyed_fold": keyed_fold,
         "kmv_distinct": kmv,
@@ -262,6 +269,7 @@ def pipelines() -> dict:
         "trending": trending,
         "tumbling": tumbling,
         "cdc_apply": cdc_apply,
+        "funnel": funnel,
     }
 
 
