@@ -24,6 +24,36 @@ from pyspark.sql import functions as F
 
 N_PLANES = 8
 
+# adaptive_planes defaults: expected bucket occupancy the index is sized
+# for, the floor that keeps tiny corpora on the historical 16-bucket grid,
+# and a BIGINT-safe ceiling (bucket ids are shiftleft(1, plane) sums).
+TARGET_BUCKET = 32
+MIN_PLANES = 4
+MAX_PLANES = 30
+
+
+def adaptive_planes(
+    n: int,
+    target_bucket: int = TARGET_BUCKET,
+    min_planes: int = MIN_PLANES,
+    max_planes: int = MAX_PLANES,
+) -> int:
+    """Hyperplane count that holds the EXPECTED bucket size near
+    ``target_bucket`` as the corpus grows: planes = ⌈log₂(n / target)⌉,
+    clamped to [min_planes, max_planes].
+
+    This is what makes an LSH candidate join linear instead of quadratic:
+    with a FIXED plane count the within-bucket pair volume grows n²/2^planes,
+    but with planes ≈ log₂(n/B) each vector meets ~B bucket-mates no matter
+    how large n gets, so candidates are O(n·B). max_planes=30 keeps the
+    bucket id a small BIGINT and covers n up to B·2³⁰ ≈ 3.4e10 vectors.
+    """
+    import math
+
+    if n <= target_bucket:
+        return min_planes
+    return max(min_planes, min(max_planes, math.ceil(math.log2(n / target_bucket))))
+
 
 def dot_sql(a: str, b: str) -> str:
     """SQL for Σ aᵢ·bᵢ in double (left-to-right fold — deterministic)."""
@@ -73,6 +103,43 @@ def brute_force_topk(
     )
 
 
+def plane_weights(dims: int, planes: int) -> list:
+    """Python-side mirror of :func:`hyperplane_table`'s md5-derived weights,
+    bit-identical to the SQL form ``(conv(substr(md5('plane_{p}_{d}'),1,8),
+    16,10) % 2001 - 1000) / 1000.0`` — 8 hex chars < 2^32 so the modulo is
+    on a positive long in every engine, and x/1000.0 is one IEEE double
+    division everywhere. planes×dims ≤ 30×64 doubles: bounded driver state,
+    embeddable as literal arrays so bucket assignment needs NO join and NO
+    shuffle (the hyperplane_table explode→join→2×groupBy path costs two
+    shuffles of 64·n rows per call; at 100 TB that dwarfs the hash itself).
+    """
+    import hashlib
+
+    return [
+        [
+            (
+                (
+                    int(
+                        hashlib.md5(f"plane_{p}_{d}".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    % 2001
+                )
+                - 1000
+            )
+            / 1000.0
+            for d in range(dims)
+        ]
+        for p in range(planes)
+    ]
+
+
+def _weights_array_sql(ws: list) -> str:
+    """SQL double-array literal for one plane's weights (repr round-trips
+    doubles exactly, so the parsed literal equals the in-engine value)."""
+    return "array(" + ",".join(f"CAST({w!r} AS DOUBLE)" for w in ws) + ")"
+
+
 def hyperplane_table(spark, dims: int, planes: int = N_PLANES) -> DataFrame:
     """(plane, dim, w): deterministic pseudo-random hyperplane components in
     [-1, 1], derived from md5('plane_{p}_{d}') — reproducible in any engine."""
@@ -110,25 +177,22 @@ def lsh_buckets(
 ) -> DataFrame:
     """(id, bucket): sign pattern of the vector against each hyperplane.
 
-    posexplode → broadcast-join the (planes × dims) weight table → per-plane
-    dot products → bucket assembly. One key-partitioned shuffle on (id,
-    plane), one on id.
+    ZERO-shuffle: the md5 weights are bounded (planes×dims doubles), so each
+    plane's dot product is one zip_with/aggregate fold against a literal
+    weight array evaluated in the same projection as the scan — no explode,
+    no join, no aggregation. The fold sums dims in ascending order, the same
+    order the previous explode→SUM path (posexplode emits dims in order,
+    partial agg sums them in row order) and the DuckDB oracle's sequential
+    SUM use, so buckets are bit-for-bit unchanged.
     """
-    hp = hyperplane_table(df.sparkSession, dims, planes)
-    comp = df.select(
-        id_col, F.posexplode(vec_col).alias("dim", "x")
-    ).withColumn("x", F.col("x").cast("double"))
-    dots = (
-        comp.join(F.broadcast(hp), "dim")
-        .groupBy(id_col, "plane")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
-    )
-    return dots.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), plane)"))
-            .otherwise(F.lit(0))
-        ).alias("bucket")
-    )
+    ws = plane_weights(dims, planes)
+    bucket = F.lit(0).cast("long")
+    for p, w in enumerate(ws):
+        bucket = bucket + F.when(
+            F.expr(dot_sql(vec_col, _weights_array_sql(w))) > 0,
+            F.lit(1 << p).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    return df.select(id_col, bucket.alias("bucket"))
 
 
 def lsh_bucket_tables(
@@ -144,31 +208,31 @@ def lsh_bucket_tables(
     Standard LSH amplification — a near pair missed by one table (split by
     some hyperplane) is caught by another; candidate recall is
     1-(1-p^planes)^n_tables for per-plane agreement p. All n_tables×planes
-    hyperplane dot products come out of ONE corpus scan (posexplode →
-    broadcast weight join → one grouped aggregation), so extra tables cost
-    compute, not extra passes."""
+    hyperplane dot products come out of ONE corpus scan as zero-shuffle
+    literal-array folds (see :func:`lsh_buckets`); the only non-scan work
+    is the n_tables-wide inline explode, so extra tables cost compute, not
+    extra passes or shuffles. Table t uses global planes [t·planes,
+    (t+1)·planes) with bit p = plane % planes — the same layout the
+    previous explode→join path produced."""
     total = planes * n_tables
-    hp = hyperplane_table(df.sparkSession, dims, total)
-    comp = df.select(
-        id_col, F.posexplode(vec_col).alias("dim", "x")
-    ).withColumn("x", F.col("x").cast("double"))
-    dots = (
-        comp.join(F.broadcast(hp), "dim")
-        .groupBy(id_col, "plane")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
-    )
-    return (
-        dots.withColumn("table", (F.col("plane") / planes).cast("int"))
-        .groupBy(id_col, "table")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("dot") > 0,
-                    F.expr(f"shiftleft(CAST(1 AS BIGINT), plane % {planes})"),
-                ).otherwise(F.lit(0))
-            ).alias("bucket")
+    ws = plane_weights(dims, total)
+    structs = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for p in range(planes):
+            bucket = bucket + F.when(
+                F.expr(dot_sql(vec_col, _weights_array_sql(ws[t * planes + p])))
+                > 0,
+                F.lit(1 << p).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        structs.append(
+            F.struct(
+                F.lit(t).cast("int").alias("table"), bucket.alias("bucket")
+            )
         )
-    )
+    return df.select(
+        id_col, F.explode(F.array(*structs)).alias("_tb")
+    ).select(id_col, F.col("_tb.table").alias("table"), F.col("_tb.bucket").alias("bucket"))
 
 
 def bucket_representatives(
@@ -257,22 +321,29 @@ def lsh_topk_multiprobe(
     re-hashes the corpus) whenever the probe count is small. Ties on
     |dot| break by plane index; everything md5-deterministic.
     """
-    hp = hyperplane_table(df.sparkSession, dims, planes)
-    comp = df.select(
-        id_col, F.posexplode(vec_col).alias("dim", "x")
-    ).withColumn("x", F.col("x").cast("double"))
-    dots = (
-        comp.join(F.broadcast(hp), "dim")
-        .groupBy(id_col, "plane")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+    ws = plane_weights(dims, planes)
+    buckets = lsh_buckets(df, dims, id_col, vec_col, planes)
+    # per-plane dots ONLY for the single query row (planes rows total) —
+    # the corpus side never materializes per-plane dots at all
+    qdots = (
+        df.filter(F.col(id_col) == query_id)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).cast("int").alias("plane"),
+                            F.expr(
+                                dot_sql(vec_col, _weights_array_sql(w))
+                            ).alias("dot"),
+                        )
+                        for p, w in enumerate(ws)
+                    ]
+                )
+            ).alias("_pd")
+        )
+        .select(F.col("_pd.plane").alias("plane"), F.col("_pd.dot").alias("dot"))
     )
-    buckets = dots.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), plane)"))
-            .otherwise(F.lit(0))
-        ).alias("bucket")
-    )
-    qdots = dots.filter(F.col(id_col) == query_id)
     qbucket = buckets.filter(F.col(id_col) == query_id).select(
         F.col("bucket").alias("qbucket")
     )

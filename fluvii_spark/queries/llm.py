@@ -108,6 +108,49 @@ def lsh_buckets_cte(planes: int = 8) -> str:
     return _LSH_BUCKETS_TPL.replace("__MAXPLANE__", str(planes - 1))
 
 
+def lsh_buckets_cte_adaptive(
+    target_bucket: int = 32, min_planes: int = 4, max_planes: int = 30
+) -> str:
+    """The ADAPTIVE hyperplane-LSH bucket CTE: plane count computed from
+    the corpus size as ⌈log₂(n / target_bucket)⌉ clamped to
+    [min_planes, max_planes] — the exact formula
+    ``operators.similarity.adaptive_planes`` uses, so the Spark index and
+    the DuckDB oracle pick the SAME grid at any scale. DuckDB's
+    generate_series needs constant bounds, so we enumerate max_planes rows
+    and filter by the computed count."""
+    return f"""
+  lsh_params AS (
+    SELECT GREATEST({min_planes}, LEAST({max_planes},
+           CAST(CEIL(LOG2(GREATEST(COUNT(*), 1) / {target_bucket}.0)) AS INT)))
+           AS planes
+    FROM embeddings
+  ),
+  hp AS (
+    SELECT p.plane, d.dim,
+           ((('0x' || substr(md5('plane_' || p.plane || '_' || d.dim), 1, 8))::BIGINT
+             % 2001) - 1000) / 1000.0 AS w
+    FROM generate_series(0, {max_planes - 1}) AS p(plane),
+         generate_series(0, 63) AS d(dim)
+    WHERE p.plane < (SELECT planes FROM lsh_params)
+  ),
+  comp AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+  ),
+  dots AS (
+    SELECT vec_id, plane, SUM(x * w) AS dot
+    FROM comp JOIN hp USING (dim) GROUP BY vec_id, plane
+  ),
+  buckets AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END)
+                AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id
+  )
+"""
+
+
 _LSH_BUCKETS_TPL = """
   hp AS (
     SELECT p.plane, d.dim,

@@ -486,14 +486,14 @@ def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from fluvii_spark.queries.llm import lsh_buckets_cte  # noqa: E402
+from fluvii_spark.queries.llm import lsh_buckets_cte_adaptive  # noqa: E402
 
 
 @register(
     "q246_mutual_nn_pairs",
     f"""
     WITH
-    {lsh_buckets_cte(4)},
+    {lsh_buckets_cte_adaptive()},
     base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings),
     best AS (
@@ -516,15 +516,17 @@ from fluvii_spark.queries.llm import lsh_buckets_cte  # noqa: E402
       ON y.vec_id = x.nb AND y.nb = x.vec_id AND x.vec_id < x.nb
     ORDER BY cosine DESC, id_a
     """,
-    "reciprocal best match (mutual nearest neighbors) within the 4-plane "
-    "LSH index: pairs where each vector is the other's top-1 cosine "
-    "neighbor among its bucket-mates — the high-precision alignment "
-    "primitive bitext mining and cross-corpus dedup use (a one-sided "
-    "top-1 keeps hub vectors that attract many queries; mutuality "
-    "filters them). Candidates only ever come from the bucket equi-join "
-    "(never all-pairs), rank on 6-dp-rounded cosine with the vec_id "
-    "tie-break, mutuality is one self-join of the per-vector top-1 "
-    "relation on the reversed pair",
+    "reciprocal best match (mutual nearest neighbors) within an "
+    "ADAPTIVELY-sized LSH index (planes = ceil(log2(n/32)), min 4): pairs "
+    "where each vector is the other's top-1 cosine neighbor among its "
+    "bucket-mates — the high-precision alignment primitive bitext mining "
+    "and cross-corpus dedup use (a one-sided top-1 keeps hub vectors that "
+    "attract many queries; mutuality filters them). The plane count grows "
+    "with the corpus so expected bucket occupancy stays ~32 and candidate "
+    "volume is O(n*32), never n^2/2^planes; candidates only ever come "
+    "from the bucket equi-join (never all-pairs), rank on 6-dp-rounded "
+    "cosine with the vec_id tie-break, mutuality is one self-join of the "
+    "per-vector top-1 relation on the reversed pair",
     ("llm", "similarity", "ann", "dedup"),
 )
 def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,7 +534,10 @@ def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     corpus = t.embeddings
-    buckets = S.lsh_buckets(corpus, dims=64, planes=4)
+    # one scalar count sizes the index; see similarity.adaptive_planes for
+    # why a fixed plane count would make this join quadratic at 100 TB
+    planes = S.adaptive_planes(corpus.count())
+    buckets = S.lsh_buckets(corpus, dims=64, planes=planes)
     vecs = corpus.select("vec_id", "embedding")
     a = buckets.join(vecs, "vec_id").select(
         F.col("vec_id").alias("qid"),

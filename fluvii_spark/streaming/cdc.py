@@ -24,7 +24,13 @@ Event-time discipline mirrors ``streaming/sessionize.py``: rows fold in
 ``(ts_col, order_col)`` order within a micro-batch; cross-batch order is
 source append order. NULL keys can't address a table row and NULL ops
 can't be applied — both are dropped up front (the streaming-HLL
-NULL-guard rule).
+NULL-guard rule). NULL timestamps are ALSO dropped, and this is a
+DOCUMENTED divergence from batch q182, which keeps NULL-ts rows (they
+sort last under its DESC LWW window): a key whose ONLY rows carry a NULL
+ts appears in the batch rollup but never in this stream. The test corpus
+has no NULL ts, so the q182 parity tests hold; a stream cannot order an
+un-timestamped change into an LWW fold without inventing a time for it,
+so dropping is the honest behavior.
 """
 
 from __future__ import annotations
@@ -33,25 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from fluvii_spark.streaming.state import streaming_keyed_fold
-
-CDC_SCHEMA = (
-    "user_id LONG, op STRING, v DOUBLE, n_applied LONG"
-)
-
-
-def _keyed_schema(key_col: str, fixed_cols: str) -> str:
-    """Output schema for a keyed fold: the (LONG) group key followed by
-    the fold's fixed columns. Built structurally — string-replacing a
-    template would corrupt the schema whenever ``key_col`` collides with
-    a fixed column name, so collisions are rejected instead."""
-    fixed_names = [c.strip().split(" ")[0] for c in fixed_cols.split(",")]
-    if key_col in fixed_names:
-        raise ValueError(
-            f"key_col {key_col!r} collides with an output column "
-            f"({fixed_names}) — rename the key before folding"
-        )
-    return f"{key_col} LONG, {fixed_cols}"
+from fluvii_spark.streaming.state import keyed_schema, streaming_keyed_fold
 
 
 def events_to_cdc_changelog(events: DataFrame) -> DataFrame:
@@ -122,15 +110,9 @@ def streaming_cdc_apply(
         src,
         [key_col],
         app,
-        _keyed_schema(key_col, "op STRING, v DOUBLE, n_applied LONG"),
+        keyed_schema(key_col, "op STRING, v DOUBLE, n_applied LONG"),
         order_by=["_ts", "_ord"],
     )
-
-
-SCD2_SCHEMA = (
-    "user_id LONG, k LONG, valid_from_ep LONG, valid_to_ep LONG, "
-    "version LONG"
-)
 
 
 def streaming_scd2_fold(
@@ -213,7 +195,7 @@ def streaming_scd2_fold(
         src,
         [key_col],
         app,
-        _keyed_schema(
+        keyed_schema(
             key_col,
             "k LONG, valid_from_ep LONG, valid_to_ep LONG, version LONG",
         ),

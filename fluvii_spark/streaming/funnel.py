@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fluvii_spark.streaming.state import streaming_keyed_fold
+from fluvii_spark.streaming.state import keyed_schema, streaming_keyed_fold
 
 # q89's exact stage ladder: (event_type, horizon in µs from the previous
 # stage's epoch; None = unbounded first occurrence)
@@ -97,6 +97,6 @@ def streaming_funnel(
         src,
         [key_col],
         app,
-        f"{key_col} LONG, stage_idx INT, stage STRING, reached_ep LONG",
+        keyed_schema(key_col, "stage_idx INT, stage STRING, reached_ep LONG"),
         order_by=["_ts", "_ord"],
     )

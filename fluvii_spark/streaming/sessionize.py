@@ -43,9 +43,16 @@ def _migrate(st: dict | None) -> dict | None:
     """Tolerate checkpoints written by the pre-r7 fold, whose state kept
     a single 'start' key (the cap re-anchored at each chunk's first
     event): map it onto the batch-anchored shape so a restart never
-    raises KeyError or silently drops an open session. The migrated
-    session's origin is its start — exactly what the old rule had
-    accumulated."""
+    raises KeyError or silently drops an open session.
+
+    BEST-EFFORT, not exact batch parity: under the old rule 'start' is
+    the CURRENT CHUNK's first event, not the gap session's first event,
+    so if the old fold had already crossed a cap boundary the migrated
+    'origin' sits one-or-more cap widths later than batch q226's anchor
+    — an in-flight session restored from a pre-r7 checkpoint can emit
+    cap boundaries that diverge from batch until its next GAP close
+    (which resets the anchor and restores exact parity). Sessions that
+    had not crossed a cap boundary migrate exactly."""
     if st is not None and "origin" not in st and "start" in st:
         return {
             "origin": st["start"],

@@ -139,6 +139,21 @@ def _fold_rows(
     return st, out, dirty
 
 
+def keyed_schema(key_col: str, fixed_cols: str, key_type: str = "LONG") -> str:
+    """Output schema for a keyed fold: the group key followed by the fold's
+    fixed columns. Built structurally — string-templating would silently
+    corrupt the schema whenever ``key_col`` collides with a fixed column
+    name (e.g. a funnel keyed on a column named 'stage'), so collisions are
+    rejected instead; a non-LONG key passes its type explicitly."""
+    fixed_names = [c.strip().split(" ")[0] for c in fixed_cols.split(",")]
+    if key_col in fixed_names:
+        raise ValueError(
+            f"key_col {key_col!r} collides with an output column "
+            f"({fixed_names}) — rename the key before folding"
+        )
+    return f"{key_col} {key_type}, {fixed_cols}"
+
+
 def _sorted_records(pdf: pd.DataFrame, order_by: list[str] | None) -> list[dict]:
     if order_by:
         pdf = pdf.sort_values(order_by, kind="mergesort")
@@ -171,8 +186,13 @@ def streaming_keyed_fold(
     forever): pass ``timeout_ms`` to arm a processing-time timer per key;
     when a key sees no input for that long, ``on_timeout(key, state) ->
     (new_state | None, rows)`` runs at the next trigger — return ``None``
-    state to drop the key (bounded state at 100 TB), and rows to emit a
-    final record (session-close semantics).
+    state to drop the key (bounded state at 100 TB), rows to emit a final
+    record (session-close semantics), or the SAME state object (identity)
+    to keep the key and STOP its timer: one final rewrite clears the
+    stored timeout (Spark re-fires a stale timestamp every timer batch if
+    the row isn't rewritten) and the timer is not re-armed until the key's
+    next input — so a fully-flushed idle key costs one rewrite total, not
+    one per timeout_ms forever.
     """
     ensure_package_on_workers(df.sparkSession)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -187,14 +207,29 @@ def streaming_keyed_fold(
         k = key[0] if len(key) == 1 else key
         out_rows: list[dict] = []
         dirty = False
+        rearm = True
         if timeout_ms is not None and state.hasTimedOut:
             new_state, rows = (
                 on_timeout(k, st) if on_timeout else (None, [])
             )
             out_rows.extend(rows)
-            # on_timeout's documented contract: None state drops the key
-            st = _DELETED if new_state is None else new_state
-            dirty = True
+            if new_state is None:
+                # on_timeout's documented contract: None state drops the key
+                st = _DELETED
+                dirty = True
+            elif new_state is st:
+                # 'keep state, stop the timer': returning the SAME object
+                # means nothing changed — rewrite once WITHOUT re-arming,
+                # which clears the stored timeout (Spark keeps the old,
+                # already-past timestamp if the row isn't rewritten, so the
+                # timer would re-fire every timer batch forever — churn
+                # proportional to the total keyspace at 100 TB). The key's
+                # next input re-arms its timer.
+                dirty = True
+                rearm = False
+            else:
+                st = new_state
+                dirty = True
         else:
             # A key's rows arrive as an ITERATOR of Arrow chunks (split at
             # spark.sql.execution.arrow.maxRecordsPerBatch); sorting chunks
@@ -217,7 +252,7 @@ def streaming_keyed_fold(
             # (no state-store growth for stateless usage); an explicit
             # update_table_entry(None) IS stored — JSON null is a value.
             state.update((json.dumps(st),))
-            if timeout_ms is not None:
+            if timeout_ms is not None and rearm:
                 state.setTimeoutDuration(timeout_ms)
         if out_rows:
             yield pd.DataFrame(out_rows)

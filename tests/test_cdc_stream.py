@@ -372,15 +372,23 @@ def test_streaming_scd2_restart_invariance(spark, sf_dir, tmp_path):
 
 def test_keyed_schema_rejects_colliding_key():
     """A key_col colliding with a fold output column must fail loudly at
-    build time, not silently corrupt the output schema (review r7)."""
+    build time, not silently corrupt the output schema (review r7; moved
+    to streaming/state.py in r8 so the funnel shares the guard)."""
     import pytest as _pytest
 
-    from fluvii_spark.streaming.cdc import _keyed_schema
+    from fluvii_spark.streaming.state import keyed_schema
 
-    assert _keyed_schema("doc_id", "op STRING, v DOUBLE").startswith(
+    assert keyed_schema("doc_id", "op STRING, v DOUBLE").startswith(
         "doc_id LONG, op"
     )
+    # a non-LONG key is an explicit parameter, not a silent assumption
+    assert keyed_schema("doc", "op STRING", key_type="STRING").startswith(
+        "doc STRING, op"
+    )
     with _pytest.raises(ValueError):
-        _keyed_schema("v", "op STRING, v DOUBLE, n_applied LONG")
+        keyed_schema("v", "op STRING, v DOUBLE, n_applied LONG")
     with _pytest.raises(ValueError):
-        _keyed_schema("k", "k LONG, valid_from_ep LONG")
+        keyed_schema("k", "k LONG, valid_from_ep LONG")
+    # the funnel's fixed columns are now behind the same guard
+    with _pytest.raises(ValueError):
+        keyed_schema("stage", "stage_idx INT, stage STRING, reached_ep LONG")

@@ -1272,3 +1272,36 @@ def test_release_local_checkpoint_contract(spark):
     assert lazy.count() == 100  # materializes the lazy checkpoint
     assert release_local_checkpoint(lazy) is True
     assert n_persisted() == base
+
+
+def test_adaptive_planes_formula():
+    """planes = ceil(log2(n/target)) clamped to [4, 30]: constant expected
+    bucket occupancy is what keeps the LSH candidate join linear in n."""
+    from fluvii_spark.operators.similarity import adaptive_planes
+
+    assert adaptive_planes(0) == 4
+    assert adaptive_planes(32) == 4  # n <= target -> floor
+    assert adaptive_planes(500) == 4  # ceil(log2(15.6)) = 4
+    assert adaptive_planes(2000) == 6  # ceil(log2(62.5)) = 6
+    assert adaptive_planes(20_000) == 10
+    assert adaptive_planes(2048, target_bucket=32) == 6  # exact power edge
+    assert adaptive_planes(10**12) == 30  # BIGINT-safe ceiling
+    # expected occupancy n / 2^planes stays within [target/2, target]
+    # once the formula is off its clamps
+    for n in (10_000, 123_456, 9_999_999):
+        p = adaptive_planes(n)
+        assert 16 <= n / 2**p <= 32
+
+
+def test_plane_weights_matches_hyperplane_table(spark):
+    """The Python md5 weights embedded as literals are bit-identical to the
+    SQL-side hyperplane_table values (the DuckDB oracle's formula)."""
+    from fluvii_spark.operators.similarity import (
+        hyperplane_table,
+        plane_weights,
+    )
+
+    ws = plane_weights(dims=7, planes=5)
+    sql_rows = hyperplane_table(spark, dims=7, planes=5).collect()
+    for r in sql_rows:
+        assert ws[r["plane"]][r["dim"]] == r["w"], (r["plane"], r["dim"])
