@@ -256,6 +256,13 @@ def pipelines() -> dict:
 
         return streaming_cdc_apply(events_to_cdc_changelog(src))
 
+    def late_window(src):
+        from fluvii_spark.streaming.late import streaming_late_window_counts
+
+        return streaming_late_window_counts(
+            src, delay="1 hour", window="1 hour"
+        )
+
     def funnel(src):
         from fluvii_spark.streaming.funnel import streaming_funnel
 
@@ -268,6 +275,7 @@ def pipelines() -> dict:
         "heavy_hitters": heavy_hitters,
         "trending": trending,
         "tumbling": tumbling,
+        "late_window": late_window,
         "cdc_apply": cdc_apply,
         "funnel": funnel,
     }

@@ -467,12 +467,58 @@ def simhash(
     return toks.groupBy(id_col).agg(*votes).select(id_col, assemble.alias("simhash"))
 
 
+def cap_pairs_per_doc(
+    pairs: DataFrame,
+    max_pairs_per_doc: int,
+    strength_col: str,
+    ascending: bool = False,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Emission cap for near-dup pair auditors (VERDICT r7 ask #5): on a
+    duplicate-heavy corpus the TRUE near-dup pair count grows quadratically
+    with duplication (K copies of one document are K·(K-1)/2 pairs), so an
+    uncapped auditor's OUTPUT — not its candidate work — becomes the
+    bottleneck. This dial keeps, per document, its ``max_pairs_per_doc``
+    STRONGEST pairs (``strength_col`` descending by default; ascending for
+    distance-like strengths such as Hamming), with the partner id as the
+    deterministic tie-break. A pair survives when EITHER endpoint ranks it
+    (so every doc retains its own top-N view — recall@cap is exactly 1.0
+    per doc by construction, pinned by test_cap_pairs_recall_at_cap).
+
+    Two windows over the PAIR OUTPUT (already threshold-verified, far
+    smaller than the candidate set), each partitioned by one endpoint —
+    key-partitioned, no global sort. Default OFF in every inventory query:
+    the oracle-pinned uncapped semantics stand; the cap is the dial a
+    100 TB run sets when its corpus is duplication-heavy.
+    """
+    strength = F.col(strength_col)
+    order_a = [
+        strength.asc() if ascending else strength.desc(), F.col(id_b)
+    ]
+    order_b = [
+        strength.asc() if ascending else strength.desc(), F.col(id_a)
+    ]
+    w_a = Window.partitionBy(id_a).orderBy(*order_a)
+    w_b = Window.partitionBy(id_b).orderBy(*order_b)
+    return (
+        pairs.withColumn("_ra", F.row_number().over(w_a))
+        .withColumn("_rb", F.row_number().over(w_b))
+        .filter(
+            (F.col("_ra") <= max_pairs_per_doc)
+            | (F.col("_rb") <= max_pairs_per_doc)
+        )
+        .drop("_ra", "_rb")
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 6,
     signatures: DataFrame | None = None,
+    max_pairs_per_doc: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -501,11 +547,18 @@ def simhash_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
+    out = (
         cand.withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if max_pairs_per_doc is not None:
+        # output-bound dial (see cap_pairs_per_doc) — hamming is a
+        # distance, so strongest = smallest
+        out = cap_pairs_per_doc(
+            out, max_pairs_per_doc, "hamming", ascending=True
+        )
+    return out
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -895,6 +948,7 @@ def prefix_filter_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.7,
     n: int = 1,
+    max_pairs_per_doc: int | None = None,
 ) -> DataFrame:
     """Set Jaccard ≥ threshold pairs via PREFIX FILTERING (ppjoin family —
     Chaudhuri et al. ICDE'06, Xiao et al. WWW'08), over word ``n``-gram
@@ -988,7 +1042,12 @@ def prefix_filter_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("ea", "eb")).cast("double")
     jac = inter / (F.size("ea") + F.size("eb") - inter)
-    return (
+    out = (
         cand.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    if max_pairs_per_doc is not None:
+        # output-bound dial (see cap_pairs_per_doc) — jaccard is a
+        # similarity, so strongest = largest
+        out = cap_pairs_per_doc(out, max_pairs_per_doc, "jaccard")
+    return out

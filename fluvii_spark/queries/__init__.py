@@ -58,46 +58,50 @@ def register(
 # predates the current code, so they are deliberately re-queued for a fresh
 # r4 row (VERDICT r3 "Next round" #1).
 _DRIVER_PROVEN = {
-    # r6 closed the backlog again: every q01..q245 has a driver row
-    # postdating its code (CORRECTNESS_r01..r06, VERDICT r6). Members of
+    # r7 closed the backlog a third time: every q01..q248 has a driver row
+    # postdating its code (CORRECTNESS_r01..r07, VERDICT r7). Members of
     # _REPROOF_LAST below still sort in the needs-a-row tier.
     *(f"q{i:02d}" for i in range(1, 100)),  # q01..q99
-    *(f"q{i}" for i in range(100, 246)),    # q100..q245
+    *(f"q{i}" for i in range(100, 249)),    # q100..q248
 }
 
 # Queries awaiting a FIRST green driver row against their current code, in
 # driver-attempt order (each verified at sf0.001 AND sf0.01 under both
-# canonicalizers before registration).
-_UNPROVEN_ORDER: list[str] = ["q246", "q247", "q248"]
+# canonicalizers before registration). Empty after r7 — every registered
+# query has been driver-proven at least once.
+_UNPROVEN_ORDER: list[str] = []
 
 # Deferred-tier re-proofs: queries whose expression or oracle changed
 # AFTER their last green row. All re-verified green under both
 # canonicalizers at sf0.001+sf0.01 before this queue landed; queued behind
-# any first-proof tier. r7: the six degeneracy-gate de-vacuations (q20
-# empty EXCEPT branch, q63 all-NULL extraction, q71 constant pair counts,
-# q89 no funnel drop-off, q164 one-point curve, q189 identically-zero
-# recall) plus q146's fixed-size probe set (VERDICT r6 ask #2).
-_REPROOF_LAST: list[str] = ["q20", "q63", "q71", "q89", "q146", "q164", "q189"]
+# any first-proof tier. r8: the LSH zero-shuffle rewrite (lsh_buckets /
+# lsh_bucket_tables / lsh_topk_multiprobe now fold literal md5 weight
+# arrays instead of explode→join→groupBy — buckets bit-identical, plans
+# new) touches q39/q107/q116/q189, q246 additionally moved to an
+# ADAPTIVE plane count (new oracle semantics), and q38's operator gained
+# the rewritten lsh_bucket_tables on its beyond-200k path.
+_REPROOF_LAST: list[str] = ["q246", "q39", "q107", "q116", "q189", "q38"]
 
-# Proof-trail rotation (VERDICT r6 ask #3): queries whose NEWEST driver
-# row is r1/r2 — their code is unchanged and full sweeps re-prove them
-# every round, so this is row staleness, not a correctness gap. They sort
-# in a third tier, AFTER every needs-a-row query but BEFORE fresh-proven
-# ones, oldest round first, so the driver's spare row budget (~cap minus
-# first-proofs/re-proofs) refreshes the oldest artifacts each round. The
-# list may exceed the per-round cap — the driver simply refreshes the
-# prefix that fits and the rest roll to the next round.
+# Proof-trail rotation (VERDICT r6 ask #3, continued per r7 ask #2):
+# queries whose NEWEST driver row is r2/r3 — their code is unchanged and
+# full sweeps re-prove them every round, so this is row staleness, not a
+# correctness gap. They sort in a third tier, AFTER every needs-a-row
+# query but BEFORE fresh-proven ones, oldest round first, so the driver's
+# spare row budget (~cap minus first-proofs/re-proofs) refreshes the
+# oldest artifacts each round. The list may exceed the per-round cap —
+# the driver simply refreshes the prefix that fits and the rest roll to
+# the next round. (r1 tier fully drained in r7.)
 _AGE_ROTATION: list[str] = [
-    # newest row r1 (q20 moved to _REPROOF_LAST)
-    "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19",
-    "q21", "q22", "q23", "q24", "q25", "q26", "q27", "q28", "q29",
-    "q31", "q32", "q33", "q35", "q36", "q37", "q40", "q41", "q43", "q44",
-    "q45", "q46", "q47", "q59",
-    # newest row r2 (q63/q71/q89 moved to _REPROOF_LAST)
-    "q48", "q49", "q50", "q51", "q52", "q53", "q54", "q55", "q61", "q62",
-    "q64", "q65", "q66", "q67", "q68", "q70", "q73", "q74",
-    "q75", "q76", "q77", "q78", "q79", "q108", "q109", "q110", "q111",
-    "q112", "q113", "q114", "q115", "q117", "q119",
+    # newest row r2 (26 queries)
+    "q55", "q61", "q62", "q64", "q65", "q66", "q67", "q68", "q70", "q73",
+    "q74", "q75", "q76", "q77", "q78", "q79", "q108", "q109", "q110",
+    "q111", "q112", "q113", "q114", "q115", "q117", "q119",
+    # newest row r3 (39 queries)
+    "q56", "q81", "q82", "q83", "q84", "q85", "q86", "q87", "q88", "q90",
+    "q91", "q92", "q93", "q94", "q95", "q96", "q97", "q98", "q99",
+    "q121", "q122", "q123", "q126", "q127", "q128", "q129", "q130",
+    "q131", "q132", "q133", "q134", "q136", "q137", "q138", "q139",
+    "q141", "q142", "q144", "q145",
 ]
 
 

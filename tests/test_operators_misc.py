@@ -1305,3 +1305,55 @@ def test_plane_weights_matches_hyperplane_table(spark):
     sql_rows = hyperplane_table(spark, dims=7, planes=5).collect()
     for r in sql_rows:
         assert ws[r["plane"]][r["dim"]] == r["w"], (r["plane"], r["dim"])
+
+
+def test_cap_pairs_recall_at_cap(spark):
+    """The max_pairs_per_doc emission dial (VERDICT r7 ask #5): capped
+    output is a subset of uncapped with identical strengths, and EVERY
+    doc's own top-cap strongest pairs all survive (recall@cap == 1.0 per
+    doc) — the OR-of-endpoints rule can only keep extra pairs, never drop
+    a doc's top-ranked one."""
+    from fluvii_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    # a duplication-heavy cluster: 6 near-copies (quadratic pair volume)
+    # plus distinct background docs
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base + f" v{i}") for i in range(6)]
+    rows += [(10, "completely different text about spark shuffles"),
+             (11, "another unrelated document mentioning catalyst plans"),
+             (12, base + " v0")]  # exact dup of doc 0's text
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for fn, strength, ascending in (
+        (lambda d, cap: prefix_filter_jaccard_pairs(
+            d, threshold=0.5, n=1, max_pairs_per_doc=cap),
+         "jaccard", False),
+        (lambda d, cap: simhash_pairs(
+            d, max_hamming=16, max_pairs_per_doc=cap),
+         "hamming", True),
+    ):
+        full = fn(docs, None).collect()
+        assert len(full) >= 10, f"fixture too sparse for {strength}"
+        cap = 2
+        capped = fn(docs, cap).collect()
+        fkey = {(r["id_a"], r["id_b"]): r[strength] for r in full}
+        ckey = {(r["id_a"], r["id_b"]): r[strength] for r in capped}
+        assert set(ckey) <= set(fkey)  # never invents pairs
+        assert all(fkey[k] == ckey[k] for k in ckey)  # strengths unchanged
+        # per-doc top-cap recall: rank each doc's pairs by (strength,
+        # partner) exactly as the operator does; all must survive
+        per_doc: dict[int, list] = {}
+        for (a, b), s in fkey.items():
+            per_doc.setdefault(a, []).append((s, b, (a, b)))
+            per_doc.setdefault(b, []).append((s, a, (a, b)))
+        for doc, lst in per_doc.items():
+            lst.sort(key=lambda t: (t[0] if ascending else -t[0], t[1]))
+            for s, partner, pair in lst[:cap]:
+                assert pair in ckey, (
+                    f"{strength}: doc {doc} lost top-{cap} pair {pair}"
+                )
+        # and the cap genuinely prunes the dup cluster's quadratic tail
+        assert len(capped) < len(full)

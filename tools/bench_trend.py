@@ -45,6 +45,15 @@ def trend(prev: dict, cur: dict, threshold: float, floor: float) -> dict:
         r for r in rows if r[3] >= threshold and r[2] >= floor
     ]
     improved = [r for r in rows if r[3] <= 1 / threshold and r[1] >= floor]
+    # mix-adjusted signals (VERDICT r7 "What's wrong" #3): the raw
+    # per-query wall shifts whenever a round ADDS a slow query, so report
+    # shared-query aggregates alongside it — same query set both sides.
+    ratios = sorted(r[3] for r in rows)
+    median_ratio = (
+        ratios[len(ratios) // 2]
+        if len(ratios) % 2
+        else (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2
+    ) if ratios else None
     return {
         "shared": shared,
         "added": sorted(set(cq) - set(pq)),
@@ -52,6 +61,9 @@ def trend(prev: dict, cur: dict, threshold: float, floor: float) -> dict:
         "rows": rows,
         "movers": sorted(movers, key=lambda r: -r[3]),
         "improved": sorted(improved, key=lambda r: r[3]),
+        "median_ratio": median_ratio,
+        "shared_prev_total": sum(r[1] for r in rows),
+        "shared_cur_total": sum(r[2] for r in rows),
     }
 
 
@@ -66,6 +78,16 @@ def render(prev_path, cur_path, prev, cur, t, threshold, floor) -> str:
         f"{cur.get('wall_per_query')}).",
         f"Shared queries compared: {len(t['shared'])}; "
         f"added {len(t['added'])}, removed {len(t['removed'])}.",
+        (
+            f"Mix-adjusted (same {len(t['shared'])} queries both sides): "
+            f"total {t['shared_prev_total']:.1f}s → "
+            f"{t['shared_cur_total']:.1f}s, median per-query ratio "
+            f"{t['median_ratio']:.3f}. The raw per-query wall above moves "
+            f"whenever a round adds or removes queries — judge trends on "
+            f"the shared-set numbers."
+            if t["median_ratio"] is not None
+            else "No shared queries — mix-adjusted trend unavailable."
+        ),
         "",
         f"## Movers (≥{threshold}× slower AND ≥{floor}s now)",
         "",
