@@ -67,9 +67,10 @@ _DRIVER_PROVEN = {
 
 # Queries awaiting a FIRST green driver row against their current code, in
 # driver-attempt order (each verified at sf0.001 AND sf0.01 under both
-# canonicalizers before registration). Empty after r7 — every registered
-# query has been driver-proven at least once.
-_UNPROVEN_ORDER: list[str] = []
+# canonicalizers before registration). r8: ANOVA/ICC variance
+# decomposition, ordered-subsequence funnel counting, boilerplate-shingle
+# detection.
+_UNPROVEN_ORDER: list[str] = ["q249", "q250", "q251"]
 
 # Deferred-tier re-proofs: queries whose expression or oracle changed
 # AFTER their last green row. All re-verified green under both
@@ -142,6 +143,7 @@ DEGENERACY_WAIVERS: dict[str, str] = {
     "q235_disjunctive_revenue": _ONE_ROW + " (TPC-H Q19 shape)",
     "q237_time_to_third_purchase": _ONE_ROW + " (median latency)",
     "q239_simhash_fp_audit": _ONE_ROW + " (precision/recall of the index)",
+    "q249_order_value_icc": _ONE_ROW + " (ANOVA variance components)",
     # --- constant-metric columns that are true data properties of the
     # synthetic corpus, not untested code paths ---
     "q102_kmv_distinct_sketch": (

@@ -579,3 +579,80 @@ def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cosine").desc(), "id_a")
     )
+
+
+@register(
+    "q251_boilerplate_shingles",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id,
+             a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ),
+    src AS (SELECT doc_id, source FROM documents),
+    nd AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs
+           FROM src GROUP BY source),
+    d AS (
+      SELECT s.source, sh.shingle, COUNT(*) AS df
+      FROM sh JOIN src s ON s.doc_id = sh.doc_id
+      GROUP BY s.source, sh.shingle
+    ),
+    hot AS (
+      SELECT d.source, d.shingle, d.df, nd.n_docs,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY d.df DESC, d.shingle) AS rn
+      FROM d JOIN nd ON nd.source = d.source
+      WHERE d.df >= 0.05 * nd.n_docs
+    )
+    SELECT source, shingle, CAST(df AS BIGINT) AS df,
+           ROUND(CAST(df AS DOUBLE) / n_docs, 6) AS df_share
+    FROM hot WHERE rn <= 10
+    """,
+    "boilerplate detection — the INVERSE of the dedup df-cut: word "
+    "3-gram shingles whose within-source document frequency is >= 5% of "
+    "the source's docs are templated boilerplate (headers, footers, "
+    "navigation), the text a training pipeline strips BEFORE dedup so "
+    "boilerplate doesn't glue unrelated documents into near-dup "
+    "clusters; top-10 per source by (df DESC, shingle) — a deterministic "
+    "per-source window over the already-aggregated (source, shingle) "
+    "frame, never over raw postings. Same shingle space as q34/q120, so "
+    "the df table is shareable at scale",
+    ("llm", "text", "dedup"),
+)
+def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.dedup import word_shingles
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents
+    sh = word_shingles(docs, "doc_id", "text", n=3, distinct=True)
+    src = docs.select("doc_id", "source")
+    d = (
+        sh.join(src, "doc_id")
+        .groupBy("source", "shingle")
+        .agg(F.count("*").alias("df"))
+    )
+    nd = src.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("df").desc(), "shingle")
+    return (
+        d.join(F.broadcast(nd), "source")
+        .filter(F.col("df") >= 0.05 * F.col("n_docs"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "source",
+            "shingle",
+            F.col("df").cast("bigint").alias("df"),
+            F.round(F.col("df").cast("double") / F.col("n_docs"), 6).alias(
+                "df_share"
+            ),
+        )
+    )

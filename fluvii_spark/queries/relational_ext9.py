@@ -1766,3 +1766,155 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc())
     )
+
+
+@register(
+    "q249_order_value_icc",
+    """
+    WITH g AS (
+      SELECT o_custkey, COUNT(*) AS n_i, AVG(o_totalprice) AS m_i,
+             VAR_SAMP(o_totalprice) AS v_i
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT COUNT(*) AS n, AVG(o_totalprice) AS gm FROM orders),
+    s AS (
+      SELECT COUNT(*) AS a, SUM(n_i) AS n,
+             SUM(n_i * (m_i - (SELECT gm FROM tot))
+                     * (m_i - (SELECT gm FROM tot))) AS ssb,
+             SUM(COALESCE(v_i, 0) * (n_i - 1)) AS ssw,
+             SUM(CAST(n_i AS DOUBLE) * n_i) AS sn2
+      FROM g
+    )
+    SELECT CAST(a AS BIGINT) AS n_customers,
+           CAST(n AS BIGINT) AS n_orders,
+           ROUND((ssb / (a - 1)) / (ssw / (n - a)), 6) AS msb_msw_ratio,
+           ROUND(((ssb / (a - 1)) - (ssw / (n - a)))
+                 / ((ssb / (a - 1))
+                    + (((n - sn2 / n) / (a - 1)) - 1) * (ssw / (n - a))),
+                 6) AS icc
+    FROM s
+    """,
+    "one-way random-effects variance decomposition (ANOVA / intraclass "
+    "correlation) of order value by customer: between-group and "
+    "within-group mean squares from per-customer (count, mean, variance) "
+    "partials plus the unbalanced-design group-size correction "
+    "k0 = (N - SUM(n_i^2)/N)/(a-1), ICC = (MSB-MSW)/(MSB+(k0-1)*MSW) — "
+    "the statistic that decides whether per-customer or global modeling "
+    "of order value is warranted. Two aggregations total (per-group, "
+    "then global over a group frame), no windows; the grand mean is a "
+    "broadcast scalar",
+    ("relational", "stats"),
+)
+def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    g = t.orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_i"),
+        F.avg("o_totalprice").alias("m_i"),
+        F.var_samp("o_totalprice").alias("v_i"),
+    )
+    tot = t.orders.agg(F.avg("o_totalprice").alias("gm"))
+    s = (
+        g.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count("*").alias("a"),
+            F.sum("n_i").alias("n"),
+            F.sum(
+                F.col("n_i")
+                * (F.col("m_i") - F.col("gm"))
+                * (F.col("m_i") - F.col("gm"))
+            ).alias("ssb"),
+            F.sum(
+                F.coalesce(F.col("v_i"), F.lit(0.0)) * (F.col("n_i") - 1)
+            ).alias("ssw"),
+            F.sum(F.col("n_i").cast("double") * F.col("n_i")).alias("sn2"),
+        )
+    )
+    msb = F.col("ssb") / (F.col("a") - 1)
+    msw = F.col("ssw") / (F.col("n") - F.col("a"))
+    k0 = (F.col("n") - F.col("sn2") / F.col("n")) / (F.col("a") - 1)
+    return s.select(
+        F.col("a").cast("bigint").alias("n_customers"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(msb / msw, 6).alias("msb_msw_ratio"),
+        F.round((msb - msw) / (msb + (k0 - 1) * msw), 6).alias("icc"),
+    )
+
+
+@register(
+    "q250_funnel_subsequences",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (
+      SELECT *, COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS views_before
+      FROM seq
+    ),
+    s2 AS (
+      SELECT *, COALESCE(
+               SUM(CASE WHEN event_type = 'click' THEN views_before END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS pairs_before
+      FROM s1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN pairs_before
+                    ELSE 0 END) AS BIGINT) AS n_paths
+    FROM s2 GROUP BY user_id
+    HAVING SUM(CASE WHEN event_type = 'purchase' THEN pairs_before
+               ELSE 0 END) > 0
+    ORDER BY n_paths DESC, user_id LIMIT 50
+    """,
+    "ordered-subsequence counting: per user, the number of "
+    "view -> click -> purchase SUBSEQUENCES (not just first-occurrence "
+    "funnels like q89 — every ordered triple counts), computed by the "
+    "classic dynamic program as two stacked strictly-preceding window "
+    "prefix sums (views before each click, view-click pairs before each "
+    "purchase) — zero self-joins, so the work is linear in events where "
+    "the naive triple join is cubic; top-50 with a total-order tie-break "
+    "so the LIMIT is engine-stable",
+    ("relational", "window", "funnel"),
+)
+def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    seq = t.events.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", "ts", "event_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s1 = seq.withColumn(
+        "views_before",
+        F.count(F.when(F.col("event_type") == "view", 1)).over(w),
+    )
+    s2 = s1.withColumn(
+        "pairs_before",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "click", F.col("views_before"))
+            ).over(w),
+            F.lit(0),
+        ),
+    )
+    n_paths = F.sum(
+        F.when(F.col("event_type") == "purchase", F.col("pairs_before"))
+        .otherwise(0)
+    )
+    return (
+        s2.groupBy("user_id")
+        .agg(n_paths.alias("_np"))
+        .filter(F.col("_np") > 0)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("_np").cast("bigint").alias("n_paths"),
+        )
+        .orderBy(F.col("n_paths").desc(), "user_id")
+        .limit(50)
+    )
