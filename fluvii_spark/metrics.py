@@ -18,7 +18,11 @@ from pyspark.sql.streaming import StreamingQueryListener
 
 
 class GaugeSet:
-    """Reference metric names (metrics_manager.py:56-60), label app/topic."""
+    """Reference metric names (metrics_manager.py:56-60), label app/topic,
+    plus one beyond-reference gauge: ``messages_late`` (rows the event-time
+    watermark refused — the reference has no watermark, so no counterpart;
+    granularity note in ``streaming/late.py``: state-input rows, a lower
+    bound on late source rows)."""
 
     NAMES = (
         "messages_consumed",
@@ -26,6 +30,7 @@ class GaugeSet:
         "message_errors",
         "external_requests",
         "seconds_behind",
+        "messages_late",
     )
 
     def __init__(self, app_name: str):
@@ -93,6 +98,14 @@ class FluviiMetricsListener(StreamingQueryListener):
         sink_rows = getattr(p.sink, "numOutputRows", -1)
         if sink_rows and sink_rows > 0:
             self.gauges.inc("messages_produced", sink_rows)
+        late = 0
+        for op in getattr(p, "stateOperators", None) or []:
+            try:
+                late += int(getattr(op, "numRowsDroppedByWatermark", 0) or 0)
+            except Exception:
+                pass
+        if late:
+            self.gauges.inc("messages_late", late)
         try:
             batch_ms = (p.durationMs or {}).get("triggerExecution", 0)
             self.gauges.set("seconds_behind", float(batch_ms) / 1000.0)

@@ -31,6 +31,13 @@ TARGET_BUCKET = 32
 MIN_PLANES = 4
 MAX_PLANES = 30
 
+# Above this many TOTAL hyperplanes, bucket assignment switches from
+# literal-array fold expressions (zero shuffle, but plan size grows with
+# the plane count) back to the exploded data-join form (two shuffles,
+# constant plan size) — the amplified multi-table near-dup path can ask
+# for ~1000 planes, which belongs in data, not in an expression tree.
+LITERAL_PLANES_MAX = 64
+
 
 def adaptive_planes(
     n: int,
@@ -195,6 +202,42 @@ def lsh_buckets(
     return df.select(id_col, bucket.alias("bucket"))
 
 
+def _lsh_bucket_tables_exploded(
+    df: DataFrame,
+    dims: int,
+    id_col: str,
+    vec_col: str,
+    planes: int,
+    n_tables: int,
+) -> DataFrame:
+    """Data-join form of :func:`lsh_bucket_tables` for large plane counts:
+    posexplode → broadcast (plane, dim, w) table → per-(id, plane) dot sums
+    → per-(id, table) bucket assembly. Two key-partitioned shuffles, plan
+    size independent of planes×n_tables."""
+    total = planes * n_tables
+    hp = hyperplane_table(df.sparkSession, dims, total)
+    comp = df.select(
+        id_col, F.posexplode(vec_col).alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    dots = (
+        comp.join(F.broadcast(hp), "dim")
+        .groupBy(id_col, "plane")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+    )
+    return (
+        dots.withColumn("table", (F.col("plane") / planes).cast("int"))
+        .groupBy(id_col, "table")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dot") > 0,
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), plane % {planes})"),
+                ).otherwise(F.lit(0))
+            ).alias("bucket")
+        )
+    )
+
+
 def lsh_bucket_tables(
     df: DataFrame,
     dims: int,
@@ -208,13 +251,23 @@ def lsh_bucket_tables(
     Standard LSH amplification — a near pair missed by one table (split by
     some hyperplane) is caught by another; candidate recall is
     1-(1-p^planes)^n_tables for per-plane agreement p. All n_tables×planes
-    hyperplane dot products come out of ONE corpus scan as zero-shuffle
-    literal-array folds (see :func:`lsh_buckets`); the only non-scan work
-    is the n_tables-wide inline explode, so extra tables cost compute, not
-    extra passes or shuffles. Table t uses global planes [t·planes,
-    (t+1)·planes) with bit p = plane % planes — the same layout the
-    previous explode→join path produced."""
+    hyperplane dot products come out of ONE corpus scan; up to
+    ``LITERAL_PLANES_MAX`` total planes they are zero-shuffle
+    literal-array folds (see :func:`lsh_buckets`) and the only non-scan
+    work is the n_tables-wide inline explode. BEYOND that (the auto-
+    amplified near-dup path can ask for ~120 tables × 8 planes ≈ 1000
+    folds — an expression Catalyst should not be asked to analyze), the
+    weights go back to being DATA: the explode → broadcast-weight join →
+    grouped-sum plan, whose cost is two key-partitioned shuffles but whose
+    plan size is constant in the plane count. Both paths use the same md5
+    weights and sign rule, so buckets are bit-identical (pinned by
+    test_lsh_bucket_tables_paths_agree). Table t uses global planes
+    [t·planes, (t+1)·planes) with bit p = plane % planes."""
     total = planes * n_tables
+    if total > LITERAL_PLANES_MAX:
+        return _lsh_bucket_tables_exploded(
+            df, dims, id_col, vec_col, planes, n_tables
+        )
     ws = plane_weights(dims, total)
     structs = []
     for t in range(n_tables):

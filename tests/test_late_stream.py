@@ -66,8 +66,13 @@ def test_late_stream_conservation_and_model(spark, tmp_path):
         "event_id long, user_id string, event_type string, "
         "ts timestamp, value double"
     )
+    from fluvii_spark.metrics import FluviiMetricsListener, GaugeSet
+
+    gauges = GaugeSet("late-test")
+    metrics = FluviiMetricsListener(gauges)
     acct = LateDataAccountant("late_stream")
     spark.streams.addListener(acct)
+    spark.streams.addListener(metrics)
     try:
         src = (
             spark.readStream.schema(schema)
@@ -89,6 +94,7 @@ def test_late_stream_conservation_and_model(spark, tmp_path):
         q.awaitTermination(60)
     finally:
         spark.streams.removeListener(acct)
+        spark.streams.removeListener(metrics)
 
     t = acct.totals()
     assert t["rows_in"] == 4000
@@ -148,3 +154,6 @@ def test_late_stream_conservation_and_model(spark, tmp_path):
         t["rows_dropped"], model_dropped_state, t["batches"]
     )
     assert t["rows_dropped"] <= model_dropped_src
+
+    # the beyond-reference messages_late gauge sees the same engine metric
+    assert gauges.get("messages_late") == t["rows_dropped"]

@@ -1357,3 +1357,28 @@ def test_cap_pairs_recall_at_cap(spark):
                 )
         # and the cap genuinely prunes the dup cluster's quadratic tail
         assert len(capped) < len(full)
+
+
+def test_lsh_bucket_tables_paths_agree(spark, sf_dir):
+    """The literal-fold and exploded-data-join bucket paths are
+    bit-identical (same md5 weights, same dim-ascending sum order, same
+    sign rule) — the switch at LITERAL_PLANES_MAX is a pure plan-size
+    decision, never a semantic one."""
+    from fluvii_spark.io.readers import load_table
+    from fluvii_spark.operators.similarity import (
+        _lsh_bucket_tables_exploded,
+        lsh_bucket_tables,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lit = {
+        (r["vec_id"], r["table"]): r["bucket"]
+        for r in lsh_bucket_tables(emb, dims=64, planes=6, n_tables=4).collect()
+    }
+    exp = {
+        (r["vec_id"], r["table"]): r["bucket"]
+        for r in _lsh_bucket_tables_exploded(
+            emb, 64, "vec_id", "embedding", 6, 4
+        ).collect()
+    }
+    assert lit == exp and len(lit) == emb.count() * 4
