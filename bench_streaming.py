@@ -268,6 +268,13 @@ def pipelines() -> dict:
 
         return streaming_funnel(src)
 
+    def subsequences(src):
+        from fluvii_spark.streaming.subsequence import (
+            streaming_subsequence_count,
+        )
+
+        return streaming_subsequence_count(src)
+
     return {
         "keyed_fold": keyed_fold,
         "kmv_distinct": kmv,
@@ -278,6 +285,7 @@ def pipelines() -> dict:
         "late_window": late_window,
         "cdc_apply": cdc_apply,
         "funnel": funnel,
+        "subsequences": subsequences,
     }
 
 
