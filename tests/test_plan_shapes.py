@@ -93,9 +93,11 @@ _BNLJ_ALLOWED = {
     "q164_vocab_coverage_curve",  # 1-row corpus-total broadcast onto 3 probe rows
     "q165_ks_distance",  # 1-row sample-size aggregate broadcast onto ranked rows
     "q173_benford_deviation",  # 1-row grand-total broadcast onto 9 digit rows
-    "q246_mutual_nn_pairs",  # 4×64 hyperplane scaffold crossJoin, ×4: the
-    # buckets subtree is inlined on both sides of the bucket join and again
-    # for the reversed-pair self-join (as q39/q107/q189)
+    "q246_mutual_nn_pairs",  # (pre-r8 note: 4×64 hyperplane scaffold; the
+    # zero-shuffle rewrite removed those BNLJs — kept listed for the
+    # residual bounded broadcasts AQE may still inline)
+    "q249_order_value_icc",  # 1-row grand-mean aggregate broadcast onto
+    # the per-customer group frame (the q55/q75 scalar-subquery shape)
     "q179_weekday_hour_heatmap",  # 1-row total broadcast onto ≤168 cells
     "q185_unigram_logprob",  # 1-row corpus-token-total broadcast onto token rows
     "q187_bootstrap_ci",  # 1-row point-estimate broadcast onto 32 replica rows

@@ -90,6 +90,13 @@ FOREIGN_KEYS: dict[str, list[tuple[str, str, list[str]]]] = {
 # 25 most expensive inventory queries by BENCH_LOCAL_r6.json, plus the
 # join-heavy tail the VERDICT names for skew evidence
 DEFAULT_QUERIES = [
+    # r7/r8 additions (VERDICT r7 ask #3: every new query gets a growth row)
+    "q246_mutual_nn_pairs",
+    "q247_returned_item_ranking",
+    "q248_local_supplier_revenue",
+    "q249_order_value_icc",
+    "q250_funnel_subsequences",
+    "q251_boilerplate_shingles",
     "q208_theil_sen_trend",
     "q218_char_ngram_jaccard",
     "q120_prefix_filter_pairs",
