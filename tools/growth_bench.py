@@ -131,6 +131,10 @@ SKEW_QUERIES = [
     "q199_basket_lift",
     "q214_waiting_suppliers",
     "q227_large_orders",
+    # r8 (VERDICT r7 ask #3): the Q5-shape snowflake whose
+    # c_nationkey = s_nationkey residual conjunct rides the supplier
+    # equi-join — the named skew watch item
+    "q248_local_supplier_revenue",
 ]
 
 # superlinear-by-design arguments carried into the report
