@@ -309,6 +309,61 @@ def skew_audit(
     return out
 
 
+def groupby_skew_probe(spark, sf_dir: str, passes: int = 2) -> dict:
+    """GROUP-BY skew — the class AQE skew-join does NOT cover (the r7
+    finding on q199's residual hot cost): per-supplier exact
+    COUNT(DISTINCT l_orderkey) on the hot corpus lands the hot supplier's
+    whole distinct-state on one reducer in the direct form; the q82
+    two-phase salted form (operators.skew.salted_count_distinct: bucket
+    the VALUE space, partial distinct per (group, bucket), sum buckets)
+    splits it over n_buckets reducers. Records both walls and checks the
+    results agree row-for-row — the demonstration that the inventory's
+    named mitigation actually works on a manufactured hot key.
+
+    Plain SUM/COUNT aggregations are deliberately NOT probed: map-side
+    partial aggregation already absorbs their skew; distinct-state is the
+    shape that genuinely funnels."""
+    from fluvii_spark.operators.skew import salted_count_distinct
+
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    best: dict = {}
+    for _ in range(passes):
+        li = spark.read.parquet(li_path)
+        t0 = time.perf_counter()
+        direct = dict(
+            li.groupBy("l_suppkey")
+            .agg(F.count_distinct("l_orderkey").alias("n_distinct"))
+            .orderBy(F.desc("n_distinct"))
+            .limit(5)
+            .collect()
+        )
+        direct_wall = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        salted = dict(
+            salted_count_distinct(
+                li, group_cols=["l_suppkey"], distinct_col="l_orderkey",
+                n_buckets=32,
+            )
+            .orderBy(F.desc("n_distinct"))
+            .limit(5)
+            .collect()
+        )
+        salted_wall = round(time.perf_counter() - t0, 3)
+        cur = {
+            "direct_wall_sec": direct_wall,
+            "salted_wall_sec": salted_wall,
+            "agree": direct == salted,
+            "hot_group_distinct": max(direct.values()) if direct else 0,
+        }
+        if not best or cur["salted_wall_sec"] < best["salted_wall_sec"]:
+            best = cur
+    print(
+        f"  groupby-skew-probe @{os.path.basename(sf_dir)}: {best}",
+        file=sys.stderr,
+    )
+    return best
+
+
 def skew_probe(spark, sf_dir: str, passes: int = 2) -> dict:
     """The distilled skew-join demonstration: lineitem ⋈ supplier on
     l_suppkey (the hot-injected key), forced SortMergeJoin, grouped to a
@@ -474,6 +529,10 @@ def main() -> None:
             # vs hot — AQE must convert the hot side to skew-split reads
             "probe_uniform": skew_probe(spark, grown),
             "probe_hot": skew_probe(spark, skew_dir),
+            # GROUP-BY skew (the class AQE skew-join does not cover):
+            # direct vs q82-salted exact count-distinct on the hot key
+            "groupby_probe_uniform": groupby_skew_probe(spark, grown),
+            "groupby_probe_hot": groupby_skew_probe(spark, skew_dir),
         }
 
     with open(args.out, "w") as fh:
