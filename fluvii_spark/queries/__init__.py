@@ -62,15 +62,15 @@ _DRIVER_PROVEN = {
     # postdating its code (CORRECTNESS_r01..r07, VERDICT r7). Members of
     # _REPROOF_LAST below still sort in the needs-a-row tier.
     *(f"q{i:02d}" for i in range(1, 100)),  # q01..q99
-    *(f"q{i}" for i in range(100, 249)),    # q100..q248
+    *(f"q{i}" for i in range(100, 249)),    # q100..q248 (q249+ first-prove in r8)
 }
 
 # Queries awaiting a FIRST green driver row against their current code, in
 # driver-attempt order (each verified at sf0.001 AND sf0.01 under both
 # canonicalizers before registration). r8: ANOVA/ICC variance
 # decomposition, ordered-subsequence funnel counting, boilerplate-shingle
-# detection.
-_UNPROVEN_ORDER: list[str] = ["q249", "q250", "q251"]
+# detection, OHLC time buckets, Tukey median polish.
+_UNPROVEN_ORDER: list[str] = ["q249", "q250", "q251", "q252", "q253"]
 
 # Deferred-tier re-proofs: queries whose expression or oracle changed
 # AFTER their last green row. All re-verified green under both

@@ -1918,3 +1918,172 @@ def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_paths").desc(), "user_id")
         .limit(50)
     )
+
+
+@register(
+    "q252_daily_ohlc",
+    """
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS day, ts, event_id, value FROM events
+      WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY ts, event_id) AS rf,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM e
+    )
+    SELECT day,
+           ROUND(MAX(CASE WHEN rf = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MAX(CASE WHEN rl = 1 THEN value END), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS volume
+    FROM r GROUP BY day ORDER BY day
+    """,
+    "OHLC time-bucket aggregation (the financial candlestick rollup, and "
+    "the general first/last-in-bucket pattern): per day, the OPEN (first "
+    "value by (ts, event_id) — the composite order makes ties "
+    "deterministic), HIGH/LOW, CLOSE (last value), count, and volume. "
+    "Open/close come from rank-1 markers folded into the same "
+    "aggregation as the min/max — one window pass + one groupBy, both "
+    "partitioned by day, so no bucket ever funnels through a global "
+    "sort; days are calendar-bounded at any corpus scale",
+    ("relational", "timeseries", "window"),
+)
+def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t.events.filter(F.col("value").isNotNull()).select(
+        F.col("ts").cast("timestamp").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_f = Window.partitionBy("day").orderBy("ts", "event_id")
+    w_l = Window.partitionBy("day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = e.withColumn("rf", F.row_number().over(w_f)).withColumn(
+        "rl", F.row_number().over(w_l)
+    )
+    return (
+        r.groupBy("day")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rf") == 1, F.col("value"))), 6
+            ).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(
+                F.max(F.when(F.col("rl") == 1, F.col("value"))), 6
+            ).alias("close"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q253_median_polish",
+    """
+    WITH cells AS (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) * 10
+               + CAST(EXTRACT(quarter FROM o.o_orderdate) AS BIGINT)
+               AS qtr,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS v
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    s1r AS (SELECT nation, quantile_cont(v, 0.5) AS m FROM cells GROUP BY 1),
+    p1 AS (SELECT c.nation, c.qtr, c.v - s1r.m AS v, s1r.m AS re
+           FROM cells c JOIN s1r ON s1r.nation = c.nation),
+    s1c AS (SELECT qtr, quantile_cont(v, 0.5) AS m FROM p1 GROUP BY 1),
+    p2 AS (SELECT p1.nation, p1.qtr, p1.v - s1c.m AS v, p1.re, s1c.m AS ce
+           FROM p1 JOIN s1c ON s1c.qtr = p1.qtr),
+    s2r AS (SELECT nation, quantile_cont(v, 0.5) AS m FROM p2 GROUP BY 1),
+    p3 AS (SELECT p2.nation, p2.qtr, p2.v - s2r.m AS v,
+                  p2.re + s2r.m AS re, p2.ce
+           FROM p2 JOIN s2r ON s2r.nation = p2.nation),
+    s2c AS (SELECT qtr, quantile_cont(v, 0.5) AS m FROM p3 GROUP BY 1),
+    p4 AS (SELECT p3.nation, p3.qtr, p3.v - s2c.m AS v,
+                  p3.re, p3.ce + s2c.m AS ce
+           FROM p3 JOIN s2c ON s2c.qtr = p3.qtr)
+    SELECT nation, qtr,
+           ROUND(re, 6) AS nation_effect,
+           ROUND(ce, 6) AS quarter_effect,
+           ROUND(v, 6) AS residual
+    FROM p4
+    ORDER BY ABS(ROUND(v, 6)) DESC, nation, qtr LIMIT 15
+    """,
+    "Tukey MEDIAN POLISH of the nation x quarter revenue matrix: two "
+    "unrolled row/column sweeps subtract per-row then per-column medians "
+    "(quantile_cont interpolation on both engines) from the contracted "
+    "cell matrix, accumulating nation and quarter effects; output is the "
+    "15 largest-|residual| cells — the robust two-way decomposition that "
+    "surfaces nation-quarter interactions additive effects can't "
+    "explain. The matrix is CONTRACTED before any median (<=25 nations x "
+    "calendar quarters at ANY corpus scale), so every sweep is a "
+    "broadcast join over ~700 rows; the only data-sized work is the "
+    "initial rollup",
+    ("relational", "stats", "robust"),
+)
+def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cells = (
+        t.orders.join(
+            t.customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                F.year("o_orderdate").cast("bigint") * 10
+                + F.quarter("o_orderdate").cast("bigint")
+            ).alias("qtr"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+        .withColumn("re", F.lit(0.0))
+        .withColumn("ce", F.lit(0.0))
+    )
+
+    def sweep(df, key, eff_col):
+        med = df.groupBy(key).agg(
+            F.percentile("v", F.lit(0.5)).alias("_m")
+        )
+        return (
+            df.join(F.broadcast(med), key)
+            .withColumn("v", F.col("v") - F.col("_m"))
+            .withColumn(eff_col, F.col(eff_col) + F.col("_m"))
+            .drop("_m")
+        )
+
+    out = cells
+    for _ in range(2):  # two row/column sweeps, unrolled
+        out = sweep(out, "nation", "re")
+        out = sweep(out, "qtr", "ce")
+    return (
+        out.select(
+            "nation",
+            "qtr",
+            F.round("re", 6).alias("nation_effect"),
+            F.round("ce", 6).alias("quarter_effect"),
+            F.round("v", 6).alias("residual"),
+        )
+        .orderBy(F.abs(F.col("residual")).desc(), "nation", "qtr")
+        .limit(15)
+    )
