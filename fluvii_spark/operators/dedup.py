@@ -491,6 +491,20 @@ def cap_pairs_per_doc(
     key-partitioned, no global sort. Default OFF in every inventory query:
     the oracle-pinned uncapped semantics stand; the cap is the dial a
     100 TB run sets when its corpus is duplication-heavy.
+
+    Work bound, stated precisely (ADVICE r8): the cap bounds EMITTED pairs
+    at n·cap; per-TASK work is the one-partition sort of a single
+    endpoint's pair list — O(K log K) for a document with K near-dup
+    partners, because partitioning by one endpoint spreads a K-clique's
+    K²/2 pairs across K partitions of ~K rows each. A task sorts tens of
+    millions of rows routinely, so this holds through K ≈ 10⁷; a corpus
+    whose single hottest document exceeds that needs a salted two-stage
+    top-N (per-(endpoint, salt) cap, then exact cap over the ≤ cap·S
+    survivors — rank ≤ cap globally implies rank ≤ cap within the salt
+    subgroup, so the pre-cut is lossless) — not deployed here because the
+    upstream candidate join has hit its own skew guards (df-cut,
+    band-bucket caps) long before any K that large survives to the pair
+    output.
     """
     strength = F.col(strength_col)
     order_a = [

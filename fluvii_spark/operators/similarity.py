@@ -62,6 +62,28 @@ def adaptive_planes(
     return max(min_planes, min(max_planes, math.ceil(math.log2(n / target_bucket))))
 
 
+def well_formed_vec(vec_col: str, dims: int):
+    """Predicate: ``vec_col`` is a dense ``dims``-wide embedding with no
+    NULL components — the only inputs the LSH index admits.
+
+    Why a filter and not best-effort hashing: the zero-shuffle literal-fold
+    bucket path (see :func:`lsh_buckets`) evaluates each plane's dot as a
+    zip_with/aggregate fold, and a NULL/ragged vector NULLs the whole fold —
+    every ``dot > 0`` test then fails and the row silently lands in bucket
+    0, joining unrelated candidates (ADVICE r8). The historical exploded
+    path instead dropped NULL/empty vectors (posexplode emits nothing) but
+    partial-summed short ones — neither behavior is what an index wants.
+    Both paths now share this guard, so malformed vectors are uniformly
+    EXCLUDED from the index (and from candidate output) rather than
+    mis-bucketed, and the two physical forms stay bit-identical even on
+    degenerate corpora. ``size(NULL)`` is NULL under the non-legacy
+    default, so a NULL array fails the predicate too. O(dims) per row,
+    stays inside the scan projection's codegen — no extra pass.
+    """
+    c = F.col(vec_col)
+    return (F.size(c) == F.lit(dims)) & ~F.exists(c, lambda x: x.isNull())
+
+
 def dot_sql(a: str, b: str) -> str:
     """SQL for Σ aᵢ·bᵢ in double (left-to-right fold — deterministic)."""
     return (
@@ -191,6 +213,10 @@ def lsh_buckets(
     order the previous explode→SUM path (posexplode emits dims in order,
     partial agg sums them in row order) and the DuckDB oracle's sequential
     SUM use, so buckets are bit-for-bit unchanged.
+
+    Malformed vectors (NULL, ragged width, NULL components) are EXCLUDED
+    from the index — see :func:`well_formed_vec` for why best-effort
+    hashing would mis-bucket them.
     """
     ws = plane_weights(dims, planes)
     bucket = F.lit(0).cast("long")
@@ -199,7 +225,9 @@ def lsh_buckets(
             F.expr(dot_sql(vec_col, _weights_array_sql(w))) > 0,
             F.lit(1 << p).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
-    return df.select(id_col, bucket.alias("bucket"))
+    return df.where(well_formed_vec(vec_col, dims)).select(
+        id_col, bucket.alias("bucket")
+    )
 
 
 def _lsh_bucket_tables_exploded(
@@ -262,7 +290,14 @@ def lsh_bucket_tables(
     plan size is constant in the plane count. Both paths use the same md5
     weights and sign rule, so buckets are bit-identical (pinned by
     test_lsh_bucket_tables_paths_agree). Table t uses global planes
-    [t·planes, (t+1)·planes) with bit p = plane % planes."""
+    [t·planes, (t+1)·planes) with bit p = plane % planes.
+
+    The :func:`well_formed_vec` guard is applied BEFORE the path split, so
+    malformed vectors are excluded identically by both physical forms
+    (unguarded, the literal fold would bucket-0 them while the exploded
+    form partial-summed or dropped them — the paths-agree invariant would
+    only hold on dense corpora)."""
+    df = df.where(well_formed_vec(vec_col, dims))
     total = planes * n_tables
     if total > LITERAL_PLANES_MAX:
         return _lsh_bucket_tables_exploded(

@@ -75,6 +75,51 @@ def partitions_for_rows(
     return max(1, min((rows + rows_per_partition - 1) // rows_per_partition, max_partitions))
 
 
+# path -> exact row count: footer reads are idempotent per immutable
+# snapshot dir, so repeated plan builds (bench loops, multi-query sessions)
+# pay the O(files) metadata walk once.
+_PARQUET_ROWS_MEMO: dict[str, int] = {}
+
+
+def parquet_row_count(path: str, fallback_df: DataFrame | None = None) -> int:
+    """EXACT row count of a parquet file/directory from file footers —
+    submits NO Spark job and reads NO data pages.
+
+    Some sizing decisions need the exact count, not :func:`estimate_rows`'
+    bytes-derived guess: an adaptive LSH plane count (planes =
+    ⌈log₂(n/B)⌉) feeds a hash grid that an independent oracle recomputes
+    from its own exact COUNT(*), so a factor-2 row estimate error near a
+    power-of-2 boundary would silently shift every bucket id. Parquet
+    footers carry exact per-file row counts; summing them is metadata-only
+    (the same walk a SELECT COUNT(*) pushdown does) and scales with file
+    COUNT, not bytes — at 100 TB that is one tiny read per file, on the
+    driver, before any job is scheduled.
+
+    ``pyarrow.dataset`` handles both single files and directory layouts and
+    any filesystem pyarrow is configured for (posix, s3, hdfs). If the
+    footer walk fails (exotic filesystem, permissions), falls back to
+    ``fallback_df.count()`` — one exact-count job, correctness preserved —
+    or raises when no fallback frame was given.
+    """
+    cached = _PARQUET_ROWS_MEMO.get(path)
+    if cached is not None:
+        return cached
+    try:
+        import pyarrow.dataset as pads
+
+        ds = pads.dataset(path, format="parquet")
+        n = sum(
+            frag.metadata.num_rows if frag.metadata is not None else frag.count_rows()
+            for frag in ds.get_fragments()
+        )
+    except Exception:  # noqa: BLE001 — unreadable path/filesystem
+        if fallback_df is None:
+            raise
+        n = fallback_df.count()
+    _PARQUET_ROWS_MEMO[path] = n
+    return n
+
+
 def release_local_checkpoint(df: DataFrame) -> bool:
     """Best-effort unpersist of the RDD(s) backing a ``localCheckpoint``'d
     frame, freeing storage blocks NOW instead of whenever the JVM's

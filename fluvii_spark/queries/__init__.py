@@ -58,51 +58,56 @@ def register(
 # predates the current code, so they are deliberately re-queued for a fresh
 # r4 row (VERDICT r3 "Next round" #1).
 _DRIVER_PROVEN = {
-    # r7 closed the backlog a third time: every q01..q248 has a driver row
-    # postdating its code (CORRECTNESS_r01..r07, VERDICT r7). Members of
+    # r8 closed the backlog a fourth time: every q01..q253 has a driver row
+    # postdating its code (CORRECTNESS_r01..r08, VERDICT r8). Members of
     # _REPROOF_LAST below still sort in the needs-a-row tier.
     *(f"q{i:02d}" for i in range(1, 100)),  # q01..q99
-    *(f"q{i}" for i in range(100, 249)),    # q100..q248 (q249+ first-prove in r8)
+    *(f"q{i}" for i in range(100, 254)),    # q100..q253
 }
 
 # Queries awaiting a FIRST green driver row against their current code, in
 # driver-attempt order (each verified at sf0.001 AND sf0.01 under both
-# canonicalizers before registration). r8: ANOVA/ICC variance
-# decomposition, ordered-subsequence funnel counting, boilerplate-shingle
-# detection, OHLC time buckets, Tukey median polish.
-_UNPROVEN_ORDER: list[str] = ["q249", "q250", "q251", "q252", "q253"]
+# canonicalizers before registration). r9: none — the inventory is
+# complete at 253 and this round is proof-rotation + polish.
+_UNPROVEN_ORDER: list[str] = []
 
 # Deferred-tier re-proofs: queries whose expression or oracle changed
 # AFTER their last green row. All re-verified green under both
 # canonicalizers at sf0.001+sf0.01 before this queue landed; queued behind
-# any first-proof tier. r8: the LSH zero-shuffle rewrite (lsh_buckets /
-# lsh_bucket_tables / lsh_topk_multiprobe now fold literal md5 weight
-# arrays instead of explode→join→groupBy — buckets bit-identical, plans
-# new) touches q39/q107/q116/q189, q246 additionally moved to an
-# ADAPTIVE plane count (new oracle semantics), and q38's operator gained
-# the rewritten lsh_bucket_tables on its beyond-200k path.
-_REPROOF_LAST: list[str] = ["q246", "q39", "q107", "q116", "q189", "q38"]
+# any first-proof tier. r9: the LSH index now EXCLUDES malformed vectors
+# (similarity.well_formed_vec — the ADVICE r8 degenerate-input close;
+# output bit-identical on the dense testdata, plans gained the guard
+# filter) touching q39/q107/q116/q189/q38, q246 additionally sizes its
+# adaptive planes from parquet-footer metadata instead of an eager
+# count() (same plane count, no plan-build scan job), and q249 gained
+# NULLIF degenerate-divide guards on both the Spark and oracle sides.
+_REPROOF_LAST: list[str] = [
+    "q246", "q249", "q39", "q107", "q116", "q189", "q38",
+]
 
-# Proof-trail rotation (VERDICT r6 ask #3, continued per r7 ask #2):
-# queries whose NEWEST driver row is r2/r3 — their code is unchanged and
+# Proof-trail rotation (VERDICT r6 ask #3, continued per r7 #2 / r8 #1):
+# queries whose NEWEST driver row is r3/r4 — their code is unchanged and
 # full sweeps re-prove them every round, so this is row staleness, not a
 # correctness gap. They sort in a third tier, AFTER every needs-a-row
 # query but BEFORE fresh-proven ones, oldest round first, so the driver's
 # spare row budget (~cap minus first-proofs/re-proofs) refreshes the
 # oldest artifacts each round. The list may exceed the per-round cap —
 # the driver simply refreshes the prefix that fits and the rest roll to
-# the next round. (r1 tier fully drained in r7.)
+# the next round. (r1 tier drained in r7; r2 drained in r8. Recomputed
+# mechanically from CORRECTNESS_r01..r08 at the start of r9.)
 _AGE_ROTATION: list[str] = [
-    # newest row r2 (26 queries)
-    "q55", "q61", "q62", "q64", "q65", "q66", "q67", "q68", "q70", "q73",
-    "q74", "q75", "q76", "q77", "q78", "q79", "q108", "q109", "q110",
-    "q111", "q112", "q113", "q114", "q115", "q117", "q119",
-    # newest row r3 (39 queries)
-    "q56", "q81", "q82", "q83", "q84", "q85", "q86", "q87", "q88", "q90",
-    "q91", "q92", "q93", "q94", "q95", "q96", "q97", "q98", "q99",
-    "q121", "q122", "q123", "q126", "q127", "q128", "q129", "q130",
-    "q131", "q132", "q133", "q134", "q136", "q137", "q138", "q139",
-    "q141", "q142", "q144", "q145",
+    # newest row r3 (26 queries)
+    "q94", "q95", "q96", "q97", "q98", "q99", "q121", "q122", "q123",
+    "q126", "q127", "q128", "q129", "q130", "q131", "q132", "q133",
+    "q134", "q136", "q137", "q138", "q139", "q141", "q142", "q144",
+    "q145",
+    # newest row r4 (42 queries)
+    "q34", "q58", "q80", "q106", "q118", "q120", "q125", "q135", "q148",
+    "q149", "q150", "q151", "q152", "q154", "q155", "q156", "q157",
+    "q158", "q159", "q160", "q161", "q162", "q163", "q165", "q166",
+    "q167", "q168", "q169", "q170", "q171", "q172", "q173", "q174",
+    "q175", "q176", "q177", "q179", "q180", "q182", "q183", "q184",
+    "q185",
 ]
 
 

@@ -532,11 +532,23 @@ from fluvii_spark.queries.llm import lsh_buckets_cte_adaptive  # noqa: E402
 def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluvii_spark.operators import similarity as S
 
+    import os
+
+    from fluvii_spark.operators.stats import parquet_row_count
+
     t = load_tables(spark, sf_dir)
     corpus = t.embeddings
-    # one scalar count sizes the index; see similarity.adaptive_planes for
-    # why a fixed plane count would make this join quadratic at 100 TB
-    planes = S.adaptive_planes(corpus.count())
+    # the EXACT corpus size sizes the index (see similarity.adaptive_planes
+    # for why a fixed plane count would make this join quadratic at 100 TB),
+    # read from parquet footers — no full-scan count() job at plan-build
+    # time, and exact so the oracle's COUNT(*)-derived plane count can
+    # never land one power-of-2 bucket away (an estimate near a boundary
+    # would shift every bucket id)
+    planes = S.adaptive_planes(
+        parquet_row_count(
+            os.path.join(sf_dir, "embeddings.parquet"), fallback_df=corpus
+        )
+    )
     buckets = S.lsh_buckets(corpus, dims=64, planes=planes)
     vecs = corpus.select("vec_id", "embedding")
     a = buckets.join(vecs, "vec_id").select(

@@ -1787,10 +1787,12 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(a AS BIGINT) AS n_customers,
            CAST(n AS BIGINT) AS n_orders,
-           ROUND((ssb / (a - 1)) / (ssw / (n - a)), 6) AS msb_msw_ratio,
-           ROUND(((ssb / (a - 1)) - (ssw / (n - a)))
-                 / ((ssb / (a - 1))
-                    + (((n - sn2 / n) / (a - 1)) - 1) * (ssw / (n - a))),
+           ROUND((ssb / NULLIF(a - 1, 0))
+                 / NULLIF(ssw / NULLIF(n - a, 0), 0), 6) AS msb_msw_ratio,
+           ROUND(((ssb / NULLIF(a - 1, 0)) - (ssw / NULLIF(n - a, 0)))
+                 / NULLIF((ssb / NULLIF(a - 1, 0))
+                    + (((n - sn2 / n) / NULLIF(a - 1, 0)) - 1)
+                      * (ssw / NULLIF(n - a, 0)), 0),
                  6) AS icc
     FROM s
     """,
@@ -1829,14 +1831,23 @@ def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_i").cast("double") * F.col("n_i")).alias("sn2"),
         )
     )
-    msb = F.col("ssb") / (F.col("a") - 1)
-    msw = F.col("ssw") / (F.col("n") - F.col("a"))
-    k0 = (F.col("n") - F.col("sn2") / F.col("n")) / (F.col("a") - 1)
+    # degenerate-corpus guards (ADVICE r8): with one customer (a==1) or
+    # one order per customer (n==a) the denominators are 0 — Spark's
+    # non-ANSI divide would yield NULL while DuckDB's IEEE divide yields
+    # inf/nan, so BOTH sides NULLIF the denominators (and the ICC
+    # denominator) to agree on NULL for every degenerate shape
+    am1 = F.nullif(F.col("a") - F.lit(1), F.lit(0))
+    nma = F.nullif(F.col("n") - F.col("a"), F.lit(0))
+    msb = F.col("ssb") / am1
+    msw = F.col("ssw") / nma
+    k0 = (F.col("n") - F.col("sn2") / F.col("n")) / am1
     return s.select(
         F.col("a").cast("bigint").alias("n_customers"),
         F.col("n").cast("bigint").alias("n_orders"),
-        F.round(msb / msw, 6).alias("msb_msw_ratio"),
-        F.round((msb - msw) / (msb + (k0 - 1) * msw), 6).alias("icc"),
+        F.round(msb / F.nullif(msw, F.lit(0)), 6).alias("msb_msw_ratio"),
+        F.round(
+            (msb - msw) / F.nullif(msb + (k0 - 1) * msw, F.lit(0)), 6
+        ).alias("icc"),
     )
 
 

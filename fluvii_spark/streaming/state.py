@@ -139,13 +139,35 @@ def _fold_rows(
     return st, out, dirty
 
 
+def _ddl_column_names(fixed_cols: str) -> list[str]:
+    """Column names from a DDL fragment, splitting only on TOP-LEVEL commas
+    — commas inside parameterized/nested types (``DECIMAL(10,2)``,
+    ``MAP<STRING,LONG>``, ``STRUCT<a:INT,b:INT>``) belong to the type, not
+    the column list, so a naive ``split(',')`` would hand back fragments
+    like ``'2)'`` as phantom column names (ADVICE r8)."""
+    names, depth, start = [], 0, 0
+    for i, ch in enumerate(fixed_cols):
+        if ch in "(<[":
+            depth += 1
+        elif ch in ")>]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            names.append(fixed_cols[start:i])
+            start = i + 1
+    names.append(fixed_cols[start:])
+    return [c.strip().split(" ")[0].split(":")[0] for c in names if c.strip()]
+
+
 def keyed_schema(key_col: str, fixed_cols: str, key_type: str = "LONG") -> str:
     """Output schema for a keyed fold: the group key followed by the fold's
     fixed columns. Built structurally — string-templating would silently
     corrupt the schema whenever ``key_col`` collides with a fixed column
     name (e.g. a funnel keyed on a column named 'stage'), so collisions are
-    rejected instead; a non-LONG key passes its type explicitly."""
-    fixed_names = [c.strip().split(" ")[0] for c in fixed_cols.split(",")]
+    rejected instead; a non-LONG key passes its type explicitly. The
+    collision check parses top-level columns only (see
+    :func:`_ddl_column_names`), so parameterized types can't hide or fake
+    a collision."""
+    fixed_names = _ddl_column_names(fixed_cols)
     if key_col in fixed_names:
         raise ValueError(
             f"key_col {key_col!r} collides with an output column "

@@ -392,3 +392,22 @@ def test_keyed_schema_rejects_colliding_key():
     # the funnel's fixed columns are now behind the same guard
     with _pytest.raises(ValueError):
         keyed_schema("stage", "stage_idx INT, stage STRING, reached_ep LONG")
+
+
+def test_keyed_schema_parameterized_types():
+    """ADVICE r8: the collision guard must split the DDL on TOP-LEVEL
+    commas only — commas inside DECIMAL(10,2) / MAP<STRING,LONG> /
+    STRUCT<...> are type syntax, not column separators, so they can
+    neither hide a real collision nor fake one from a type fragment."""
+    import pytest
+
+    from fluvii_spark.streaming.state import _ddl_column_names, keyed_schema
+
+    ddl = "amount DECIMAL(10,2), m MAP<STRING,LONG>, s STRUCT<a:INT,b:INT>"
+    assert _ddl_column_names(ddl) == ["amount", "m", "s"]
+    # no false collision from '2)' / 'LONG>' fragments
+    out = keyed_schema("user_id", ddl)
+    assert out.startswith("user_id LONG, amount DECIMAL(10,2)")
+    # real collision behind a parameterized neighbor is still caught
+    with pytest.raises(ValueError):
+        keyed_schema("m", ddl)

@@ -1382,3 +1382,114 @@ def test_lsh_bucket_tables_paths_agree(spark, sf_dir):
         ).collect()
     }
     assert lit == exp and len(lit) == emb.count() * 4
+
+
+def test_lsh_malformed_vectors_excluded(spark):
+    """Degenerate-input close (ADVICE r8): NULL, empty, ragged, and
+    NULL-component vectors are EXCLUDED from the LSH index by both
+    lsh_buckets and lsh_bucket_tables (both physical paths) — never
+    silently hashed into bucket 0 by a NULLed literal fold."""
+    from pyspark.sql import types as T
+
+    from fluvii_spark.operators.similarity import (
+        _lsh_bucket_tables_exploded,
+        lsh_bucket_tables,
+        lsh_buckets,
+        well_formed_vec,
+    )
+
+    def vec(seed: int) -> list[float]:
+        return [((seed * 7 + d) % 13 - 6) / 3.0 for d in range(64)]
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    good = {1, 2, 3, 4, 5}
+    rows = [(i, vec(i)) for i in sorted(good)] + [
+        (10, None),                      # NULL array
+        (11, []),                        # empty
+        (12, vec(12)[:10]),              # ragged (short)
+        (13, vec(13)[:32] + [None] + vec(13)[33:]),  # NULL component
+    ]
+    df = spark.createDataFrame(rows, schema)
+
+    b = lsh_buckets(df, dims=64, planes=4)
+    assert {r["vec_id"] for r in b.collect()} == good
+
+    # literal path (6*4=24 <= LITERAL_PLANES_MAX)
+    lit = lsh_bucket_tables(df, dims=64, planes=6, n_tables=4)
+    assert {r["vec_id"] for r in lit.collect()} == good
+    # exploded path (8*9=72 > LITERAL_PLANES_MAX) — same exclusion
+    exp = lsh_bucket_tables(df, dims=64, planes=8, n_tables=9)
+    assert {r["vec_id"] for r in exp.collect()} == good
+
+    # paths agree bit-for-bit ON THE DEGENERATE CORPUS at equal params
+    # (guard applied before the branch, so the raw exploded helper sees
+    # the same filtered input the public literal path does)
+    lit_m = {
+        (r["vec_id"], r["table"]): r["bucket"]
+        for r in lsh_bucket_tables(df, dims=64, planes=6, n_tables=4).collect()
+    }
+    exp_m = {
+        (r["vec_id"], r["table"]): r["bucket"]
+        for r in _lsh_bucket_tables_exploded(
+            df.where(well_formed_vec("embedding", 64)),
+            64,
+            "vec_id",
+            "embedding",
+            6,
+            4,
+        ).collect()
+    }
+    assert lit_m == exp_m and len(lit_m) == len(good) * 4
+
+
+def test_q249_degenerate_corpus_parity(spark, tmp_path):
+    """ADVICE r8: on degenerate corpora (single customer a==1, or one
+    order per customer n==a) the ANOVA denominators are 0 — the NULLIF
+    guards must make Spark and the DuckDB oracle agree on NULL instead of
+    NULL-vs-inf hash divergence."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluvii_spark.queries import registry
+
+    q = registry()["q249_order_value_icc"]
+    cases = {
+        "one_customer": ([7, 7, 7, 7], [10.0, 20.0, 30.0, 40.0]),
+        "one_order_each": ([1, 2, 3, 4], [10.0, 20.0, 30.0, 40.0]),
+        "single_row": ([1], [10.0]),  # a==1 AND n==a
+    }
+    for name, (cust, price) in cases.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "o_custkey": pa.array(cust, pa.int64()),
+                    "o_totalprice": pa.array(price, pa.float64()),
+                }
+            ),
+            d / "orders.parquet",
+        )
+        srow = q.fn(spark, str(d)).collect()[0].asDict()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet'"
+        )
+        ocols = [c[0] for c in con.execute(q.oracle).description]
+        orow = dict(zip(ocols, con.execute(q.oracle).fetchone()))
+        con.close()
+        for col in ("n_customers", "n_orders", "msb_msw_ratio", "icc"):
+            sv, ov = srow[col], orow[col]
+            if sv is None or ov is None:
+                assert sv is None and ov is None, (name, col, sv, ov)
+            else:
+                assert sv == pytest.approx(ov, abs=1e-9), (name, col, sv, ov)
+        # the guards must actually fire: every degenerate case NULLs
+        # at least the ratio (a==1 or n==a zeroes a mean-square divisor)
+        assert srow["msb_msw_ratio"] is None, (name, srow)

@@ -82,10 +82,21 @@ def test_degeneracy_waivers_name_real_queries_with_arguments():
     for q, why in DEGENERACY_WAIVERS.items():
         assert q in names, f"waiver for unknown query {q!r}"
         assert len(why) >= 20, f"waiver for {q} needs a real argument"
-    # a re-queued fix must not ALSO be waived — the gate has to re-check it
+    # a re-queued DEGENERACY fix must not ALSO be waived — the gate has to
+    # re-check it. Intended-shape (_ONE_ROW-class) waivers are exempt:
+    # they document a query's permanent single-row output contract (the
+    # driver hash still pins every value), so a re-proof queued for an
+    # UNRELATED expression change (e.g. q249's r9 NULLIF divide guards)
+    # rightly keeps them — stripping the waiver would fail the ≥2-rows
+    # rule on a correct result, not re-verify anything.
+    from fluvii_spark.queries import _ONE_ROW
+
     for p in _REPROOF_LAST:
-        hits = [q for q in DEGENERACY_WAIVERS if _prefix(q) == p]
-        assert not hits, f"re-proof {p} must not carry a waiver: {hits}"
+        for q in [q for q in DEGENERACY_WAIVERS if _prefix(q) == p]:
+            assert DEGENERACY_WAIVERS[q].startswith(_ONE_ROW), (
+                f"re-proof {p} carries a non-shape waiver — the gate must "
+                f"re-check it: {DEGENERACY_WAIVERS[q]!r}"
+            )
 
 
 def test_degeneracy_check_rules():
