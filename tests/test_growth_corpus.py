@@ -171,3 +171,45 @@ def test_marker_validates_g_and_base(spark, sf_dir, grown_dir):
     (the stress_bench ADVICE r6 class)."""
     with pytest.raises(SystemExit):
         build_grown(spark, sf_dir, grown_dir, G + 1)
+
+
+def test_emission_cap_bounds_near_dup_output(spark, sf_dir, grown_dir):
+    """The max_pairs_per_doc dial (VERDICT r7 ask #5 / r8 ask #4): on the
+    grown corpus every base document gains G perturbed near-dup replicas,
+    so uncapped near-dup pair output grows ~G^2 per clique; the cap must
+    (a) bound output at 2*cap*n_docs, (b) be a subset of the uncapped
+    pairs, (c) keep every document's own strongest pair (recall@cap=1
+    per doc by the either-endpoint rule)."""
+    from fluvii_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = _t(spark, grown_dir, "documents")
+    n_docs = docs.count()
+    cap = 1
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(
+            docs, threshold=0.5, n=3
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(
+            docs, threshold=0.5, n=3, max_pairs_per_doc=cap
+        ).collect()
+    }
+    assert uncapped, "growth corpus must produce near-dup pairs"
+    assert set(capped) <= set(uncapped)
+    assert len(capped) <= 2 * cap * n_docs
+    # recall@cap per doc: every doc that has any pair keeps its strongest
+    best: dict[int, tuple] = {}
+    for (a, b), j in uncapped.items():
+        for doc, partner in ((a, b), (b, a)):
+            cur = best.get(doc)
+            # strongest = max jaccard, tie-break smallest partner id —
+            # the operator's deterministic ordering
+            cand = (-j, partner)
+            if cur is None or cand < cur:
+                best[doc] = cand
+    for doc, (negj, partner) in best.items():
+        pair = (min(doc, partner), max(doc, partner))
+        assert pair in capped, (doc, pair)
