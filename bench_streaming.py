@@ -29,6 +29,13 @@ Pipelines (all per-arrival emission, the reference's per-message contract):
   minhash_dedup  streaming_minhash_candidates over the documents table:
                  per-arrival near-dup candidates from the stateful banded
                  inverted index (state = the index itself, ~4 rows/doc)
+  static_join    stream_static_join: broadcast customer-dim enrich (the
+                 stream side never shuffles) + watermarked tumbling count
+                 by market segment — the enrichment shape every 100 TB
+                 feed runs before aggregating
+  interval_join  stream_stream_interval_join: per-user view->purchase
+                 pairs within 1h (self-join of the event stream; join
+                 state bounded by watermark + interval horizon)
 
 Prints ONE JSON line; the driver may record it as BENCH_STREAM_r{N}.json.
 """
@@ -256,6 +263,42 @@ def pipelines() -> dict:
 
         return streaming_cdc_apply(events_to_cdc_changelog(src))
 
+    def static_join(src):
+        # broadcast dim enrich (stream side keeps its partitioning, no
+        # shuffle before the agg) + watermarked tumbling count by segment
+        from fluvii_spark.streaming.joins import stream_static_join
+
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        dim = load_table(src.sparkSession, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+        return (
+            stream_static_join(src, dim, "user_id")
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def interval_join(src):
+        # stream-stream self-join: purchases within 1h after a view, per
+        # user — join state bounded by watermark + interval horizon
+        from fluvii_spark.streaming.joins import stream_stream_interval_join
+
+        views = src.filter(F.col("event_type") == "view").select(
+            "user_id",
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        buys = src.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        return stream_stream_interval_join(
+            views, buys, ["user_id"], "v_ts", "p_ts",
+            lower_s=0, upper_s=3600, watermark="1 hour",
+        )
+
     def late_window(src):
         from fluvii_spark.streaming.late import streaming_late_window_counts
 
@@ -282,6 +325,8 @@ def pipelines() -> dict:
         "heavy_hitters": heavy_hitters,
         "trending": trending,
         "tumbling": tumbling,
+        "static_join": static_join,
+        "interval_join": interval_join,
         "late_window": late_window,
         "cdc_apply": cdc_apply,
         "funnel": funnel,

@@ -86,19 +86,25 @@ def stream_stream_interval_join(
     horizon from the interval + watermarks, so join state is bounded.
 
     Column names must be disjoint apart from ``key_cols`` (rename before
-    calling); ``left_ts``/``right_ts`` must differ.
+    calling); ``left_ts``/``right_ts`` must differ. Both sides may derive
+    from the SAME streaming source (the funnel self-join case — views
+    joined to purchases of one event stream): references are qualified
+    through plan aliases, so Spark's ambiguous-self-join check never sees
+    a two-sided column reference.
     """
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
-    key_eq = [lw[k] == rw[k] for k in key_cols]
+    lw = left.withWatermark(left_ts, watermark).alias("__sj_l")
+    rw = right.withWatermark(right_ts, watermark).alias("__sj_r")
+    L = lambda c: F.col(f"__sj_l.{c}")  # noqa: E731
+    R = lambda c: F.col(f"__sj_r.{c}")  # noqa: E731
+    key_eq = [L(k) == R(k) for k in key_cols]
     # the bound must stay `ts ± INTERVAL` arithmetic — that's the shape
     # Spark's streaming planner recognizes to derive the state-eviction
     # horizon (a cast-to-double comparison would buffer state forever)
     lo = F.expr(f"INTERVAL {float(lower_s)} SECOND")
     hi = F.expr(f"INTERVAL {float(upper_s)} SECOND")
     cond = key_eq + [
-        rw[right_ts] >= lw[left_ts] + lo,
-        rw[right_ts] <= lw[left_ts] + hi,
+        R(right_ts) >= L(left_ts) + lo,
+        R(right_ts) <= L(left_ts) + hi,
     ]
     joined = lw.join(rw, cond, how)
     # collapse the duplicated key columns: under rightOuter/fullOuter the
@@ -106,9 +112,9 @@ def stream_stream_interval_join(
     # outright would null out the key — coalesce keeps whichever side
     # matched, and non-key columns keep their side's values (NULL-padded by
     # the outer join as usual)
-    keys = [F.coalesce(lw[k], rw[k]).alias(k) for k in key_cols]
-    left_rest = [lw[c] for c in left.columns if c not in key_cols]
-    right_rest = [rw[c] for c in right.columns if c not in key_cols]
+    keys = [F.coalesce(L(k), R(k)).alias(k) for k in key_cols]
+    left_rest = [L(c) for c in left.columns if c not in key_cols]
+    right_rest = [R(c) for c in right.columns if c not in key_cols]
     return joined.select(*keys, *left_rest, *right_rest)
 
 

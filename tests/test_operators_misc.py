@@ -1493,3 +1493,36 @@ def test_q249_degenerate_corpus_parity(spark, tmp_path):
         # the guards must actually fire: every degenerate case NULLs
         # at least the ratio (a==1 or n==a zeroes a mean-square divisor)
         assert srow["msb_msw_ratio"] is None, (name, srow)
+
+
+def test_parquet_row_count_exact_and_memoized(spark, sf_dir, tmp_path):
+    """parquet_row_count (q246's plane sizing): exact on single-file AND
+    multi-file directory layouts, memoized per path, and falling back to
+    an exact count() job only when the footer walk fails."""
+    import os
+
+    from fluvii_spark.operators import stats as S
+    from fluvii_spark.io.readers import load_table
+
+    # single file (testdata layout)
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    n = S.parquet_row_count(p)
+    assert n == load_table(spark, sf_dir, "embeddings").count()
+    assert S._PARQUET_ROWS_MEMO[p] == n  # memo populated
+
+    # multi-file directory layout (what a cluster writes)
+    d = str(tmp_path / "multi.parquet")
+    spark.range(1000).repartition(4).write.parquet(d)
+    assert S.parquet_row_count(d) == 1000
+
+    # unreadable path: fallback_df.count() keeps it exact
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert S.parquet_row_count(str(tmp_path / "missing"), fallback_df=emb) == n
+    # and with no fallback it raises instead of guessing
+    try:
+        S.parquet_row_count(str(tmp_path / "missing2"))
+        raise AssertionError("expected a raise on unreadable path")
+    except AssertionError:
+        raise
+    except Exception:
+        pass

@@ -382,3 +382,57 @@ def test_interval_join_outer_keeps_keys(spark):
     assert out["a"] == (1, 10)
     assert out["b"] == (None, 20)  # key kept, left side NULL-padded
     assert None not in out  # no nulled-out keys
+
+
+def test_interval_join_self_join_same_source(spark, tmp_path):
+    """stream_stream_interval_join must work when BOTH sides derive from
+    the SAME streaming source (the funnel self-join shape) — plan-alias
+    qualification keeps Spark's ambiguous-self-join check out of it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fluvii_spark.streaming.joins import stream_stream_interval_join
+
+    src_dir = str(tmp_path / "ev")
+    rows = [
+        (1, 10, "view", "2024-01-01 00:00:00"),
+        (2, 10, "purchase", "2024-01-01 00:30:00"),   # within 1h of view 1
+        (3, 10, "purchase", "2024-01-01 02:00:00"),   # outside
+        (4, 11, "view", "2024-01-01 01:00:00"),
+        (5, 11, "purchase", "2024-01-01 01:10:00"),   # within
+        (6, 12, "purchase", "2024-01-01 00:10:00"),   # no view at all
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(src_dir)
+
+    src = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .parquet(src_dir)
+    )
+    views = src.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("v_id")
+    )
+    buys = src.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    out = stream_stream_interval_join(
+        views, buys, ["user_id"], "v_ts", "p_ts",
+        lower_s=0, upper_s=3600, watermark="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("self_ij")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["v_id"], r["p_id"])
+        for r in spark.sql("select * from self_ij").collect()
+    }
+    assert got == {(10, 1, 2), (11, 4, 5)}
