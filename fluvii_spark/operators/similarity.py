@@ -408,6 +408,11 @@ def lsh_topk_multiprobe(
     scan — at 100 TB this beats amplifying with more hash tables (which
     re-hashes the corpus) whenever the probe count is small. Ties on
     |dot| break by plane index; everything md5-deterministic.
+
+    A malformed QUERY vector (NULL/ragged — see :func:`well_formed_vec`)
+    has no row in the guarded bucket index, so the probe set is empty and
+    the result is empty — the consistent outcome of "not in the index",
+    never a bucket-0 scan. Same for :func:`lsh_topk`.
     """
     ws = plane_weights(dims, planes)
     buckets = lsh_buckets(df, dims, id_col, vec_col, planes)
