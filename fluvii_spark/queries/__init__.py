@@ -79,10 +79,15 @@ _UNPROVEN_ORDER: list[str] = []
 # output bit-identical on the dense testdata, plans gained the guard
 # filter) touching q39/q107/q116/q189/q38, q246 additionally sizes its
 # adaptive planes from parquet-footer metadata instead of an eager
-# count() (same plane count, no plan-build scan job), and q249 gained
-# NULLIF degenerate-divide guards on both the Spark and oracle sides.
+# count() (same plane count, no plan-build scan job), q249 gained
+# NULLIF degenerate-divide guards on both the Spark and oracle sides,
+# and q160/q161/q162 moved their integer Pearson/variance moments to
+# DECIMAL(38,0)/HUGEINT after the g=10 growth corpus ABORTED q160's
+# int64 form with ARITHMETIC_OVERFLOW (Σdeg² > 2^63) — a real
+# 100 TB-correctness fix worth the three rotation rows it displaces.
 _REPROOF_LAST: list[str] = [
-    "q246", "q249", "q39", "q107", "q116", "q189", "q38",
+    "q246", "q249", "q160", "q161", "q162",
+    "q39", "q107", "q116", "q189", "q38",
 ]
 
 # Proof-trail rotation (VERDICT r6 ask #3, continued per r7 #2 / r8 #1):
@@ -101,10 +106,10 @@ _AGE_ROTATION: list[str] = [
     "q126", "q127", "q128", "q129", "q130", "q131", "q132", "q133",
     "q134", "q136", "q137", "q138", "q139", "q141", "q142", "q144",
     "q145",
-    # newest row r4 (42 queries)
+    # newest row r4 (39 queries; q160/q161/q162 moved to _REPROOF_LAST r9)
     "q34", "q58", "q80", "q106", "q118", "q120", "q125", "q135", "q148",
     "q149", "q150", "q151", "q152", "q154", "q155", "q156", "q157",
-    "q158", "q159", "q160", "q161", "q162", "q163", "q165", "q166",
+    "q158", "q159", "q163", "q165", "q166",
     "q167", "q168", "q169", "q170", "q171", "q172", "q173", "q174",
     "q175", "q176", "q177", "q179", "q180", "q182", "q183", "q184",
     "q185",

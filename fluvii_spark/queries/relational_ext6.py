@@ -1015,8 +1015,11 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM edges JOIN dp USING (p) JOIN ds USING (s)
     ),
     m AS (
-      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      SELECT COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
       FROM e
     )
     SELECT CAST(n AS BIGINT) AS n_edges,
@@ -1030,10 +1033,13 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
     "correlation, over edges, between the part's degree and the "
     "supplier's degree — do well-connected parts ship via well-connected "
     "suppliers? Every moment is an exact integer sum (degrees are "
-    "counts), the only floats are two IEEE-correctly-rounded sqrts and "
-    "one division on bit-identical inputs. Plan: distinct + two hash-agg "
-    "degree tables joined back on the edge list — all equi-joins on "
-    "graph keys, no adjacency materialization beyond degrees",
+    "counts) carried in 128-bit/DECIMAL(38,0) — int64 moments overflow "
+    "once Σdeg² exceeds 2^63, which the g=10 growth corpus already "
+    "triggers (caught r9; q225/q202's recipe applied) — the only floats "
+    "are two IEEE-correctly-rounded sqrts and one division on "
+    "bit-identical inputs. Plan: distinct + two hash-agg degree tables "
+    "joined back on the edge list — all equi-joins on graph keys, no "
+    "adjacency materialization beyond degrees",
     ("relational", "graph"),
 )
 def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1044,13 +1050,20 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     dp = edges.groupBy("p").agg(F.count("*").alias("x"))
     ds = edges.groupBy("s").agg(F.count("*").alias("y"))
     e = edges.join(dp, "p").join(ds, "s")
+    # moments in DECIMAL(38,0) (duck: HUGEINT): Σdeg² over the edge list
+    # passes 2^63 long before 100 TB — the g=10 growth corpus already
+    # aborts the int64 form with ARITHMETIC_OVERFLOW — while the final
+    # n·Σxy − Σx·Σy products stay ≪ 1e38 at any real scale; both engines
+    # convert the identical exact integers to double exactly once
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
     m = e.agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * F.col("x")).alias("sxx"),
+        F.sum(dy * F.col("y")).alias("syy"),
+        F.sum(dx * F.col("y")).alias("sxy"),
     )
     return m.select(
         F.col("n").cast("bigint").alias("n_edges"),
@@ -1088,7 +1101,9 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt AS (
       SELECT lang, ch, COUNT(*) AS c FROM filtered GROUP BY lang, ch
     ),
-    tot AS (SELECT lang, SUM(c) AS n, SUM(c * c) AS ss FROM cnt GROUP BY lang)
+    tot AS (SELECT lang, SUM(c) AS n,
+                   SUM(CAST(c AS HUGEINT) * c) AS ss
+            FROM cnt GROUP BY lang)
     SELECT lang, CAST(n AS BIGINT) AS n_chars,
            ROUND(1.0 - CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)
              AS gini_impurity
@@ -1108,8 +1123,12 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(F.split(F.col("text"), "")).alias("ch")
     ).filter(F.col("ch") != "")
     cnt = chars.groupBy("lang", "ch").agg(F.count("*").alias("c"))
+    # Σc² in DECIMAL(38,0)/HUGEINT: per-(lang, char) counts grow linearly
+    # with corpus bytes, so c² passes 2^63 at real scale (same int64
+    # hazard the g=10 corpus exposed in q160); Σc stays comfortably long
     tot = cnt.groupBy("lang").agg(
-        F.sum("c").alias("n"), F.sum(F.col("c") * F.col("c")).alias("ss")
+        F.sum("c").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("ss"),
     )
     return tot.select(
         "lang",
@@ -1132,11 +1151,13 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     ),
     m AS (
-      SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS ss
+      SELECT event_type, COUNT(*) AS n, SUM(c) AS s,
+             SUM(CAST(c AS HUGEINT) * c) AS ss
       FROM daily GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_days,
-           ROUND(CAST(n * ss - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * s),
+           ROUND(CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * s),
                  6) AS burstiness
     FROM m WHERE s > 0
     """,
@@ -1159,18 +1180,22 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.count("*").alias("c"))
     )
+    # daily counts grow linearly with the corpus: Σc² and (Σc)² pass
+    # 2^63 at real scale, so the moments ride DECIMAL(38,0)/HUGEINT
+    # (q160's r9 recipe); n is calendar-bounded and stays long
     m = daily.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("ss"),
     )
+    sd = F.col("s").cast("decimal(38,0)")
     return m.filter(F.col("s") > 0).select(
         "event_type",
         F.col("n").cast("bigint").alias("n_days"),
         F.round(
-            (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast(
-                "double"
-            )
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("ss") - sd * sd
+            ).cast("double")
             / (F.col("n").cast("double") * F.col("s")),
             6,
         ).alias("burstiness"),

@@ -380,3 +380,22 @@ def test_q246_plane_sizing_submits_no_job(spark, sf_dir):
 
     assert n == load_table(spark, sf_dir, "embeddings").count()
     assert adaptive_planes(n) >= 4
+
+
+def test_integer_moment_queries_use_decimal38(spark, sf_dir):
+    """r9 overflow fix: q160/q161/q162 carry corpus-growing integer
+    moments (Σdeg², Σc², (Σc)²) that pass 2^63 under growth — the g=10
+    corpus aborted q160's int64 form with ARITHMETIC_OVERFLOW. Pin the
+    DECIMAL(38,0) moment types in the analyzed plan so a refactor can't
+    silently reintroduce the int64 math."""
+    from fluvii_spark.queries import registry
+
+    reg = registry()
+    for name in (
+        "q160_degree_assortativity",
+        "q161_char_gini_impurity",
+        "q162_burstiness",
+    ):
+        df = reg[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "decimal(38,0)" in plan, f"{name} lost its decimal moments"
