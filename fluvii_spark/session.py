@@ -56,6 +56,17 @@ PERF_CONFS: dict[str, tuple[str, frozenset[str]]] = {
         str(64 * 1024 * 1024),
         frozenset({"10485760", "10485760b", "10MB"}),
     ),
+    # Recursive-CTE row budget (stock 1M): the limit is a runaway-recursion
+    # safety valve, but it counts CUMULATIVE rows across iterations, so a
+    # legitimate bounded-depth walk blows it as soon as the DATA grows —
+    # q118's ancestor chain emits n·log2(max_id) rows (~1.7M at the g=20
+    # growth corpus, billions at 100 TB; caught by growth_smoke r9). 1e9
+    # keeps the valve (a true runaway still trips) while scaling with real
+    # corpora; the LEVEL limit (100, untouched) remains the depth guard.
+    "spark.sql.cteRecursionRowLimit": (
+        str(1_000_000_000),
+        frozenset({"1000000"}),
+    ),
     # AQE knobs are engine PREFERENCES: re-assert the stock default, but an
     # external driver that deliberately flipped one (plan-stability tests
     # pinning adaptive off, say) keeps its setting — same respect-existing

@@ -38,6 +38,13 @@ def main() -> None:
     if not os.path.exists(os.path.join(grown, "_FLUVII_GROWTH_OK")):
         raise SystemExit(f"{grown}: no verified grown corpus")
 
+    # a g=20 corpus in ONE local JVM needs more heap than the 8g default:
+    # 32 concurrent tasks × the hot-partition state of the duplication-
+    # saturated candidate joins OOMed q239 at 8g (and took the JVM with
+    # it, cascading 79 spurious failures). A real cluster gives each
+    # executor its own multi-GB heap; locally we emulate that by sizing
+    # the single JVM to the box. Respect an explicit override.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_session(
         "growth-smoke", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
