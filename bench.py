@@ -122,11 +122,25 @@ def main() -> None:
     # the JVM and warm-up were already paid for
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     walls = []
+    # host loadavg around each pass (VERDICT r9 ask #4): two consecutive
+    # rounds adjudicated window noise by hand; recording the load that
+    # drove the call makes the trend adjudication mechanical. On this
+    # 32-cpu box a 1m load ≳ 4 during a pass means the wall is shared-host
+    # inflated and the median-ratio discipline (bench_trend.py) applies.
+    loads = []
     for _ in range(passes):
+        l0 = os.getloadavg()
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=CONCURRENCY) as pool:
             list(pool.map(run_one, order))
         walls.append(round(time.perf_counter() - t0, 3))
+        loads.append(
+            {
+                "before_1m": round(l0[0], 2),
+                "after_1m": round(os.getloadavg()[0], 2),
+                "after_5m": round(os.getloadavg()[1], 2),
+            }
+        )
         if walls[-1] > 300:  # noise-window pass: don't risk a harness timeout
             break
     print(
@@ -140,6 +154,7 @@ def main() -> None:
                 "concurrency": CONCURRENCY,
                 "n_queries": len(qs),
                 "passes": walls,
+                "loadavg": loads,
                 # inventory size grows round over round — normalize so the
                 # wall is comparable across rounds (r1: 95 queries)
                 "wall_per_query": round(min(walls) / max(len(qs), 1), 4),

@@ -359,6 +359,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     root = tempfile.mkdtemp(prefix="fluvii_stream_bench_")
+    load_before = os.getloadavg()  # VERDICT r9 ask #4: mechanical noise calls
     try:
         src_path, n_rows = stage_events(spark, sf_dir, root)
         results = {}
@@ -409,6 +410,15 @@ def main() -> None:
                     "sf": sf,
                     "n_files": N_FILES,
                     "files_per_trigger": FILES_PER_TRIGGER,
+                    # host load around the whole run (r9 ask #4): a 1m
+                    # load ≳ 4 on this 32-cpu box marks a noisy window —
+                    # adjudicate movers via bench_stream_trend.py's
+                    # median-ratio discipline, not raw walls
+                    "loadavg": {
+                        "before_1m": round(load_before[0], 2),
+                        "after_1m": round(os.getloadavg()[0], 2),
+                        "after_5m": round(os.getloadavg()[1], 2),
+                    },
                     "pipelines": results,
                 }
             )

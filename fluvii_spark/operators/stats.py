@@ -75,10 +75,38 @@ def partitions_for_rows(
     return max(1, min((rows + rows_per_partition - 1) // rows_per_partition, max_partitions))
 
 
-# path -> exact row count: footer reads are idempotent per immutable
-# snapshot dir, so repeated plan builds (bench loops, multi-query sessions)
-# pay the O(files) metadata walk once.
-_PARQUET_ROWS_MEMO: dict[str, int] = {}
+# (path, stat-fingerprint) -> exact row count: footer reads are idempotent
+# per snapshot, so repeated plan builds (bench loops, multi-query sessions)
+# pay the O(files) metadata walk once. The fingerprint (mtime_ns, size of
+# the file — or of the directory, whose mtime bumps on any file
+# add/remove/rename inside it) invalidates the entry when a corpus is
+# REBUILT at the same path within one driver process (ADVICE r9 #2: a
+# stale count would silently shift q246's adaptive plane count away from
+# the oracle's fresh COUNT(*)). Non-stat-able paths (object stores,
+# vanished dirs) and fallback count() results are NOT memoized — the
+# fallback count is a property of whatever frame the caller passed, not
+# of the path.
+_PARQUET_ROWS_MEMO: dict[tuple[str, tuple[int, int]], int] = {}
+
+
+def clear_parquet_rows_memo() -> None:
+    """Drop every memoized footer count — for tools that rebuild corpora
+    in ways a same-path stat fingerprint can't see (in-place file
+    rewrites preserving size and mtime granularity)."""
+    _PARQUET_ROWS_MEMO.clear()
+
+
+def _stat_fingerprint(path: str) -> tuple[int, int] | None:
+    """(mtime_ns, size) of a LOCAL file/dir, or None when the path can't
+    be stat'ed (object-store URI, missing) — None disables memoization
+    rather than risking staleness."""
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (st.st_mtime_ns, st.st_size)
 
 
 def parquet_row_count(path: str, fallback_df: DataFrame | None = None) -> int:
@@ -101,9 +129,11 @@ def parquet_row_count(path: str, fallback_df: DataFrame | None = None) -> int:
     ``fallback_df.count()`` — one exact-count job, correctness preserved —
     or raises when no fallback frame was given.
     """
-    cached = _PARQUET_ROWS_MEMO.get(path)
-    if cached is not None:
-        return cached
+    fp = _stat_fingerprint(path)
+    if fp is not None:
+        cached = _PARQUET_ROWS_MEMO.get((path, fp))
+        if cached is not None:
+            return cached
     try:
         import pyarrow.dataset as pads
 
@@ -115,8 +145,9 @@ def parquet_row_count(path: str, fallback_df: DataFrame | None = None) -> int:
     except Exception:  # noqa: BLE001 — unreadable path/filesystem
         if fallback_df is None:
             raise
-        n = fallback_df.count()
-    _PARQUET_ROWS_MEMO[path] = n
+        return fallback_df.count()  # never memoized: not a path property
+    if fp is not None:
+        _PARQUET_ROWS_MEMO[(path, fp)] = n
     return n
 
 

@@ -74,45 +74,43 @@ _UNPROVEN_ORDER: list[str] = []
 # Deferred-tier re-proofs: queries whose expression or oracle changed
 # AFTER their last green row. All re-verified green under both
 # canonicalizers at sf0.001+sf0.01 before this queue landed; queued behind
-# any first-proof tier. r9: the LSH index now EXCLUDES malformed vectors
-# (similarity.well_formed_vec — the ADVICE r8 degenerate-input close;
-# output bit-identical on the dense testdata, plans gained the guard
-# filter) touching q39/q107/q116/q189/q38, q246 additionally sizes its
-# adaptive planes from parquet-footer metadata instead of an eager
-# count() (same plane count, no plan-build scan job), q249 gained
-# NULLIF degenerate-divide guards on both the Spark and oracle sides,
-# and q160/q161/q162 moved their integer Pearson/variance moments to
-# DECIMAL(38,0)/HUGEINT after the g=10 growth corpus ABORTED q160's
-# int64 form with ARITHMETIC_OVERFLOW (Σdeg² > 2^63) — a real
-# 100 TB-correctness fix worth the three rotation rows it displaces.
+# any first-proof tier. r10: the ADVICE r9 #1 close — the DuckDB oracle
+# LSH bucket CTEs now carry the SAME well_formed_vec guard the Spark
+# index gained in r9 (queries/llm.py _WELL_FORMED_64: NULL/ragged/
+# NULL-component embeddings are excluded before the unnest instead of
+# partial-summing into phantom buckets). Output is bit-identical on the
+# dense testdata (verified at sf0.001+sf0.01 before this queue landed;
+# degenerate-corpus agreement pinned by
+# test_lsh_degenerate_corpus_oracle_parity), but the oracle TEXT changed
+# for the five bucket-CTE consumers, so their r9 rows predate the
+# current oracle and each needs a fresh row.
 _REPROOF_LAST: list[str] = [
-    "q246", "q249", "q160", "q161", "q162",
-    "q39", "q107", "q116", "q189", "q38",
+    "q39", "q107", "q116", "q189", "q246",
 ]
 
-# Proof-trail rotation (VERDICT r6 ask #3, continued per r7 #2 / r8 #1):
-# queries whose NEWEST driver row is r3/r4 — their code is unchanged and
-# full sweeps re-prove them every round, so this is row staleness, not a
-# correctness gap. They sort in a third tier, AFTER every needs-a-row
-# query but BEFORE fresh-proven ones, oldest round first, so the driver's
-# spare row budget (~cap minus first-proofs/re-proofs) refreshes the
-# oldest artifacts each round. The list may exceed the per-round cap —
-# the driver simply refreshes the prefix that fits and the rest roll to
-# the next round. (r1 tier drained in r7; r2 drained in r8. Recomputed
-# mechanically from CORRECTNESS_r01..r08 at the start of r9.)
+# Proof-trail rotation (VERDICT r6 ask #3, continued per r7 #2 / r8 #1 /
+# r9 #1): queries whose NEWEST driver row is r4/r5 — their code is
+# unchanged and full sweeps re-prove them every round, so this is row
+# staleness, not a correctness gap. They sort in a third tier, AFTER
+# every needs-a-row query but BEFORE fresh-proven ones, oldest round
+# first, so the driver's spare row budget (~cap minus
+# first-proofs/re-proofs) refreshes the oldest artifacts each round. The
+# list may exceed the per-round cap — the driver simply refreshes the
+# prefix that fits and the rest roll to the next round. (r1 tier drained
+# in r7; r2 in r8; r3 in r9. Recomputed mechanically from
+# CORRECTNESS_r01..r09 at the start of r10.)
 _AGE_ROTATION: list[str] = [
-    # newest row r3 (26 queries)
-    "q94", "q95", "q96", "q97", "q98", "q99", "q121", "q122", "q123",
-    "q126", "q127", "q128", "q129", "q130", "q131", "q132", "q133",
-    "q134", "q136", "q137", "q138", "q139", "q141", "q142", "q144",
-    "q145",
-    # newest row r4 (39 queries; q160/q161/q162 moved to _REPROOF_LAST r9)
-    "q34", "q58", "q80", "q106", "q118", "q120", "q125", "q135", "q148",
-    "q149", "q150", "q151", "q152", "q154", "q155", "q156", "q157",
-    "q158", "q159", "q163", "q165", "q166",
+    # newest row r4 (25 queries)
+    "q155", "q156", "q157", "q158", "q159", "q163", "q165", "q166",
     "q167", "q168", "q169", "q170", "q171", "q172", "q173", "q174",
     "q175", "q176", "q177", "q179", "q180", "q182", "q183", "q184",
     "q185",
+    # newest row r5 (37 queries)
+    "q30", "q42", "q57", "q69", "q72", "q124", "q140", "q143", "q147",
+    "q153", "q178", "q181", "q186", "q187", "q188", "q190", "q191",
+    "q192", "q193", "q194", "q195", "q196", "q197", "q198", "q199",
+    "q200", "q202", "q203", "q204", "q205", "q206", "q207", "q208",
+    "q209", "q210", "q213", "q214",
 ]
 
 

@@ -137,6 +137,7 @@ def lsh_buckets_cte_adaptive(
     SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
            CAST(unnest(embedding) AS DOUBLE) AS x
     FROM embeddings
+    WHERE {_WELL_FORMED_64}
   ),
   dots AS (
     SELECT vec_id, plane, SUM(x * w) AS dot
@@ -151,7 +152,24 @@ def lsh_buckets_cte_adaptive(
 """
 
 
-_LSH_BUCKETS_TPL = """
+# DuckDB mirror of operators.similarity.well_formed_vec(vec, 64) (ADVICE r9
+# #1): the Spark LSH index EXCLUDES NULL/ragged/NULL-component vectors
+# before bucketing, so the oracle bucket CTEs must exclude them before the
+# unnest too — an unguarded unnest PARTIAL-SUMS a short vector's components
+# into a bucket the Spark side never builds. len(NULL array) is NULL in
+# DuckDB, so a NULL embedding fails the width test exactly like Spark's
+# size(NULL)=NULL under non-legacy sizeOfNull. Applied inside `comp`
+# (the per-component explode) and NOT to the adaptive `lsh_params`
+# COUNT(*) — Spark sizes planes from parquet-footer TOTAL row counts
+# (operators/stats.py:parquet_row_count), so both engines size the grid
+# from the unfiltered count while indexing only well-formed vectors.
+_WELL_FORMED_64 = (
+    "len(embedding) = 64"
+    " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+)
+
+
+_LSH_BUCKETS_TPL = f"""
   hp AS (
     SELECT p.plane, d.dim,
            ((('0x' || substr(md5('plane_' || p.plane || '_' || d.dim), 1, 8))::BIGINT
@@ -162,6 +180,7 @@ _LSH_BUCKETS_TPL = """
     SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
            CAST(unnest(embedding) AS DOUBLE) AS x
     FROM embeddings
+    WHERE {_WELL_FORMED_64}
   ),
   dots AS (
     SELECT vec_id, plane, SUM(x * w) AS dot

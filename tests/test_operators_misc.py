@@ -1495,10 +1495,79 @@ def test_q249_degenerate_corpus_parity(spark, tmp_path):
         assert srow["msb_msw_ratio"] is None, (name, srow)
 
 
+def test_lsh_degenerate_corpus_oracle_parity(spark, tmp_path):
+    """ADVICE r9 #1: the well_formed_vec guard must hold on BOTH engines.
+    r9 taught the Spark LSH index to EXCLUDE NULL/ragged/NULL-component
+    vectors, but the DuckDB oracle bucket CTEs still unnested embeddings
+    unfiltered — a ragged vector partial-summed into an oracle bucket the
+    Spark side never builds, so the claimed degenerate-input close only
+    held on dense corpora. The CTEs now carry the mirrored filter
+    (queries/llm.py _WELL_FORMED_64); this pins Spark/oracle agreement on
+    a corpus that exercises every malformed class."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluvii_spark.queries import registry
+
+    def vec(i):
+        return [
+            (((i * 64 + d) * 2654435761) % 1000) / 1000.0 - 0.5
+            for d in range(64)
+        ]
+
+    ids = list(range(40))
+    embs: list[list[float] | None] = [vec(i) for i in ids]
+    # malformed classes the guard must exclude identically on both sides
+    ids += [100, 101, 102, 103]
+    embs += [
+        None,                         # NULL array
+        vec(101)[:10],                # ragged (short)
+        vec(102) + [0.0] * 4,         # ragged (long)
+        [None] + vec(103)[1:],        # NULL component, correct width
+    ]
+    d = tmp_path / "degenerate_lsh"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(embs, pa.list_(pa.float32())),
+                "label": pa.array([i % 3 for i in ids], pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+    )
+    reg = registry()
+    for name in ("q39_ann_lsh_topk", "q246_mutual_nn_pairs"):
+        q = reg[name]
+        srows = sorted(tuple(r) for r in q.fn(spark, str(d)).collect())
+        orows = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+        assert len(srows) == len(orows), (name, len(srows), len(orows))
+        for s, o in zip(srows, orows):
+            for x, y in zip(s, o):
+                if isinstance(x, float) or isinstance(y, float):
+                    assert x == pytest.approx(y, abs=1e-9), (name, s, o)
+                else:
+                    assert x == y, (name, s, o)
+        # the guard must actually fire: no malformed id in either output
+        bad = {100, 101, 102, 103}
+        flat = {v for row in srows for v in row if isinstance(v, int)}
+        assert not (flat & bad), (name, flat & bad)
+        assert srows, name  # non-vacuous: well-formed rows still produce output
+    con.close()
+
+
 def test_parquet_row_count_exact_and_memoized(spark, sf_dir, tmp_path):
     """parquet_row_count (q246's plane sizing): exact on single-file AND
-    multi-file directory layouts, memoized per path, and falling back to
-    an exact count() job only when the footer walk fails."""
+    multi-file directory layouts, memoized per (path, stat fingerprint) so
+    a REBUILT corpus at the same path is re-counted (ADVICE r9 #2), and
+    falling back to an un-memoized exact count() job only when the footer
+    walk fails."""
     import os
 
     from fluvii_spark.operators import stats as S
@@ -1508,16 +1577,32 @@ def test_parquet_row_count_exact_and_memoized(spark, sf_dir, tmp_path):
     p = os.path.join(sf_dir, "embeddings.parquet")
     n = S.parquet_row_count(p)
     assert n == load_table(spark, sf_dir, "embeddings").count()
-    assert S._PARQUET_ROWS_MEMO[p] == n  # memo populated
+    fp = S._stat_fingerprint(p)
+    assert S._PARQUET_ROWS_MEMO[(p, fp)] == n  # memo populated
 
     # multi-file directory layout (what a cluster writes)
     d = str(tmp_path / "multi.parquet")
     spark.range(1000).repartition(4).write.parquet(d)
     assert S.parquet_row_count(d) == 1000
 
-    # unreadable path: fallback_df.count() keeps it exact
+    # rebuild at the SAME path: the dir mtime bump invalidates the entry —
+    # the fresh count must win over the memo (regenerated grown corpora,
+    # bench loops rebuilding /tmp dirs)
+    import shutil
+    import time
+
+    shutil.rmtree(d)
+    time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse clocks
+    spark.range(2500).repartition(3).write.parquet(d)
+    assert S.parquet_row_count(d) == 2500
+
+    # unreadable path: fallback_df.count() keeps it exact and is NOT
+    # memoized (a later-appearing file at that path must be re-walked)
     emb = load_table(spark, sf_dir, "embeddings")
-    assert S.parquet_row_count(str(tmp_path / "missing"), fallback_df=emb) == n
+    missing = str(tmp_path / "missing")
+    assert S.parquet_row_count(missing, fallback_df=emb) == n
+    assert not any(k[0] == missing for k in S._PARQUET_ROWS_MEMO)
+
     # and with no fallback it raises instead of guessing
     try:
         S.parquet_row_count(str(tmp_path / "missing2"))
@@ -1526,3 +1611,8 @@ def test_parquet_row_count_exact_and_memoized(spark, sf_dir, tmp_path):
         raise
     except Exception:
         pass
+
+    # explicit invalidation hook for in-place rewrites a fingerprint
+    # can't see
+    S.clear_parquet_rows_memo()
+    assert not S._PARQUET_ROWS_MEMO

@@ -40,14 +40,21 @@ def load(path: str) -> dict:
 def trend(prev: dict, cur: dict, threshold: float) -> dict:
     pp, cp = prev["pipelines"], cur["pipelines"]
     shared = sorted(set(pp) & set(cp))
-    rows, state_drift = [], []
+    rows, state_drift, skipped = [], [], []
     for name in shared:
         a, b = pp[name], cp[name]
-        ra = float(a.get("processed_rows_per_sec") or a.get("rows_per_sec"))
-        rb = float(b.get("processed_rows_per_sec") or b.get("rows_per_sec"))
-        # rate ratio < 1 means SLOWER now (mirror wall semantics: >1 = worse)
-        ratio = (ra / rb) if rb > 0 else float("inf")
-        rows.append((name, ra, rb, ratio, a["wall_sec"], b["wall_sec"]))
+        va = a.get("processed_rows_per_sec") or a.get("rows_per_sec")
+        vb = b.get("processed_rows_per_sec") or b.get("rows_per_sec")
+        if va is None or vb is None:
+            # a pipeline record without a rate key (ADVICE r9 #3) is
+            # flagged, not a crash — its state checks still run below
+            skipped.append(name)
+        ra = float(va) if va is not None else None
+        rb = float(vb) if vb is not None else None
+        if ra is not None and rb is not None:
+            # rate ratio < 1 means SLOWER now (mirror wall: >1 = worse)
+            ratio = (ra / rb) if rb > 0 else float("inf")
+            rows.append((name, ra, rb, ratio, a["wall_sec"], b["wall_sec"]))
         if a.get("state_rows") != b.get("state_rows"):
             state_drift.append(
                 (name, "state_rows", a.get("state_rows"), b.get("state_rows"))
@@ -72,7 +79,16 @@ def trend(prev: dict, cur: dict, threshold: float) -> dict:
         "improved": sorted(improved, key=lambda r: r[3]),
         "median_ratio": median_ratio,
         "state_drift": state_drift,
+        "skipped_no_rate": skipped,
     }
+
+
+def _load(artifact: dict) -> str:
+    """Loadavg context (r9 ask #4) when the artifact carries it."""
+    d = artifact.get("loadavg")
+    if not d:
+        return "not recorded"
+    return f"{d.get('before_1m')}→{d.get('after_1m')} (1m)"
 
 
 def render(prev_path, cur_path, prev, cur, t, threshold) -> str:
@@ -85,8 +101,13 @@ def render(prev_path, cur_path, prev, cur, t, threshold) -> str:
         f"(rows={cur.get('rows')}, files_per_trigger="
         f"{cur.get('files_per_trigger')}).",
         (
+            f"Host loadavg — prev: {_load(prev)}; now: {_load(cur)}. "
+            f"1m load ≳ 4 on this 32-cpu box marks a noisy window: the "
+            f"median moves, and only beyond-median movers are real."
+        ),
+        (
             f"Median per-pipeline rate ratio (prev/cur, >1 = slower now): "
-            f"{t['median_ratio']:.3f} over {len(t['shared'])} shared "
+            f"{t['median_ratio']:.3f} over {len(t['rows'])} shared rated "
             f"pipelines. A median far from 1.0 is HOST noise moving "
             f"everything; a single pipeline far from the median is a real "
             f"mover — adjudicate those against a quiet-window re-run."
@@ -125,6 +146,12 @@ def render(prev_path, cur_path, prev, cur, t, threshold) -> str:
             "None — state_rows identical per pipeline, state_bytes within "
             "storage-layout tolerance."
         )
+    if t["skipped_no_rate"]:
+        lines += [
+            "",
+            "Skipped (no rate key in one artifact): "
+            + ", ".join(t["skipped_no_rate"]),
+        ]
     if t["added"]:
         lines += ["", f"Added: {', '.join(t['added'])}"]
     if t["removed"]:
@@ -145,9 +172,14 @@ def main() -> None:
     if args.out:
         with open(args.out, "w") as f:
             f.write(md)
+        med = (
+            f"{t['median_ratio']:.3f}"
+            if t["median_ratio"] is not None
+            else "n/a (no shared rated pipelines)"
+        )
         print(
             f"wrote {args.out}: median ratio "
-            f"{t['median_ratio']:.3f}, {len(t['movers'])} raw movers, "
+            f"{med}, {len(t['movers'])} raw movers, "
             f"state drift {len(t['state_drift'])}"
         )
     else:

@@ -67,6 +67,20 @@ def trend(prev: dict, cur: dict, threshold: float, floor: float) -> dict:
     }
 
 
+def _load_str(artifact: dict) -> str:
+    """Render the per-pass loadavg field (r9 ask #4) when the artifact
+    carries it — the context that makes the host-noise call mechanical."""
+    loads = artifact.get("loadavg")
+    if not loads:
+        return "not recorded"
+    if isinstance(loads, dict):  # streaming artifacts: one dict per run
+        loads = [loads]
+    return "; ".join(
+        f"pass{i}: {d.get('before_1m')}→{d.get('after_1m')} (1m)"
+        for i, d in enumerate(loads, 1)
+    )
+
+
 def render(prev_path, cur_path, prev, cur, t, threshold, floor) -> str:
     lines = [
         f"# Bench trend: {os.path.basename(prev_path)} → "
@@ -76,6 +90,10 @@ def render(prev_path, cur_path, prev, cur, t, threshold, floor) -> str:
         f"({prev.get('n_queries')} → {cur.get('n_queries')} queries; "
         f"per-query {prev.get('wall_per_query')} → "
         f"{cur.get('wall_per_query')}).",
+        f"Host loadavg — prev: {_load_str(prev)}; now: {_load_str(cur)}. "
+        f"On this 32-cpu box a 1m load ≳ 4 during a pass marks a noisy "
+        f"window: expect the MEDIAN to move, and adjudicate only "
+        f"beyond-median movers.",
         f"Shared queries compared: {len(t['shared'])}; "
         f"added {len(t['added'])}, removed {len(t['removed'])}.",
         (
