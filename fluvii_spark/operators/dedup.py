@@ -474,6 +474,7 @@ def cap_pairs_per_doc(
     ascending: bool = False,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Emission cap for near-dup pair auditors (VERDICT r7 ask #5): on a
     duplicate-heavy corpus the TRUE near-dup pair count grows quadratically
@@ -498,13 +499,18 @@ def cap_pairs_per_doc(
     partners, because partitioning by one endpoint spreads a K-clique's
     K²/2 pairs across K partitions of ~K rows each. A task sorts tens of
     millions of rows routinely, so this holds through K ≈ 10⁷; a corpus
-    whose single hottest document exceeds that needs a salted two-stage
-    top-N (per-(endpoint, salt) cap, then exact cap over the ≤ cap·S
-    survivors — rank ≤ cap globally implies rank ≤ cap within the salt
-    subgroup, so the pre-cut is lossless) — not deployed here because the
-    upstream candidate join has hit its own skew guards (df-cut,
-    band-bucket caps) long before any K that large survives to the pair
-    output.
+    whose single hottest document exceeds that sets ``salt_buckets``
+    (VERDICT r9 ask #5): a LOSSLESS salted pre-cut first ranks within
+    (endpoint, partner-hash % salt_buckets) subgroups and keeps rank ≤
+    cap there, shrinking the hottest endpoint's list to ≤ cap·S rows
+    before the exact two-window cap runs. Lossless because each
+    endpoint's ordering key (strength, partner id) is a total order, so
+    a pair ranked ≤ cap in the endpoint's FULL list is ranked ≤ cap
+    within whichever salt subgroup it lands in — the pre-cut can only
+    drop pairs the exact cap would drop anyway (pinned by
+    test_cap_pairs_salted_pre_cut_lossless). Default OFF: the upstream
+    candidate joins' skew guards (df-cut, band-bucket caps) bound K long
+    before 10⁷ in every inventory query.
     """
     strength = F.col(strength_col)
     order_a = [
@@ -513,6 +519,22 @@ def cap_pairs_per_doc(
     order_b = [
         strength.asc() if ascending else strength.desc(), F.col(id_a)
     ]
+    if salt_buckets is not None and salt_buckets > 1:
+        # partner-id hash salt: a hot endpoint's K pairs spread over
+        # salt_buckets tasks of ~K/S rows; survivors ≤ cap·S per endpoint
+        salt_a = F.pmod(F.xxhash64(F.col(id_b)), F.lit(salt_buckets))
+        salt_b = F.pmod(F.xxhash64(F.col(id_a)), F.lit(salt_buckets))
+        wsa = Window.partitionBy(F.col(id_a), salt_a).orderBy(*order_a)
+        wsb = Window.partitionBy(F.col(id_b), salt_b).orderBy(*order_b)
+        pairs = (
+            pairs.withColumn("_psa", F.row_number().over(wsa))
+            .withColumn("_psb", F.row_number().over(wsb))
+            .filter(
+                (F.col("_psa") <= max_pairs_per_doc)
+                | (F.col("_psb") <= max_pairs_per_doc)
+            )
+            .drop("_psa", "_psb")
+        )
     w_a = Window.partitionBy(id_a).orderBy(*order_a)
     w_b = Window.partitionBy(id_b).orderBy(*order_b)
     return (

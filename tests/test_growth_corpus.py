@@ -173,6 +173,120 @@ def test_marker_validates_g_and_base(spark, sf_dir, grown_dir):
         build_grown(spark, sf_dir, grown_dir, G + 1)
 
 
+@pytest.fixture(scope="module")
+def planted_dir(spark, sf_dir, tmp_path_factory) -> str:
+    out = str(tmp_path_factory.mktemp("growth_planted"))
+    build_grown(spark, sf_dir, out, G, plant=True)
+    return out
+
+
+def test_plant_boilerplate_share_is_g_invariant(spark, sf_dir, planted_dir):
+    """VERDICT r9 ask #3(a): the planted template hits every 13th BASE
+    document, so its per-source df share is exactly the base share in
+    EVERY replica — the property that keeps q251's ≥5% threshold
+    reachable at any g."""
+    from tools.growth_bench import PLANT_BP, PLANT_BP_EVERY
+
+    docs = _t(spark, planted_dir, "documents")
+    base_docs = _t(spark, sf_dir, "documents").count()
+    planted = docs.filter(F.col("text").contains(PLANT_BP.strip()))
+    # exact count: G x Σ_sources ⌈n_source / 13⌉ (every-13th WITHIN each
+    # source stripe)
+    import math
+
+    base_per_source = [
+        r["n"]
+        for r in _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    expected = G * sum(
+        math.ceil(n / PLANT_BP_EVERY) for n in base_per_source
+    )
+    assert planted.count() == expected
+    # per (source, replica) share identical across replicas
+    off = base_docs
+    per = {
+        (r["source"], r["rep"]): r["n"]
+        for r in planted.groupBy(
+            "source", (F.col("doc_id") / off).cast("int").alias("rep")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    by_source: dict[str, set[int]] = {}
+    for (src, _rep), n in per.items():
+        by_source.setdefault(src, set()).add(n)
+    assert all(len(v) == 1 for v in by_source.values()), by_source
+    # n_chars stays consistent with the appended text
+    bad = docs.filter(F.length("text") != F.col("n_chars")).count()
+    assert bad == 0
+
+
+def test_plant_rare_tail_df_is_two_per_replica(spark, planted_dir):
+    """VERDICT r9 ask #3(b): each replica-specific rare token appears in
+    EXACTLY 2 documents (the {500k, 500k+1} base pair), so its char-4-grams
+    sit under q218's df-cut at any g — a replica-invariant token would
+    cross the cut at g ≥ 10 and re-vacuate the smoke row."""
+    docs = _t(spark, planted_dir, "documents")
+    toks = (
+        docs.select(
+            F.explode(F.split("text", " ")).alias("tok"), "doc_id"
+        )
+        .filter(F.col("tok").rlike(r"^q\d+g\d+v$"))
+        .groupBy("tok")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .collect()
+    )
+    assert toks, "rare tokens must be planted"
+    assert all(r["df"] == 2 for r in toks), toks
+    # one token family per replica
+    reps = {r["tok"].split("g")[0] for r in toks}
+    assert reps == {f"q{i}" for i in range(G)}
+
+
+def test_planted_queries_non_vacuous(spark, planted_dir):
+    """The point of the plant: q251's threshold stage must see the planted
+    shingles at ≥5% per-source share, and q218 must return rows with the
+    planted rare-gram pairs among its candidates.
+
+    At this tiny test scale (25 base docs/source) NATURAL shingles still
+    carry 8-12% shares and alphabetically outrank the planted ones in
+    q251's top-10 — exactly the small-corpus degeneracy that inverts at
+    g=10 where natural shares dilute below 5% and only the plant remains
+    (proven by the per-round g=10 smoke artifact). So this test pins the
+    MECHANISM: every (source, replica) planted share clears the 5% bar."""
+    from fluvii_spark.operators.dedup import word_shingles
+    from fluvii_spark.queries import registry
+
+    docs = _t(spark, planted_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3, distinct=True)
+    src = docs.select("doc_id", "source")
+    nd = src.groupBy("source").agg(F.count_distinct("doc_id").alias("n_docs"))
+    planted_share = (
+        sh.filter(F.col("shingle") == "pbw0 pbw1 pbw2")
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("df"))
+        .join(nd, "source")
+        .select("source", (F.col("df") / F.col("n_docs")).alias("share"))
+        .collect()
+    )
+    assert len(planted_share) == 20  # every source sees the template
+    assert all(r["share"] >= 0.05 for r in planted_share), planted_share
+    # q251 itself runs green on the planted corpus (top-10 membership is
+    # the g=10 artifact's claim, not this scale's)
+    assert reg_rows(registry(), "q251_boilerplate_shingles", spark, planted_dir) > 0
+    # q218: the planted pair (base docs 0,1 per replica) shares rare grams
+    q218 = registry()["q218_char_ngram_jaccard"].fn(spark, planted_dir)
+    assert q218.count() > 0
+
+
+def reg_rows(reg, name, spark, d) -> int:
+    return len(reg[name].fn(spark, d).collect())
+
+
 def test_emission_cap_bounds_near_dup_output(spark, sf_dir, grown_dir):
     """The max_pairs_per_doc dial (VERDICT r7 ask #5 / r8 ask #4): on the
     grown corpus every base document gains G perturbed near-dup replicas,

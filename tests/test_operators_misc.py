@@ -1359,6 +1359,66 @@ def test_cap_pairs_recall_at_cap(spark):
         assert len(capped) < len(full)
 
 
+def test_cap_pairs_salted_pre_cut_lossless(spark):
+    """VERDICT r9 ask #5: the salted two-stage emission cap
+    (salt_buckets=S) must return EXACTLY the unsalted cap's output —
+    the per-(endpoint, partner-hash%S) pre-cut keeps every pair with
+    true endpoint rank ≤ cap (subgroup rank ≤ full-list rank), and
+    since all true top-cap pairs survive and still order first, the
+    exact final windows select the identical set."""
+    import random
+
+    from fluvii_spark.operators.dedup import cap_pairs_per_doc
+
+    rng = random.Random(42)
+    # duplication-heavy pair graph: a 30-clique (hot endpoints), a
+    # 10-clique, and random background pairs — distinct strengths so the
+    # expected output is unambiguous
+    pairs, seen = [], set()
+    for clique in (range(0, 30), range(40, 50)):
+        ids = list(clique)
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    seen.add((i, j))
+    for _ in range(200):
+        a, b = rng.randrange(0, 80), rng.randrange(0, 80)
+        if a != b:
+            seen.add((min(a, b), max(a, b)))
+    strengths = rng.sample(range(1, 10 * len(seen)), len(seen))
+    pairs = [
+        (a, b, s / 10000.0) for (a, b), s in zip(sorted(seen), strengths)
+    ]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long, jaccard double")
+    for cap in (1, 3):
+        plain = {
+            (r["id_a"], r["id_b"])
+            for r in cap_pairs_per_doc(df, cap, "jaccard").collect()
+        }
+        for s in (2, 7, 64):
+            salted = {
+                (r["id_a"], r["id_b"])
+                for r in cap_pairs_per_doc(
+                    df, cap, "jaccard", salt_buckets=s
+                ).collect()
+            }
+            assert salted == plain, (cap, s, salted ^ plain)
+        # ascending (distance-like) path too
+        plain_asc = {
+            (r["id_a"], r["id_b"])
+            for r in cap_pairs_per_doc(
+                df, cap, "jaccard", ascending=True
+            ).collect()
+        }
+        salted_asc = {
+            (r["id_a"], r["id_b"])
+            for r in cap_pairs_per_doc(
+                df, cap, "jaccard", ascending=True, salt_buckets=5
+            ).collect()
+        }
+        assert salted_asc == plain_asc, cap
+
+
 def test_lsh_bucket_tables_paths_agree(spark, sf_dir):
     """The literal-fold and exploded-data-join bucket paths are
     bit-identical (same md5 weights, same dim-ascending sum order, same

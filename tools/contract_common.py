@@ -75,6 +75,49 @@ def duck_views(sf_dir: str):
     return con
 
 
+# --- the drive_contract tuple canonicalizer, shared with the growth
+# oracle (tools/growth_oracle.py) so at-scale hash comparison uses the
+# EXACT canonicalization the sf0.01 gate proves against ------------------
+
+
+def norm_value(v):
+    import datetime as dt
+    import math
+    from decimal import Decimal
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        v = round(v, 6)
+        return 0.0 if v == 0 else v
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_value(x) for x in v)
+    return v
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_value(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    return out
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    import hashlib
+    import json
+
+    c = canon_rows(cols, rows)
+    return hashlib.sha256(json.dumps(c, default=str).encode()).hexdigest()[:16]
+
+
 def degeneracy_check(cols: list[str], rows: list[tuple]) -> str | None:
     """Non-degeneracy assertion for a query's sf0.01 result (VERDICT r6
     ask #4): the r6 audit caught six queries whose first forms were

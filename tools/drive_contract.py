@@ -5,22 +5,19 @@ queries() key runs the Spark DataFrame at sf0.01 and the oracle_sql() in duckdb
 on the same parquet views, canonicalizes (columns sorted by name, floats rounded
 6dp, rows sorted) and compares value hashes.
 """
-import hashlib
-import json
-import math
 import os
 import sys
 import time
-import datetime as dt
-from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from contract_common import (
     build_spark,
+    canon_rows as canon,
     degeneracy_check,
     duck_views,
     load_entry_module,
     resolve_only,
+    value_hash as vhash,
 )
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -37,37 +34,6 @@ print(f"entry(): OK rows={len(rows)} schema={[f.name for f in df.schema.fields]}
 
 # 2) oracle compare
 con = duck_views(SF_DIR)
-
-
-def norm(v):
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return v
-    if isinstance(v, Decimal):
-        v = float(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        v = round(v, 6)
-        return 0.0 if v == 0 else v
-    if isinstance(v, (dt.datetime, dt.date)):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(norm(x) for x in v)
-    return v
-
-
-def canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
-    return out
-
-
-def vhash(cols, rows):
-    c = canon(cols, rows)
-    return hashlib.sha256(json.dumps(c, default=str).encode()).hexdigest()[:16]
 
 
 qs = mod.queries()

@@ -176,11 +176,60 @@ def _crc_mod(salt: str, cols: list[str], g: int):
     ) % g
 
 
+# --- planted signal (VERDICT r9 ask #3) -----------------------------------
+# The un-planted grown corpus is DEGENERATE for two inventory queries:
+# q251 finds no ≥5%-share boilerplate shingle (the synthetic texts have no
+# template), and q218's closed word vocabulary leaves no char-4-gram with
+# document frequency ≤ 20 once g ≥ 10 — both smoke rows were vacuous
+# (adjudicated PLANS.md r9). ``plant=True`` injects both signals with
+# g-INVARIANT strength so the rows stay meaningful at any growth factor:
+#
+# - boilerplate: every 13th document WITHIN each source stripe (the
+#   testdata assigns ``source = src{doc_id % 20}``, so ``doc_id div 20``
+#   is a document's index inside its source; selecting on that index
+#   gives every source the same ⌈n/13⌉-or-⌊n/13⌋ ≈ 7.7% share — a global
+#   every-13th or crc-random pick leaves small sources below the 5%
+#   threshold) gains a fixed 4-token template. Tokens are
+#   adjacency-stable under the other appends, so the two inner
+#   word-3-shingles keep that per-source df share at ANY g.
+# - rare char-4-gram tail: base documents {k·500, k·500+1} share a
+#   REPLICA-SPECIFIC token ``q{i}g{k}v`` — its group-digit 4-grams appear
+#   in exactly 2 documents per (replica, k) no matter how large g gets
+#   (a replica-invariant token would cross q218's df-cut at g ≥ 10).
+PLANT_BP = " pbw0 pbw1 pbw2 pbw3"
+PLANT_BP_EVERY = 13
+PLANT_SOURCE_STRIPE = 20  # testdata's source = src{doc_id % 20} layout
+PLANT_RARE_PERIOD = 500
+
+
+def _plant_text_cols(rep, i: int, domain_offset: int):
+    """Append the planted signals for replica ``i`` (documents table only);
+    keeps ``n_chars`` == len(text)."""
+    base_id = F.col("doc_id") % domain_offset
+    in_source_idx = (base_id / PLANT_SOURCE_STRIPE).cast("long")
+    bp = F.when(
+        in_source_idx % PLANT_BP_EVERY == 0, F.lit(PLANT_BP)
+    ).otherwise(F.lit(""))
+    rare = F.when(
+        base_id % PLANT_RARE_PERIOD < 2,
+        F.concat(
+            F.lit(f" q{i}g"),
+            (base_id / PLANT_RARE_PERIOD).cast("long").cast("string"),
+            F.lit("v"),
+        ),
+    ).otherwise(F.lit(""))
+    add = F.concat(bp, rare)
+    return rep.withColumn(
+        "n_chars", F.col("n_chars") + F.length(add)
+    ).withColumn("text", F.concat(F.col("text"), add))
+
+
 def build_grown(
-    spark, base: str, out: str, g: int, skew_frac: float = 0.0
+    spark, base: str, out: str, g: int, skew_frac: float = 0.0,
+    plant: bool = False,
 ) -> None:
     marker = os.path.join(out, "_FLUVII_GROWTH_OK")
-    want = {"g": g, "base": base, "skew": skew_frac}
+    want = {"g": g, "base": base, "skew": skew_frac, "plant": plant}
     if os.path.exists(marker):
         with open(marker) as fh:
             meta = json.load(fh)
@@ -230,6 +279,8 @@ def build_grown(
                 ).withColumn(
                     "n_chars", F.col("n_chars") + F.lit(len(f" zrep{i}"))
                 )
+            if t == "documents" and plant:
+                rep = _plant_text_cols(rep, i, offs["docs"])
             if t == "embeddings" and i > 0:
                 # bind the per-replica delta OUTSIDE the lambda: transform
                 # infers higher-order arity from the Python signature, so a
@@ -432,6 +483,13 @@ def main() -> None:
         help="also build a hot-supplier lineitem variant (fraction of "
         "rows redirected to one key) and record AQE skew evidence",
     )
+    ap.add_argument(
+        "--plant",
+        action="store_true",
+        help="plant g-invariant boilerplate + rare char-4-gram signals in "
+        "documents so q251/q218 stay non-vacuous at any growth factor "
+        "(VERDICT r9 ask #3)",
+    )
     args = ap.parse_args()
 
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -444,11 +502,14 @@ def main() -> None:
     apply_runtime_confs(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
-    build_grown(spark, base, grown, args.g)
+    build_grown(spark, base, grown, args.g, plant=args.plant)
     skew_dir = None
     if args.skew > 0:
         skew_dir = f"{grown}_skew{args.skew}"
-        build_grown(spark, base, skew_dir, args.g, skew_frac=args.skew)
+        build_grown(
+            spark, base, skew_dir, args.g, skew_frac=args.skew,
+            plant=args.plant,
+        )
     if args.build_only:
         return
 

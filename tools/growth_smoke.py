@@ -27,6 +27,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from fluvii_spark.queries import registry  # noqa: E402
 from fluvii_spark.session import apply_runtime_confs, get_session  # noqa: E402
 
+# Non-NULL pins (ADVICE r9 #4): the decimal-moment queries compute
+# decimal(38,0)×decimal(38,0) final products; under Spark's default
+# non-ANSI decimal handling an overflow beyond 1e38 yields silent NULL
+# (DuckDB's HUGEINT would raise instead) — an asymmetric failure the
+# completion smoke would otherwise wave through. The documented moment
+# bound is ≪1e38, so ANY NULL in these columns on a grown corpus is a
+# regression; the smoke fails the query rather than recording rows>0.
+NONNULL_PINS: dict[str, list[str]] = {
+    "q160_degree_assortativity": ["assortativity"],
+    "q161_char_gini_impurity": ["gini_impurity"],
+    "q162_burstiness": ["burstiness"],
+}
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -56,7 +69,15 @@ def main() -> None:
     for name, q in registry().items():
         t0 = time.time()
         try:
-            n = len(q.fn(spark, grown).collect())
+            rows = q.fn(spark, grown).collect()
+            n = len(rows)
+            for col in NONNULL_PINS.get(name, ()):
+                nulls = sum(1 for r in rows if r[col] is None)
+                if nulls:
+                    raise AssertionError(
+                        f"{col}: {nulls}/{n} NULL at growth scale — "
+                        "silent decimal overflow class (ADVICE r9 #4)"
+                    )
             results[name] = {"rows": n, "wall_sec": round(time.time() - t0, 2)}
         except Exception as e:  # noqa: BLE001 — the whole point is to record
             msg = str(e).split("\n")[0][:300]
