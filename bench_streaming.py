@@ -157,6 +157,12 @@ def run_pipeline(spark, name: str, make_out, src_path: str, n_rows: int,
     state_rows = state_bytes = 0
     rates = []
     add_ms = trigger_ms = 0
+    # state-store time split (r9 ask #6): for stateful pipelines the
+    # engine reports per-batch probe/update, eviction, and commit time —
+    # the breakdown that adjudicates whether a slow pipeline's cost is
+    # the state-store access pattern (expected for stream-stream joins)
+    # or something fixable
+    upd_ms = rm_ms = commit_ms = 0
     for p in progress:
         rates.append(p.get("processedRowsPerSecond") or 0.0)
         dur = p.get("durationMs") or {}
@@ -165,8 +171,14 @@ def run_pipeline(spark, name: str, make_out, src_path: str, n_rows: int,
         for op in p.get("stateOperators", []):
             state_rows = max(state_rows, op.get("numRowsTotal", 0))
             state_bytes = max(state_bytes, op.get("memoryUsedBytes", 0))
+            upd_ms += op.get("allUpdatesTimeMs", 0)
+            rm_ms += op.get("allRemovalsTimeMs", 0)
+            commit_ms += op.get("commitTimeMs", 0)
     rates = [r for r in rates if r > 0]
     return {
+        "state_update_ms": upd_ms,
+        "state_removal_ms": rm_ms,
+        "state_commit_ms": commit_ms,
         "wall_sec": round(wall, 3),
         "rows_per_sec": round(n_rows / wall, 1),
         "processed_rows_per_sec": round(

@@ -265,7 +265,7 @@ def test_planted_queries_non_vacuous(spark, planted_dir):
     src = docs.select("doc_id", "source")
     nd = src.groupBy("source").agg(F.count_distinct("doc_id").alias("n_docs"))
     planted_share = (
-        sh.filter(F.col("shingle") == "pbw0 pbw1 pbw2")
+        sh.filter(F.col("shingle") == "scan table join")
         .join(src, "doc_id")
         .groupBy("source")
         .agg(F.count("*").alias("df"))

@@ -191,12 +191,21 @@ def _crc_mod(salt: str, cols: list[str], g: int):
 #   every-13th or crc-random pick leaves small sources below the 5%
 #   threshold) gains a fixed 4-token template. Tokens are
 #   adjacency-stable under the other appends, so the two inner
-#   word-3-shingles keep that per-source df share at ANY g.
+#   word-3-shingles keep that per-source df share at ANY g. The template
+#   is built from EXISTING high-df corpus words ("scan table join row" —
+#   each ≈77% df, and the 4-word SEQUENCE never occurs naturally): novel
+#   tokens at a 7.7% df would become the corpus's RAREST tokens and land
+#   in every planted document's ppjoin prefix (q120), inflating its
+#   candidate join ~14× — measured before this design was chosen. Common
+#   words never enter a rarest-first prefix, so only the shingle-share
+#   queries (q251 — the target) see the plant.
 # - rare char-4-gram tail: base documents {k·500, k·500+1} share a
 #   REPLICA-SPECIFIC token ``q{i}g{k}v`` — its group-digit 4-grams appear
 #   in exactly 2 documents per (replica, k) no matter how large g gets
-#   (a replica-invariant token would cross q218's df-cut at g ≥ 10).
-PLANT_BP = " pbw0 pbw1 pbw2 pbw3"
+#   (a replica-invariant token would cross q218's df-cut at g ≥ 10); at
+#   df=2 a prefix join emits exactly ONE candidate pair per token, so the
+#   ppjoin path is unaffected.
+PLANT_BP = " scan table join row"
 PLANT_BP_EVERY = 13
 PLANT_SOURCE_STRIPE = 20  # testdata's source = src{doc_id % 20} layout
 PLANT_RARE_PERIOD = 500

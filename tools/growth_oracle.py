@@ -154,6 +154,23 @@ def main() -> None:
             failures.append(name)
             print(f"FAIL {name}: {row['error']}", file=sys.stderr)
             continue
+        finally:
+            # Session hygiene: broadcast/checkpoint blocks are freed by
+            # the ContextCleaner only when the DRIVER GCs, and a 48g heap
+            # rarely does — without this, blocks from one query's joins
+            # squeeze the next query's execution memory (measured: q120
+            # 29s solo → 180-330s later in the session; back to ~30s
+            # with the ref-drop + GC kick). The DataFrame reference must
+            # be dropped BEFORE the GC or its JVM plan (and broadcast
+            # results) survive the collection. A real cluster doesn't
+            # need this — executor pools there reach steady state — it's
+            # single-JVM audit-session plumbing, not engine code.
+            sdf = None  # noqa: F841 — drop the py4j ref so the JVM plan dies
+            try:
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001 — Connect sessions: no _jvm
+                pass
         t1 = time.time()
         try:
             cur = con.execute(q.oracle)
