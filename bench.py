@@ -134,11 +134,12 @@ def main() -> None:
         with ThreadPoolExecutor(max_workers=CONCURRENCY) as pool:
             list(pool.map(run_one, order))
         walls.append(round(time.perf_counter() - t0, 3))
+        l1 = os.getloadavg()  # one snapshot: after_1m/after_5m same instant
         loads.append(
             {
                 "before_1m": round(l0[0], 2),
-                "after_1m": round(os.getloadavg()[0], 2),
-                "after_5m": round(os.getloadavg()[1], 2),
+                "after_1m": round(l1[0], 2),
+                "after_5m": round(l1[1], 2),
             }
         )
         if walls[-1] > 300:  # noise-window pass: don't risk a harness timeout

@@ -412,6 +412,7 @@ def main() -> None:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         total = sum(r["wall_sec"] for r in results.values())
+        load_after = os.getloadavg()  # one snapshot for both after_* fields
         print(
             json.dumps(
                 {
@@ -428,8 +429,8 @@ def main() -> None:
                     # median-ratio discipline, not raw walls
                     "loadavg": {
                         "before_1m": round(load_before[0], 2),
-                        "after_1m": round(os.getloadavg()[0], 2),
-                        "after_5m": round(os.getloadavg()[1], 2),
+                        "after_1m": round(load_after[0], 2),
+                        "after_5m": round(load_after[1], 2),
                     },
                     "pipelines": results,
                 }

@@ -77,12 +77,18 @@ def partitions_for_rows(
 
 # (path, stat-fingerprint) -> exact row count: footer reads are idempotent
 # per snapshot, so repeated plan builds (bench loops, multi-query sessions)
-# pay the O(files) metadata walk once. The fingerprint (mtime_ns, size of
-# the file — or of the directory, whose mtime bumps on any file
-# add/remove/rename inside it) invalidates the entry when a corpus is
-# REBUILT at the same path within one driver process (ADVICE r9 #2: a
-# stale count would silently shift q246's adaptive plane count away from
-# the oracle's fresh COUNT(*)). Non-stat-able paths (object stores,
+# pay the O(files) metadata walk once. The fingerprint invalidates the
+# entry when a corpus is REBUILT at the same path within one driver
+# process (ADVICE r9 #2: a stale count would silently shift q246's
+# adaptive plane count away from the oracle's fresh COUNT(*)). For a
+# file it is (mtime_ns, size); for a directory the max child mtime_ns is
+# folded in, because a directory's own mtime only bumps when its
+# IMMEDIATE children change — a partitioned layout (date=*/part-*.parquet)
+# rebuilt by rewriting partition SUBdirectories in place leaves the
+# parent mtime untouched (ADVICE r10 #1). One stat level is enough for
+# that layout (rewriting files inside date=X bumps date=X's own mtime);
+# deeper nesting that bypasses both levels still needs
+# clear_parquet_rows_memo(). Non-stat-able paths (object stores,
 # vanished dirs) and fallback count() results are NOT memoized — the
 # fallback count is a property of whatever frame the caller passed, not
 # of the path.
@@ -97,16 +103,32 @@ def clear_parquet_rows_memo() -> None:
 
 
 def _stat_fingerprint(path: str) -> tuple[int, int] | None:
-    """(mtime_ns, size) of a LOCAL file/dir, or None when the path can't
-    be stat'ed (object-store URI, missing) — None disables memoization
-    rather than risking staleness."""
+    """(mtime_ns, size) of a LOCAL file, or (max(own/child mtime_ns),
+    size) of a LOCAL directory; None when the path can't be stat'ed
+    (object-store URI, missing) — None disables memoization rather than
+    risking staleness. Children are included for directories because a
+    dir's own mtime only reflects immediate-child add/remove/rename, not
+    rewrites inside partition subdirectories (ADVICE r10 #1); the child
+    scan is one O(files) listdir+stat pass, same order as the footer
+    walk it guards."""
     import os
 
     try:
         st = os.stat(path)
     except OSError:
         return None
-    return (st.st_mtime_ns, st.st_size)
+    mtime = st.st_mtime_ns
+    if os.path.isdir(path):
+        try:
+            with os.scandir(path) as it:
+                for entry in it:
+                    try:
+                        mtime = max(mtime, entry.stat().st_mtime_ns)
+                    except OSError:
+                        continue
+        except OSError:
+            return None
+    return (mtime, st.st_size)
 
 
 def parquet_row_count(path: str, fallback_df: DataFrame | None = None) -> int:

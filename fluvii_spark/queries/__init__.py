@@ -74,19 +74,10 @@ _UNPROVEN_ORDER: list[str] = []
 # Deferred-tier re-proofs: queries whose expression or oracle changed
 # AFTER their last green row. All re-verified green under both
 # canonicalizers at sf0.001+sf0.01 before this queue landed; queued behind
-# any first-proof tier. r10: the ADVICE r9 #1 close — the DuckDB oracle
-# LSH bucket CTEs now carry the SAME well_formed_vec guard the Spark
-# index gained in r9 (queries/llm.py _WELL_FORMED_64: NULL/ragged/
-# NULL-component embeddings are excluded before the unnest instead of
-# partial-summing into phantom buckets). Output is bit-identical on the
-# dense testdata (verified at sf0.001+sf0.01 before this queue landed;
-# degenerate-corpus agreement pinned by
-# test_lsh_degenerate_corpus_oracle_parity), but the oracle TEXT changed
-# for the five bucket-CTE consumers, so their r9 rows predate the
-# current oracle and each needs a fresh row.
-_REPROOF_LAST: list[str] = [
-    "q39", "q107", "q116", "q189", "q246",
-]
+# any first-proof tier. r11: none — the r10 oracle-CTE-guard re-proofs
+# (q39/q107/q116/q189/q246) all landed green in CORRECTNESS_r10.json and
+# no expression or oracle text changed since.
+_REPROOF_LAST: list[str] = []
 
 # Proof-trail rotation (VERDICT r6 ask #3, continued per r7 #2 / r8 #1 /
 # r9 #1): queries whose NEWEST driver row is r4/r5 — their code is
@@ -97,20 +88,23 @@ _REPROOF_LAST: list[str] = [
 # first-proofs/re-proofs) refreshes the oldest artifacts each round. The
 # list may exceed the per-round cap — the driver simply refreshes the
 # prefix that fits and the rest roll to the next round. (r1 tier drained
-# in r7; r2 in r8; r3 in r9. Recomputed mechanically from
-# CORRECTNESS_r01..r09 at the start of r10.)
+# in r7; r2 in r8; r3 in r9; r4 in r10. Recomputed mechanically from
+# CORRECTNESS_r01..r10 at the start of r11: 17 rows remain at r5, 50 at
+# r6 — a ~50-row budget drains r5 entirely and refreshes the oldest ~33
+# of the r6 tier.)
 _AGE_ROTATION: list[str] = [
-    # newest row r4 (25 queries)
-    "q155", "q156", "q157", "q158", "q159", "q163", "q165", "q166",
-    "q167", "q168", "q169", "q170", "q171", "q172", "q173", "q174",
-    "q175", "q176", "q177", "q179", "q180", "q182", "q183", "q184",
-    "q185",
-    # newest row r5 (37 queries)
-    "q30", "q42", "q57", "q69", "q72", "q124", "q140", "q143", "q147",
-    "q153", "q178", "q181", "q186", "q187", "q188", "q190", "q191",
-    "q192", "q193", "q194", "q195", "q196", "q197", "q198", "q199",
-    "q200", "q202", "q203", "q204", "q205", "q206", "q207", "q208",
-    "q209", "q210", "q213", "q214",
+    # newest row r5 (17 queries)
+    "q195", "q196", "q197", "q198", "q199", "q200", "q202", "q203",
+    "q204", "q205", "q206", "q207", "q208", "q209", "q210", "q213",
+    "q214",
+    # newest row r6 (50 queries; the budget prefix refreshes first)
+    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09",
+    "q60", "q100", "q101", "q102", "q103", "q104", "q105", "q201",
+    "q211", "q212", "q215", "q216", "q217", "q218", "q219", "q220",
+    "q221", "q222", "q223", "q224", "q225", "q226", "q227", "q228",
+    "q229", "q230", "q231", "q232", "q233", "q234", "q235", "q236",
+    "q237", "q238", "q239", "q240", "q241", "q242", "q243", "q244",
+    "q245",
 ]
 
 

@@ -1602,18 +1602,28 @@ def test_lsh_degenerate_corpus_oracle_parity(spark, tmp_path):
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
     )
+    # the driver-gate canonicalizer (column-name sort + 6dp float rounding
+    # BEFORE row sort) keeps both sides' sort orders identical — zipping
+    # two independently sorted raw-float lists could mispair rows whose
+    # keys differ only at ~1e-12 between engines (ADVICE r10 #3)
+    from tools.contract_common import canon_rows, value_hash
+
     reg = registry()
     for name in ("q39_ann_lsh_topk", "q246_mutual_nn_pairs"):
         q = reg[name]
-        srows = sorted(tuple(r) for r in q.fn(spark, str(d)).collect())
-        orows = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+        sdf = q.fn(spark, str(d))
+        scols = list(sdf.columns)
+        srows = [tuple(r) for r in sdf.collect()]
+        ores = con.execute(q.oracle)
+        ocols = [c[0] for c in ores.description]
+        orows = [tuple(r) for r in ores.fetchall()]
         assert len(srows) == len(orows), (name, len(srows), len(orows))
-        for s, o in zip(srows, orows):
-            for x, y in zip(s, o):
-                if isinstance(x, float) or isinstance(y, float):
-                    assert x == pytest.approx(y, abs=1e-9), (name, s, o)
-                else:
-                    assert x == y, (name, s, o)
+        assert sorted(scols) == sorted(ocols), (name, scols, ocols)
+        assert value_hash(scols, srows) == value_hash(ocols, orows), (
+            name,
+            canon_rows(scols, srows)[:5],
+            canon_rows(ocols, orows)[:5],
+        )
         # the guard must actually fire: no malformed id in either output
         bad = {100, 101, 102, 103}
         flat = {v for row in srows for v in row if isinstance(v, int)}

@@ -52,9 +52,15 @@ def trend(prev: dict, cur: dict, threshold: float) -> dict:
         ra = float(va) if va is not None else None
         rb = float(vb) if vb is not None else None
         if ra is not None and rb is not None:
-            # rate ratio < 1 means SLOWER now (mirror wall: >1 = worse)
-            ratio = (ra / rb) if rb > 0 else float("inf")
-            rows.append((name, ra, rb, ratio, a["wall_sec"], b["wall_sec"]))
+            if rb <= 0:
+                # a zero current rate would put inf into the ratio list and
+                # poison median_ratio (threshold × inf filters every mover
+                # out — ADVICE r10 #2); treat it like a missing rate
+                skipped.append(name)
+            else:
+                # rate ratio < 1 means SLOWER now (mirror wall: >1 = worse)
+                ratio = ra / rb
+                rows.append((name, ra, rb, ratio, a["wall_sec"], b["wall_sec"]))
         if a.get("state_rows") != b.get("state_rows"):
             state_drift.append(
                 (name, "state_rows", a.get("state_rows"), b.get("state_rows"))
