@@ -37,6 +37,13 @@ Pipelines (all per-arrival emission, the reference's per-message contract):
                  pairs within 1h (self-join of the event stream; join
                  state bounded by watermark + interval horizon)
 
+Runs ``$SPARK_GRAFT_STREAM_PASSES`` full passes (default 2, each with its
+own checkpoint root so offsets never resume) and keeps the best pass per
+pipeline by engine-reported rate — the same best-of-N discipline the batch
+bench has used since r5, so one shared-host window's luck can't masquerade
+as a regression. Cross-pass ``state_rows`` must agree (deterministic corpus
+function); disagreements land in ``state_rows_pass_mismatch``.
+
 Prints ONE JSON line; the driver may record it as BENCH_STREAM_r{N}.json.
 """
 from __future__ import annotations
@@ -373,44 +380,91 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="fluvii_stream_bench_")
     load_before = os.getloadavg()  # VERDICT r9 ask #4: mechanical noise calls
     try:
+        # stage once (pass-invariant inputs); each pass gets its OWN
+        # checkpoint root so the engine reprocesses from offset zero
+        # instead of resuming the prior pass's committed offsets
         src_path, n_rows = stage_events(spark, sf_dir, root)
-        results = {}
-        for name, make_out in pipelines().items():
-            results[name] = run_pipeline(
-                spark, name, make_out, src_path, n_rows,
-                os.path.join(root, "ck"),
+        workloads = [(rep, False) for rep in sorted({1, DOC_REP})]
+        if DOC_DISTINCT_REP > 1:
+            workloads.append((DOC_DISTINCT_REP, True))
+        doc_stages = []
+        for rep, distinct in workloads:
+            doc_path, n_docs = stage_documents(
+                spark, sf_dir, root, rep, distinct=distinct
             )
-        # the minhash pipeline's stateful operator holds ~4·n_shards=256
-        # keys; 32 state-store partitions paid 32 commits per micro-batch
-        # for near-empty stores. 8 matches the key cardinality here —
-        # restored afterwards (a fresh checkpoint pins its own count).
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
-            workloads = [(rep, False) for rep in sorted({1, DOC_REP})]
-            if DOC_DISTINCT_REP > 1:
-                workloads.append((DOC_DISTINCT_REP, True))
-            for rep, distinct in workloads:
-                doc_path, n_docs = stage_documents(
-                    spark, sf_dir, root, rep, distinct=distinct
+            if rep == 1:
+                suffix = ""
+            elif distinct:
+                suffix = f"_distinct_x{rep}"
+            else:
+                suffix = f"_x{rep}"
+            doc_stages.append((suffix, doc_path, n_docs, rep, distinct))
+
+        # best-of-N passes (VERDICT r10 ask #5): the batch bench has kept
+        # best-of-2+ since r5 — one streaming pass inherits one shared-host
+        # window's luck, so every round's trend adjudication re-litigated
+        # pool noise. Per-pipeline best pass ends that; state_rows must be
+        # IDENTICAL across passes (deterministic corpus function) and any
+        # cross-pass drift is surfaced in the artifact.
+        n_passes = max(1, int(os.environ.get("SPARK_GRAFT_STREAM_PASSES", "2")))
+        pass_loads, pass_results = [], []
+        for pi in range(n_passes):
+            l0 = os.getloadavg()
+            results = {}
+            ckroot = os.path.join(root, f"ck_p{pi}")
+            for name, make_out in pipelines().items():
+                results[name] = run_pipeline(
+                    spark, name, make_out, src_path, n_rows, ckroot
                 )
-                if rep == 1:
-                    suffix = ""
-                elif distinct:
-                    suffix = f"_distinct_x{rep}"
-                else:
-                    suffix = f"_x{rep}"
-                for name, make_out in doc_pipelines().items():
-                    key = name + suffix
-                    results[key] = run_pipeline(
-                        spark, key, make_out, doc_path, n_docs,
-                        os.path.join(root, "ck"),
-                    )
-                    results[key]["rows"] = n_docs
-                    results[key]["doc_rep"] = rep
-                    results[key]["distinct_docs"] = distinct or rep == 1
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            # the minhash pipeline's stateful operator holds ~4·n_shards=256
+            # keys; 32 state-store partitions paid 32 commits per micro-batch
+            # for near-empty stores. 8 matches the key cardinality here —
+            # restored afterwards (a fresh checkpoint pins its own count).
+            prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            try:
+                for suffix, doc_path, n_docs, rep, distinct in doc_stages:
+                    for name, make_out in doc_pipelines().items():
+                        key = name + suffix
+                        results[key] = run_pipeline(
+                            spark, key, make_out, doc_path, n_docs, ckroot
+                        )
+                        results[key]["rows"] = n_docs
+                        results[key]["doc_rep"] = rep
+                        results[key]["distinct_docs"] = distinct or rep == 1
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            l1 = os.getloadavg()
+            pass_loads.append(
+                {
+                    "before_1m": round(l0[0], 2),
+                    "after_1m": round(l1[0], 2),
+                    "after_5m": round(l1[1], 2),
+                }
+            )
+            pass_results.append(results)
+
+        # merge: per pipeline, keep the pass with the best engine-reported
+        # rate (fallback: lowest wall); the kept record stays internally
+        # consistent (its state timings came from the same pass)
+        results, state_drift_across_passes = {}, []
+        for key in pass_results[0]:
+            candidates = [pr[key] for pr in pass_results if key in pr]
+            best = max(
+                range(len(candidates)),
+                key=lambda i: (
+                    candidates[i].get("processed_rows_per_sec")
+                    or candidates[i].get("rows_per_sec")
+                    or 0.0,
+                    -candidates[i]["wall_sec"],
+                ),
+            )
+            results[key] = dict(candidates[best], best_pass=best)
+            srows = {c["state_rows"] for c in candidates}
+            if len(srows) > 1:
+                state_drift_across_passes.append(
+                    {"pipeline": key, "state_rows_by_pass": sorted(srows)}
+                )
         total = sum(r["wall_sec"] for r in results.values())
         load_after = os.getloadavg()  # one snapshot for both after_* fields
         print(
@@ -432,6 +486,13 @@ def main() -> None:
                         "after_1m": round(load_after[0], 2),
                         "after_5m": round(load_after[1], 2),
                     },
+                    # per-pass load + best-of-N bookkeeping (r10 ask #5);
+                    # per-pipeline records carry best_pass, and any
+                    # cross-pass state_rows disagreement (must be empty —
+                    # state is a deterministic corpus function) is listed
+                    "passes": n_passes,
+                    "loadavg_passes": pass_loads,
+                    "state_rows_pass_mismatch": state_drift_across_passes,
                     "pipelines": results,
                 }
             )

@@ -793,6 +793,25 @@ def connected_components(
 EXACT_EMBED_MAX_ROWS = 200_000
 
 
+def lsh_tables_for_target_recall(
+    threshold: float, planes: int, target_recall: float
+) -> int:
+    """Hyperplane-LSH table count that reaches ``target_recall`` for a
+    pair at EXACTLY ``threshold`` cosine (higher-cosine pairs recall
+    better): P(one table co-buckets) = p^planes with
+    p = 1 - acos(threshold)/pi, so recall = 1-(1-p^planes)^tables.
+    Shared by :func:`embedding_near_dup_pairs`' bucketed path and
+    tools/growth_recall.py (which measures the bound this solve targets)
+    so the measured configuration IS the deployed one."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_table = p**planes  # P(one table co-buckets a threshold-cosine pair)
+    if p_table >= target_recall:
+        return 1
+    return min(128, math.ceil(math.log(1 - target_recall) / math.log(1 - p_table)))
+
+
 def _estimate_rows(df: DataFrame) -> int:
     """Metadata-only row estimate — submits NO Spark job.
 
@@ -933,18 +952,10 @@ def embedding_near_dup_pairs(
         pairs = _block_pairs(df, id_col, vec_col, n_blocks)
         return _gemm_pairs(pairs, ["bi", "bj"], threshold)
 
-    import math
-
     from fluvii_spark.operators.similarity import lsh_bucket_tables
 
     if n_tables is None:
-        p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
-        p_table = p**planes  # P(one table co-buckets a threshold-cosine pair)
-        n_tables = (
-            1
-            if p_table >= target_recall
-            else min(128, math.ceil(math.log(1 - target_recall) / math.log(1 - p_table)))
-        )
+        n_tables = lsh_tables_for_target_recall(threshold, planes, target_recall)
 
     # one-ROW probe for the vector width (bounded driver transfer; the
     # routing above stayed metadata-only). An empty/fully-filtered input

@@ -239,6 +239,11 @@ def build_grown(
 ) -> None:
     marker = os.path.join(out, "_FLUVII_GROWTH_OK")
     want = {"g": g, "base": base, "skew": skew_frac, "plant": plant}
+    if skew_frac > 0:
+        # the r11 injection covers three hot keys, not just the supplier;
+        # recording the column set invalidates any pre-r11 skew corpus
+        # (whose marker lacks the field) instead of silently reusing it
+        want["skew_cols"] = "l_suppkey,o_custkey,user_id"
     if os.path.exists(marker):
         with open(marker) as fh:
             meta = json.load(fh)
@@ -314,6 +319,34 @@ def build_grown(
                         < int(skew_frac * 1000),
                         F.lit(1),
                     ).otherwise(F.col("l_suppkey")),
+                )
+            if t == "events" and skew_frac > 0:
+                # hot-USER injection (VERDICT r10 ask #3): the limit case
+                # of a zipf-hot user_id — skew_frac of ALL events land on
+                # user 1, so every per-user window/session/funnel operator
+                # gets one key holding skew_frac·N rows. This is the 100 TB
+                # shape where a hot key serializes a per-key window; the
+                # injection runs AFTER the PK shifts so every replica's
+                # redirected rows collapse onto the same grown-domain key.
+                rep = rep.withColumn(
+                    "user_id",
+                    F.when(
+                        _crc_mod("hotu", ["event_id"], 1000)
+                        < int(skew_frac * 1000),
+                        F.lit(1).cast(dict(df.dtypes)["user_id"]),
+                    ).otherwise(F.col("user_id")),
+                )
+            if t == "orders" and skew_frac > 0:
+                # hot-CUSTOMER injection: same limit-case zipf on the
+                # orders⋈customer equi-join key (after the FK remap, so
+                # the redirect wins)
+                rep = rep.withColumn(
+                    "o_custkey",
+                    F.when(
+                        _crc_mod("hotc", ["o_orderkey"], 1000)
+                        < int(skew_frac * 1000),
+                        F.lit(1).cast(dict(df.dtypes)["o_custkey"]),
+                    ).otherwise(F.col("o_custkey")),
                 )
             reps.append(rep)
         big = reps[0]
@@ -424,13 +457,24 @@ def groupby_skew_probe(spark, sf_dir: str, passes: int = 2) -> dict:
     return best
 
 
-def skew_probe(spark, sf_dir: str, passes: int = 2) -> dict:
-    """The distilled skew-join demonstration: lineitem ⋈ supplier on
-    l_suppkey (the hot-injected key), forced SortMergeJoin, grouped to a
-    25-row rollup. On the hot corpus AQE must mark the join
+def skew_probe(
+    spark,
+    sf_dir: str,
+    passes: int = 2,
+    fact: str = "lineitem",
+    fact_key: str = "l_suppkey",
+    dim: str = "supplier",
+    dim_key: str = "s_suppkey",
+    group_col: str = "s_nationkey",
+    sum_col: str = "l_extendedprice",
+) -> dict:
+    """The distilled skew-join demonstration: fact ⋈ dim on the
+    hot-injected key (default lineitem ⋈ supplier on l_suppkey; the r11
+    custkey injection uses orders ⋈ customer), forced SortMergeJoin,
+    grouped to a small rollup. On the hot corpus AQE must mark the join
     ``SortMergeJoin(skew=true)`` and split the hot partition
     (``AQEShuffleRead Arguments: skewed``) — the inventory queries'
-    supplier joins filter/pre-aggregate below the (scaled) skew
+    dimension joins filter/pre-aggregate below the (scaled) skew
     threshold, so this probe is the clean before/after pair."""
     from pyspark.sql import functions as F  # local: keep module import light
 
@@ -439,13 +483,13 @@ def skew_probe(spark, sf_dir: str, passes: int = 2) -> dict:
     try:
         best: dict = {}
         for _ in range(passes):
-            li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-            su = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+            li = spark.read.parquet(os.path.join(sf_dir, f"{fact}.parquet"))
+            su = spark.read.parquet(os.path.join(sf_dir, f"{dim}.parquet"))
             j = (
-                li.join(su, li.l_suppkey == su.s_suppkey)
-                .groupBy("s_nationkey")
+                li.join(su, li[fact_key] == su[dim_key])
+                .groupBy(group_col)
                 .agg(
-                    F.sum("l_extendedprice").alias("rev"),
+                    F.sum(sum_col).alias("rev"),
                     F.count("*").alias("n"),
                 )
             )
@@ -466,7 +510,10 @@ def skew_probe(spark, sf_dir: str, passes: int = 2) -> dict:
             }
             if not best or cur["wall_sec"] < best["wall_sec"]:
                 best = cur
-        print(f"  skew-probe @{os.path.basename(sf_dir)}: {best}", file=sys.stderr)
+        print(
+            f"  skew-probe {fact}⋈{dim} @{os.path.basename(sf_dir)}: {best}",
+            file=sys.stderr,
+        )
         return best
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
@@ -491,6 +538,15 @@ def main() -> None:
         default=0.0,
         help="also build a hot-supplier lineitem variant (fraction of "
         "rows redirected to one key) and record AQE skew evidence",
+    )
+    ap.add_argument(
+        "--skew-exponents",
+        action="store_true",
+        help="time the growth passes on the SKEWED grown corpus instead "
+        "of the uniform one (requires --skew > 0) — the per-key-window "
+        "serialization probe: exponents for user-keyed window/session/"
+        "funnel queries must stay sublinear even when one user holds "
+        "skew_frac of all events (VERDICT r10 ask #3)",
     )
     ap.add_argument(
         "--plant",
@@ -529,10 +585,15 @@ def main() -> None:
         with open(args.out) as fh:
             out = json.load(fh)
     else:
+        timing_dir = grown
+        if args.skew_exponents:
+            if not skew_dir:
+                raise SystemExit("--skew-exponents requires --skew > 0")
+            timing_dir = skew_dir
         print("== base scale ==", file=sys.stderr)
         base_walls = run_queries(spark, names, base, args.passes)
-        print("== grown scale ==", file=sys.stderr)
-        grown_walls = run_queries(spark, names, grown, args.passes)
+        print(f"== grown scale ({os.path.basename(timing_dir)}) ==", file=sys.stderr)
+        grown_walls = run_queries(spark, names, timing_dir, args.passes)
 
         queries = {}
         for n in names:
@@ -559,7 +620,8 @@ def main() -> None:
             "remapped FKs, perturbed texts/embeddings)",
             "g": args.g,
             "base_sf_dir": base,
-            "grown_sf_dir": grown,
+            "grown_sf_dir": timing_dir,
+            "timed_on_skewed_corpus": bool(args.skew_exponents),
             "passes": args.passes,
             "queries": queries,
         }
@@ -599,6 +661,18 @@ def main() -> None:
             # vs hot — AQE must convert the hot side to skew-split reads
             "probe_uniform": skew_probe(spark, grown),
             "probe_hot": skew_probe(spark, skew_dir),
+            # the r11 hot-CUSTOMER injection: orders ⋈ customer forced-SMJ
+            # before/after — the second named 100 TB join key
+            "probe_cust_uniform": skew_probe(
+                spark, grown, fact="orders", fact_key="o_custkey",
+                dim="customer", dim_key="c_custkey",
+                group_col="c_mktsegment", sum_col="o_totalprice",
+            ),
+            "probe_cust_hot": skew_probe(
+                spark, skew_dir, fact="orders", fact_key="o_custkey",
+                dim="customer", dim_key="c_custkey",
+                group_col="c_mktsegment", sum_col="o_totalprice",
+            ),
             # GROUP-BY skew (the class AQE skew-join does not cover):
             # direct vs q82-salted exact count-distinct on the hot key
             "groupby_probe_uniform": groupby_skew_probe(spark, grown),
