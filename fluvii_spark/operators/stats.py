@@ -86,8 +86,9 @@ def partitions_for_rows(
 # IMMEDIATE children change — a partitioned layout (date=*/part-*.parquet)
 # rebuilt by rewriting partition SUBdirectories in place leaves the
 # parent mtime untouched (ADVICE r10 #1). One stat level is enough for
-# that layout (rewriting files inside date=X bumps date=X's own mtime);
-# deeper nesting that bypasses both levels still needs
+# that layout when the rebuild ADDS/REMOVES/RECREATES part files (that
+# bumps date=X's own mtime); a byte-level in-place overwrite that
+# touches no directory entry, or deeper nesting, still needs
 # clear_parquet_rows_memo(). Non-stat-able paths (object stores,
 # vanished dirs) and fallback count() results are NOT memoized — the
 # fallback count is a property of whatever frame the caller passed, not
