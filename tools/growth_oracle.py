@@ -111,6 +111,16 @@ def main() -> None:
     ap.add_argument("--g", type=int, default=10)
     ap.add_argument("--grown-dir", default=None)
     ap.add_argument("--queries", default=",".join(DEFAULT_SAMPLE))
+    ap.add_argument(
+        "--max-hash-rows",
+        type=int,
+        default=5_000_000,
+        help="results beyond this row count skip the hash gate with a "
+        "loud 'too_large_for_hash_gate' status instead of grinding both "
+        "engines' results through a driver-side canonicalize+hash (q37 "
+        "at g=20 emits 35M rows — pick the family's aggregated audit "
+        "query, e.g. q239, for such families instead)",
+    )
     ap.add_argument("--out", default="-")
     args = ap.parse_args()
     grown = args.grown_dir or f"/tmp/fluvii_growth_g{args.g}"
@@ -148,6 +158,19 @@ def main() -> None:
             s_cols = list(sdf.columns)
             s_rows = [tuple(r) for r in sdf.collect()]
             row["spark_sec"] = round(time.time() - t0, 2)
+            if len(s_rows) > args.max_hash_rows:
+                # not an engine failure: the hash gate itself is
+                # driver-bound and was never meant for multi-10M-row
+                # results — surface the mis-sampling instead of grinding
+                row["status"] = "too_large_for_hash_gate"
+                row["rows_spark"] = len(s_rows)
+                results[name] = row
+                print(
+                    f"SKIP {name}: {len(s_rows)} rows exceeds "
+                    f"--max-hash-rows={args.max_hash_rows}",
+                    file=sys.stderr,
+                )
+                continue
         except Exception as e:  # noqa: BLE001 — record, keep sweeping
             row["error"] = f"spark: {type(e).__name__}: {str(e)[:300]}"
             results[name] = row
