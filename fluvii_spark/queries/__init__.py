@@ -74,10 +74,14 @@ _UNPROVEN_ORDER: list[str] = []
 # Deferred-tier re-proofs: queries whose expression or oracle changed
 # AFTER their last green row. All re-verified green under both
 # canonicalizers at sf0.001+sf0.01 before this queue landed; queued behind
-# any first-proof tier. r11: none — the r10 oracle-CTE-guard re-proofs
-# (q39/q107/q116/q189/q246) all landed green in CORRECTNESS_r10.json and
-# no expression or oracle text changed since.
-_REPROOF_LAST: list[str] = []
+# any first-proof tier. r11: q117 — the g=10 growth oracle caught its
+# free-order BM25 SUM wobbling in the last ulp, which broke a replica
+# score-tie cluster at the top-20 boundary differently per engine; both
+# sides now add the <=3 per-term conditional aggregates in fixed
+# BM25_TERMS order (bit-stable), re-verified at sf0.001+sf0.01 AND
+# hash-matched at g=10 and g=20, but its r8 driver row predates the
+# changed expression+oracle, so it needs a fresh row.
+_REPROOF_LAST: list[str] = ["q117"]
 
 # Proof-trail rotation (VERDICT r6 ask #3, continued per r7 #2 / r8 #1 /
 # r9 #1): queries whose NEWEST driver row is r4/r5 — their code is

@@ -715,11 +715,21 @@ BM25_B = 0.75
     df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
     scored AS (
       SELECT tf.doc_id,
-             SUM(
+             COALESCE(SUM(CASE WHEN term = 'spark' THEN
                ((n.n_docs - df.df + 0.5) / (df.df + 0.5))
                * tf.tf * ({BM25_K1} + 1)
                / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / avgdl.avgdl))
-             ) AS score
+             END), 0)
+             + COALESCE(SUM(CASE WHEN term = 'hash' THEN
+               ((n.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / avgdl.avgdl))
+             END), 0)
+             + COALESCE(SUM(CASE WHEN term = 'window' THEN
+               ((n.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / avgdl.avgdl))
+             END), 0) AS score
       FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n, avgdl
       GROUP BY tf.doc_id
     )
@@ -729,10 +739,16 @@ BM25_B = 0.75
     """,
     "BM25 relevance search over the corpus for a fixed term set — "
     "query-relevance filtering for training-data curation. Rational "
-    "arithmetic only (the q59 libm-free idf; avgdl is an exact int-mean), "
-    "so scores are bit-deterministic across engines. Plan: one token "
-    "explode filtered to the query terms, tiny df/N/avgdl broadcasts, "
-    "top-20 via TakeOrderedAndProject",
+    "arithmetic only (the q59 libm-free idf; avgdl is an exact int-mean) "
+    "AND a syntactically FIXED term-order sum: each per-term conditional "
+    "aggregate folds exactly one (doc, term) row, then the <=3 addends "
+    "add left-to-right, so the score is the same double in every engine "
+    "and every run. A free-order SUM wobbles in the last ulp with "
+    "aggregation order, and the r11 g=10 growth oracle caught exactly "
+    "that: replica docs form score-tie clusters, the top-20 boundary "
+    "landed inside one, and the ulp wobble broke the tie differently "
+    "per engine. Plan: one token explode filtered to the query terms, "
+    "tiny df/N/avgdl broadcasts, top-20 via TakeOrderedAndProject",
     ("llm", "text", "search"),
 )
 def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -761,13 +777,26 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
         )
     )
+    # fixed term-order sum (see oracle note): each per-term aggregate
+    # folds exactly one row, then the addends add in BM25_TERMS order —
+    # a free-order F.sum wobbles in the last ulp and broke a replica
+    # tie-cluster at the top-20 boundary on the g=10 corpus
+    per_term = [
+        F.coalesce(
+            F.sum(F.when(F.col("term") == t, idf * tf_sat)), F.lit(0.0)
+        )
+        for t in BM25_TERMS
+    ]
+    score = per_term[0]
+    for p in per_term[1:]:
+        score = score + p
     return (
         tf.join(F.broadcast(df_), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(n))
         .crossJoin(F.broadcast(avgdl))
         .groupBy("doc_id")
-        .agg(F.sum(idf * tf_sat).alias("score"))
+        .agg(score.alias("score"))
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
