@@ -485,12 +485,19 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q23_math_decimal",
     f"""
     SELECT l_returnflag,
-           CAST(SUM({_REVENUE_DEC} * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+           CAST(CAST(SUM({_REVENUE_DEC} * (1 + CAST(l_tax AS DECIMAL(18,2))))
+                     AS VARCHAR) AS DOUBLE)
              AS charged
     FROM lineitem GROUP BY l_returnflag
     """,
     "money arithmetic through DECIMAL (exact, order-independent), surfaced "
-    "as DOUBLE",
+    "as DOUBLE. The oracle routes the final DECIMAL->DOUBLE through "
+    "VARCHAR: DuckDB's native decimal cast divides the scaled integer in "
+    "floating point and can land one ulp off the correctly-rounded "
+    "double once the scaled integer exceeds 2^53 (this query's scale-6 "
+    "chain crosses that at ~9e9; the r11 g=10 oracle caught the N-flag "
+    "total off by one ulp at the 5th decimal), while string parsing is "
+    "correctly rounded like Spark's BigDecimal.doubleValue()",
     ("relational", "scalar"),
 )
 def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
