@@ -86,8 +86,15 @@ _UNPROVEN_ORDER: list[str] = []
 # 2^53 (the scale-6 tax chain crosses that at ~9e9 totals); the oracle
 # now routes the final cast through VARCHAR (string parsing is correctly
 # rounded, matching Spark's BigDecimal path). Spark expression unchanged;
-# oracle TEXT changed, so its r7 row predates the current oracle.
-_REPROOF_LAST: list[str] = ["q117", "q23"]
+# oracle TEXT changed, so its r7 row predates the current oracle. q175 —
+# its cross-year AVG of per-year ratios diverged one ulp across engines
+# at g=10 (Spark's DECIMAL-division path vs the oracle's promoted
+# division) exactly on a 6-dp rounding boundary; both sides now quantize
+# each ratio to a 1e-12-grid BIGINT before the (order-free integer) sum
+# with one final IEEE division chain. Re-verified sf0.001/sf0.01 and
+# hash-matched g=10/g=20; expression+oracle changed, so its r10 row is
+# stale.
+_REPROOF_LAST: list[str] = ["q117", "q23", "q175"]
 
 # Proof-trail rotation (VERDICT r6 ask #3, continued per r7 #2 / r8 #1 /
 # r9 #1): queries whose NEWEST driver row is r4/r5 — their code is

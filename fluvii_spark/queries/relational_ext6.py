@@ -2078,20 +2078,29 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY y
     ),
     idx AS (
-      SELECT m.m, m.rev / y.yrev * y.n_months AS season_idx
+      SELECT m.m,
+             CAST(FLOOR(((CAST(m.rev AS DOUBLE) / CAST(y.yrev AS DOUBLE))
+                         * y.n_months) * 1e12) AS BIGINT) AS idx_e12
       FROM monthly m JOIN yearly y USING (y)
     )
     SELECT CAST(m AS BIGINT) AS month,
            CAST(COUNT(*) AS BIGINT) AS n_years,
-           ROUND(CAST(AVG(season_idx) AS DOUBLE), 6) AS seasonality_index
+           ROUND(CAST(SUM(idx_e12) AS DOUBLE) / COUNT(*) / 1e12, 6)
+             AS seasonality_index
     FROM idx GROUP BY m
     """,
     "monthly seasonality index of order revenue: each month's share of "
     "its year's revenue scaled by the months observed that year (1.0 = "
     "neutral), averaged across years — the de-trended seasonal profile. "
-    "DECIMAL-exact monthly and yearly sums; the per-(year,month) ratio "
-    "and final average are the only float ops, on bit-identical inputs; "
-    "aggregation collapses to |years|·12 rows before any division",
+    "DECIMAL-exact monthly and yearly sums; each per-(year,month) ratio "
+    "is one IEEE division of exactly-convertible scaled integers, then "
+    "QUANTIZED to a 1e-12-grid BIGINT before the cross-year average — "
+    "integer addition is associative, so the sum is order-free where a "
+    "free-order double AVG wobbles in the last ulp with aggregation "
+    "order (the r11 g=10 oracle caught exactly that: Spark's DECIMAL "
+    "division path and the oracle's promoted division landed one ulp "
+    "apart on either side of a 6-dp rounding boundary). The ≤5e-13 "
+    "quantization bias is 6 orders below the 6-dp output grid",
     ("relational", "timeseries"),
 )
 def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2105,17 +2114,28 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
     yearly = monthly.groupBy("y").agg(
         F.sum("rev").alias("yrev"), F.count("*").alias("n_months")
     )
+    # quantize each year's ratio to a 1e-12-grid BIGINT before averaging:
+    # integer addition is order-free, so the cross-year sum is bit-stable
+    # in any engine (see oracle note — a free-order double/decimal AVG
+    # landed one ulp on either side of a 6-dp boundary at g=10)
     idx = monthly.join(yearly, "y").select(
         "m",
-        (F.col("rev") / F.col("yrev") * F.col("n_months")).alias(
-            "season_idx"
-        ),
+        F.floor(
+            (
+                F.col("rev").cast("double")
+                / F.col("yrev").cast("double")
+            )
+            * F.col("n_months")
+            * F.lit(1e12)
+        )
+        .cast("bigint")
+        .alias("idx_e12"),
     )
     return idx.groupBy("m").agg(
         F.count("*").cast("bigint").alias("n_years"),
-        F.round(F.avg("season_idx").cast("double"), 6).alias(
-            "seasonality_index"
-        ),
+        F.round(
+            F.sum("idx_e12").cast("double") / F.count("*") / F.lit(1e12), 6
+        ).alias("seasonality_index"),
     ).select(
         F.col("m").cast("bigint").alias("month"),
         "n_years",
