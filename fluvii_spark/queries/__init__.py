@@ -93,8 +93,15 @@ _UNPROVEN_ORDER: list[str] = []
 # each ratio to a 1e-12-grid BIGINT before the (order-free integer) sum
 # with one final IEEE division chain. Re-verified sf0.001/sf0.01 and
 # hash-matched g=10/g=20; expression+oracle changed, so its r10 row is
-# stale.
-_REPROOF_LAST: list[str] = ["q117", "q23", "q175"]
+# stale. q235/q244 — two faces of the same class at g=10: q235's
+# scale-12 decimal product sum needs the VARCHAR conversion route (the
+# q23 class), and BOTH carried an in-engine ROUND(double, 6) which at
+# 1e9+ magnitudes (double ulp ~5e-7, at the 6-dp grid) picks DIFFERENT
+# doubles in Spark's BigDecimal rounding vs the oracle's
+# multiply-round-divide; the in-engine round is dropped on both sides
+# (the driver canonicalizer is the single rounder). Re-verified
+# sf0.001/sf0.01 + g=10/g=20.
+_REPROOF_LAST: list[str] = ["q117", "q23", "q175", "q235", "q244"]
 
 # Proof-trail rotation (VERDICT r6 ask #3, continued per r7 #2 / r8 #1 /
 # r9 #1): queries whose NEWEST driver row is r4/r5 — their code is

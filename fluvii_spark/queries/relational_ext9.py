@@ -1123,9 +1123,9 @@ def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q235_disjunctive_revenue",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                          * (1 - CAST(l_discount AS DECIMAL(18,6))))
-                      AS DOUBLE), 6) AS revenue
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                         * (1 - CAST(l_discount AS DECIMAL(18,6))))
+                     AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
            AND CAST(l_quantity AS DOUBLE) BETWEEN 1 AND 11)
@@ -1168,9 +1168,14 @@ def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bracket)
         .agg(
             F.count("*").cast("bigint").alias("n_lines"),
-            F.round(
-                F.sum(price * (F.lit(1) - disc)).cast("double"), 6
-            ).alias("revenue"),
+            # no in-engine 6dp round: at 1e9+ magnitudes the double's ulp
+            # reaches the 6dp grid and Spark's BigDecimal rounding vs the
+            # oracle's multiply-round-divide pick DIFFERENT doubles (r11
+            # g=10 catch); the shared driver canonicalizer is the single
+            # rounder, fed the correctly-rounded cast on both engines
+            # (the oracle routes its scale-12 sum through VARCHAR — the
+            # q23 conversion class)
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
         )
     )
 
@@ -1562,7 +1567,7 @@ def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT month, cohort,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(CAST(SUM(rev) AS DOUBLE), 6) AS revenue
+           CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS revenue
     FROM m GROUP BY 1, 2
     """,
     "new vs returning revenue per month: an order is 'new' when it lands "
@@ -1591,7 +1596,11 @@ def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.groupBy("month", "cohort").agg(
         F.count("*").cast("bigint").alias("n_orders"),
-        F.round(F.sum("rev").cast("double"), 6).alias("revenue"),
+        # no in-engine 6dp round — see q235: at 4.4e9 monthly cells the
+        # double's ulp (~5e-7) reaches the 6dp grid and the two engines'
+        # round implementations pick different doubles; the driver
+        # canonicalizer is the single rounder
+        F.sum("rev").cast("double").alias("revenue"),
     )
 
 
