@@ -126,9 +126,11 @@ _AGE_ROTATION: list[str] = [
     "q60", "q100", "q101", "q102", "q103", "q104", "q105", "q201",
     "q211", "q212", "q215", "q216", "q217", "q218", "q219", "q220",
     "q221", "q222", "q223", "q224", "q225", "q226", "q227", "q228",
-    "q229", "q230", "q231", "q232", "q233", "q234", "q235", "q236",
-    "q237", "q238", "q239", "q240", "q241", "q242", "q243", "q244",
+    "q229", "q230", "q231", "q232", "q233", "q234", "q236",
+    "q237", "q238", "q239", "q240", "q241", "q242", "q243",
     "q245",
+    # q235/q244 moved to _REPROOF_LAST (r11 rounding fixes) — a query may
+    # appear in only one tier; the reproof tier already sorts earlier.
 ]
 
 
