@@ -28,9 +28,74 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# ~1 range partition per this many rows when the caller lets the operator
+# size itself (num_partitions=None). Rows through the prefix family are
+# narrow (a handful of numeric/short-string order columns), so 4M rows is
+# ~100-400 MB per partition — the guide's §2.2 sweet spot. Derived from
+# metadata-only plan stats (no job); over-estimates err toward MORE
+# partitions, the safe direction at scale.
+_RANK_ROWS_PER_PARTITION = 4_000_000
+
+# Parallelism floor: below this many rows a partition is pure task overhead
+# (a 64k-row local sort is ~ms), so small relations stop fanning out to
+# every core; above it the floor grows to the scheduler's core count so a
+# CPU-heavy relation still uses the whole machine/cluster (measured r11:
+# one partition over a 600k-row rank serialized q124 1.3 s → 1.9 s, while
+# 32 partitions over a 10k-row rank cost q151/q220 ~0.3 s of task churn).
+# 16k rather than 64k because the size-only row estimate undercounts
+# narrow parquet projections several-fold (sizeInBytes/100 vs ~20-byte
+# rows) — the lower threshold keeps genuinely large inputs fanned out.
+_RANK_MIN_ROWS_PER_PARTITION = 16_384
+
+
+def _resolve_partitions(
+    df: DataFrame, num_partitions: int | None
+) -> int:
+    """Scale-adaptive partition count for the prefix family.
+
+    A fixed count is wrong in both directions: 32 partitions over a few
+    hundred-thousand local rows pays 32 tasks + a range-sampling pass per
+    stage for no parallelism gain (each task is milliseconds), while 32 over
+    100 TB would put TBs in one sort task. Deriving from the optimizer's
+    row estimate keeps partitions ~100-400 MB at any scale. Partition count
+    never changes ranking RESULTS — range boundaries only re-slice one
+    fixed total order (see :func:`distributed_row_number`).
+    """
+    if num_partitions is not None:
+        return num_partitions
+    from fluvii_spark.operators.stats import estimate_rows, partitions_for_rows
+
+    # Ceiling: sql.shuffle.partitions is the session's own scale dial (set
+    # per deployment; cpus locally, thousands on a real cluster), and
+    # size-only join estimates can overshoot by orders of magnitude
+    # (Catalyst multiplies child sizes) — without the clamp a local query
+    # could fan a 600k-row sort into 10k tasks. With the clamp the worst
+    # case equals the pre-adaptive fixed default.
+    try:
+        ceiling = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # "auto" or Connect without the conf — modest default
+        ceiling = 200
+    try:
+        cores = int(df.sparkSession.sparkContext.defaultParallelism)
+    except Exception:  # Connect — no SparkContext; lean on the ceiling only
+        cores = ceiling
+    est = estimate_rows(df)
+    by_size = partitions_for_rows(
+        est, rows_per_partition=_RANK_ROWS_PER_PARTITION
+    )
+    # enough partitions to keep every core busy once the relation is big
+    # enough that per-partition work beats task overhead
+    floor = min(
+        max(1, cores),
+        partitions_for_rows(
+            est, rows_per_partition=_RANK_MIN_ROWS_PER_PARTITION
+        ),
+    )
+    return min(max(by_size, floor), max(1, ceiling))
+
 
 def _indexed_partitions(
-    df: DataFrame, order_cols: list[str | Column], num_partitions: int
+    df: DataFrame, order_cols: list[str | Column], num_partitions: int | None
 ) -> DataFrame:
     """Shared scaffold of the prefix family (row_number / running sum /
     running max): range-shuffled, locally-sorted partitions with the
@@ -56,7 +121,7 @@ def _indexed_partitions(
     construction is identical either way.
     """
     parts = (
-        df.repartitionByRange(num_partitions, *order_cols)
+        df.repartitionByRange(_resolve_partitions(df, num_partitions), *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
@@ -77,7 +142,7 @@ def _offsets_window():
 def distributed_row_number(
     df: DataFrame,
     order_cols: list[str | Column],
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     out_col: str = "rnk",
 ) -> DataFrame:
     """Global 1-based row_number over ``order_cols`` without a single-task
@@ -109,7 +174,7 @@ def distributed_running_sum(
     df: DataFrame,
     order_cols: list[str | Column],
     value_col: str,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     out_col: str = "run_sum",
     rank_col: str | None = None,
 ) -> DataFrame:
@@ -159,7 +224,7 @@ def distributed_running_max(
     df: DataFrame,
     order_cols: list[str | Column],
     value_col: str,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     out_col: str = "run_max",
     rank_col: str | None = None,
 ) -> DataFrame:
@@ -206,7 +271,7 @@ def exact_quantiles(
     col: str,
     ps: list[float],
     round_dp: int = 6,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """1-row DataFrame with column ``q``: the exact interpolated quantiles
     of ``col`` at probe points ``ps``, ascending, rounded to ``round_dp``.
@@ -240,7 +305,7 @@ def grouped_exact_quantiles(
     col: str,
     ps: list[float],
     round_dp: int = 6,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     broadcast_probes: bool = True,
     include_empty_groups: bool = True,
 ) -> DataFrame:

@@ -763,8 +763,15 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
         F.when(F.col("c") > 1, 1).otherwise(0).alias("is_dup"),
     )
+    # include_empty_groups=False: one constant group over never-NULL
+    # 6-dp-rounded scores — the universe pass would re-run the dupc join
+    # just to emit the constant the ranking path already carries.
     bounds = grouped_exact_quantiles(
-        flagged.select("s").withColumn("g", F.lit(1)), ["g"], "s", _CAL_PS
+        flagged.select("s").withColumn("g", F.lit(1)),
+        ["g"],
+        "s",
+        _CAL_PS,
+        include_empty_groups=False,
     ).select(F.col("quantile").alias("b"))
     bucketed = (
         flagged.crossJoin(F.broadcast(bounds))

@@ -574,20 +574,32 @@ def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("qid", F.col("vec_id").alias("nb"), "cos_r")
     )
-    rev = best.select(
-        F.col("qid").alias("r_qid"), F.col("nb").alias("r_nb")
+    # Mutuality via ONE symmetric-key aggregation instead of the self-join
+    # on the reversed pair: `best` has exactly one row per qid, so the
+    # unordered key {qid, nb} collects 2 rows iff each side is the other's
+    # top-1 — the same relation the reversed-pair join produced, but the
+    # expensive bucket-join → cosine → window pipeline behind `best` is
+    # consumed ONCE (the join evaluated it on both sides; no ReusedExchange
+    # across the differing projections). cos_r is bit-identical in both
+    # directions (IEEE dot/norm arithmetic is symmetric term-by-term), and
+    # the oracle reads the qid<nb row's value — max(fwd_cos) picks exactly
+    # that row.
+    sym = best.select(
+        F.least("qid", "nb").alias("id_a"),
+        F.greatest("qid", "nb").alias("id_b"),
+        F.when(F.col("qid") < F.col("nb"), F.col("cos_r")).alias("fwd_cos"),
     )
     return (
-        best.join(
-            rev,
-            (F.col("r_qid") == F.col("nb"))
-            & (F.col("r_nb") == F.col("qid"))
-            & (F.col("qid") < F.col("nb")),
+        sym.groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("_c"),
+            F.max("fwd_cos").alias("cosine"),
         )
+        .filter(F.col("_c") == 2)
         .select(
-            F.col("qid").cast("bigint").alias("id_a"),
-            F.col("nb").cast("bigint").alias("id_b"),
-            F.col("cos_r").alias("cosine"),
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            "cosine",
         )
         .orderBy(F.col("cosine").desc(), "id_a")
     )

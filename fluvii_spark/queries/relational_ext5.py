@@ -313,9 +313,7 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))"
         ).alias("rev")
     )
-    ranked = distributed_row_number(
-        rev, ["rev", "o_custkey"], num_partitions=16
-    )
+    ranked = distributed_row_number(rev, ["rev", "o_custkey"])
     agg = ranked.agg(
         F.count("*").alias("n"),
         F.sum("rev").alias("tot"),

@@ -401,7 +401,13 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(F.split(F.col("text"), " ")).cast("double").alias("n_tokens"),
     )
-    return grouped_exact_quantiles(counts, ["lang"], "n_tokens", TOKEN_QS)
+    # include_empty_groups=False: n_tokens = size(split(...)) is never NULL
+    # for a scanned document row, so no lang group can be all-NULL — the
+    # universe pass (a second full scan + distinct + left join) would only
+    # re-derive groups the ranking path already emits.
+    return grouped_exact_quantiles(
+        counts, ["lang"], "n_tokens", TOKEN_QS, include_empty_groups=False
+    )
 
 
 @register(

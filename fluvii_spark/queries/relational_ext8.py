@@ -187,8 +187,15 @@ def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("v").cast("double").alias("spend"))
         .localCheckpoint(eager=False)
     )
+    # include_empty_groups=False: spend is a SUM over non-null decimals —
+    # never NULL per (wk, user) row — so no wk group is all-NULL and the
+    # universe re-scan of the checkpointed spend relation is pure overhead.
     bounds = grouped_exact_quantiles(
-        spend.select("wk", "spend"), ["wk"], "spend", _DECILE_PS
+        spend.select("wk", "spend"),
+        ["wk"],
+        "spend",
+        _DECILE_PS,
+        include_empty_groups=False,
     ).select("wk", F.col("quantile").alias("b"))
     dec = (
         spend.join(F.broadcast(bounds), "wk")
@@ -813,8 +820,11 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("latency"),
         )
     )
+    # include_empty_groups=False: latency is integer day arithmetic over
+    # non-null order/ship dates — never NULL — so no priority group can be
+    # all-NULL; skipping the universe saves a second lineitem⋈orders pass.
     return grouped_exact_quantiles(
-        lat, ["priority"], "latency", _LATENCY_PS
+        lat, ["priority"], "latency", _LATENCY_PS, include_empty_groups=False
     ).select("priority", "p", "quantile")
 
 
@@ -970,7 +980,24 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.datediff("day", "d0").alias("x"), "y")
         .localCheckpoint(eager=False)
     )
-    a = xy.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    # spread the day relation across the session's shuffle-partition count
+    # BEFORE the broadcast nested-loop enumeration: the stream side is a
+    # ~2.5k-row aggregate that AQE coalesces into one partition, which
+    # would run the whole O(days²) pair enumeration + division in a single
+    # task. Hash-repartitioning the tiny side is a negligible shuffle and
+    # fans the enumeration across the cluster; the pair SET is unchanged.
+    # The explicit count (the session's own scale dial) is required — a
+    # bare repartition(col) is a 125 KB exchange AQE would coalesce
+    # straight back to one partition.
+    try:
+        _n_slices = max(
+            1, int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
+    except Exception:  # "auto"/unset — modest fixed fan-out
+        _n_slices = 200
+    a = xy.repartition(_n_slices, F.col("x")).select(
+        F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
     b = xy.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
     # try_divide, not `/`: the downstream quantile operator's
     # slope-IS-NOT-NULL filter gets merged into the BNLJ join condition,
@@ -987,7 +1014,6 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("xb") - F.col("xa"),
             ).alias("slope")
         )
-        .withColumn("g", F.lit(1))
     )
     # days are distinct, so the pair count is exactly C(n_days, 2) — a
     # 1-row aggregate instead of a second enumeration of the O(days^2)
@@ -997,11 +1023,22 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_pairs")
     )
-    # med is referenced three times in the final tree (directly, and
-    # through the residual pass); checkpointing the 1-row relation keeps
-    # the expensive slope-median pipeline from being planned repeatedly
+    # slope median through the distributed rank-probe operator. Measured
+    # alternative (r11): the built-in one-buffer `percentile` aggregate —
+    # despite the slope relation being calendar-bounded — is 2.7× SLOWER
+    # solo at sf0.1 (11.4 s vs 4.3 s): its final merge collects a ~3.2M-
+    # entry value-counts map into ONE task, serializing exactly the work
+    # the range-partitioned ranking spreads across the cluster. Rejected.
+    # med is referenced twice (residual pass + final row); checkpointing
+    # the 1-row relation keeps the slope pipeline from running twice.
     med = (
-        grouped_exact_quantiles(slopes, ["g"], "slope", [0.5])
+        grouped_exact_quantiles(
+            slopes.withColumn("g", F.lit(1)),
+            ["g"],
+            "slope",
+            [0.5],
+            include_empty_groups=False,
+        )
         .select(F.col("quantile").alias("m"))
         .localCheckpoint(eager=False)
     )

@@ -36,6 +36,11 @@ def main() -> None:
     ap.add_argument("--plans", default=None, help="dir for explain dumps")
     ap.add_argument("--suffix", default="before")
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--explain-only",
+        action="store_true",
+        help="skip timing; just dump formatted plans",
+    )
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
@@ -65,14 +70,15 @@ def main() -> None:
     for name in names:
         spark.sparkContext.setJobDescription(f"solo:{name}")
         best = None
-        for _ in range(max(1, args.passes)):
+        for _ in range(0 if args.explain_only else max(1, args.passes)):
             t0 = time.perf_counter()
             df = qs[name].fn(spark, args.sf_dir)
             df.write.format("noop").mode("overwrite").save()
             t = time.perf_counter() - t0
             best = t if best is None else min(best, t)
-        results[name] = round(best, 3)
-        print(f"{name}: {best:.3f}s", flush=True)
+        if best is not None:
+            results[name] = round(best, 3)
+            print(f"{name}: {best:.3f}s", flush=True)
         if args.plans:
             df = qs[name].fn(spark, args.sf_dir)
             plan = df._jdf.queryExecution().explainString(
