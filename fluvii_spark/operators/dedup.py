@@ -58,13 +58,25 @@ ROWS_PER_BAND = 4
 
 
 def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    distinct: bool = True,
+    distinct_in_row: bool = False,
 ) -> DataFrame:
     """Word n-gram shingles, one row per (doc, shingle).
 
     ``distinct=True`` (set semantics — what Jaccard needs) costs a
-    key-partitioned shuffle; min-aggregations (MinHash) are duplicate-
-    insensitive and skip it.
+    key-partitioned shuffle — and that dropDuplicates exchange is ALSO the
+    plan's reuse point when several consumers read the shingles, so
+    multi-consumer callers that do NOT materialize the result should keep
+    it (the q34/q106 pair-stats plan; see the measured note in
+    :func:`ngram_jaccard_pairs`). ``distinct_in_row=True`` instead dedups
+    with ``array_distinct`` BEFORE the explode — same rows (every
+    (doc, shingle) duplicate originates in one source row), zero shuffle —
+    for callers that checkpoint the result once themselves
+    (:func:`prefix_filter_jaccard_pairs`, q218's char sibling).
 
     The token array is materialized in a child projection before the
     transform/slice lambda: inlining ``split()`` into the lambda makes
@@ -74,16 +86,21 @@ def word_shingles(
     # guard: sequence(0, negative) counts DOWN, handing slice() a start of 0
     # (error) — a doc shorter than n tokens must yield zero shingles, which
     # is also what the duckdb oracle's positional self-join produces
-    shingle_arr = (
-        f"CASE WHEN size(toks) >= {n} THEN "
+    gen = (
         f"transform(sequence(0, size(toks) - {n}),"
-        f" i -> concat_ws(' ', slice(toks, i + 1, {n}))) "
-        f"ELSE array() END"
+        f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+    )
+    if distinct and distinct_in_row:
+        gen = f"array_distinct({gen})"
+    shingle_arr = (
+        f"CASE WHEN size(toks) >= {n} THEN {gen} ELSE array() END"
     )
     out = df.select(
         id_col, F.split(F.col(text_col), " ").alias("toks")
     ).select(id_col, F.explode(F.expr(shingle_arr)).alias("shingle"))
-    return out.dropDuplicates([id_col, "shingle"]) if distinct else out
+    if distinct and not distinct_in_row:
+        return out.dropDuplicates([id_col, "shingle"])
+    return out
 
 
 def char_shingles(
@@ -100,16 +117,24 @@ def char_shingles(
     (``pair_stats_from_shingles(max_doc_freq=...)``): one corpus-hot
     shingle like ``'e th'`` is a quadratic candidate blow-up at any scale.
     """
-    arr = (
-        f"CASE WHEN length(txt) >= {n} THEN "
+    # distinct=True dedups IN-ROW (array_distinct before the explode):
+    # every (doc, shingle) duplicate comes from the same source row, so
+    # row-local dedup is exactly dropDuplicates([id, shingle]) — minus the
+    # full shuffle of the exploded relation the dropDuplicates exchange
+    # cost. Measured r11 (q218, sf0.1 solo): 4.3 s → 2.6 s WHEN the caller
+    # materializes the result once (localCheckpoint) — without that, the
+    # missing exchange means every downstream consumer re-runs the string
+    # explode (6.4 s); multi-consumer callers must checkpoint.
+    gen = (
         f"transform(sequence(1, length(txt) - {n} + 1),"
-        f" i -> substring(txt, i, {n})) "
-        f"ELSE array() END"
+        f" i -> substring(txt, i, {n}))"
     )
-    out = df.select(id_col, F.col(text_col).alias("txt")).select(
+    if distinct:
+        gen = f"array_distinct({gen})"
+    arr = f"CASE WHEN length(txt) >= {n} THEN {gen} ELSE array() END"
+    return df.select(id_col, F.col(text_col).alias("txt")).select(
         id_col, F.explode(F.expr(arr)).alias("shingle")
     )
-    return out.dropDuplicates([id_col, "shingle"]) if distinct else out
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -304,8 +329,13 @@ def minhash_signatures_wide(
     and no ×n_perms row replication (the naive explode-per-perm plan
     shuffles 16× the data for the same answer).
     """
-    # duplicate shingles can't change a min — skip the distinct shuffle
-    sh = word_shingles(df, id_col, text_col, n, distinct=False)
+    # duplicate shingles can't change a min — skip the distinct shuffle.
+    # fan_out_scan: the explode + per-shingle md5 is the expensive map
+    # side of the one shuffle; a single-row-group doc scan would run it
+    # all on one task (no-op when the scan is already parallel).
+    from fluvii_spark.operators.stats import fan_out_scan
+
+    sh = word_shingles(fan_out_scan(df), id_col, text_col, n, distinct=False)
     h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
@@ -1027,8 +1057,16 @@ def prefix_filter_jaccard_pairs(
     """
     # elems feeds THREE branches (frequency table, per-doc ranking join,
     # element arrays for verify); without materialization the shingle
-    # explode + distinct shuffle re-executes per branch — checkpoint once
-    elems = word_shingles(df, id_col, text_col, n, distinct=True)
+    # explode re-executes per branch — checkpoint once. In-row distinct:
+    # the checkpoint is the materialization point anyway, so the
+    # dropDuplicates exchange would be a second, redundant barrier.
+    # (r11 measured: fan_out_scan before the explode is a NET LOSS here —
+    # +0.6 s of task churn at sf0.1; unlike q218's char explode, the word
+    # shingling is light enough that one scan task feeds the pipeline
+    # faster than 32 repartitioned ones. Don't re-add without measuring.)
+    elems = word_shingles(
+        df, id_col, text_col, n, distinct=True, distinct_in_row=True
+    )
     elems = elems.localCheckpoint(eager=False)
     freq = elems.groupBy("shingle").agg(F.count("*").alias("freq"))
     w_doc = Window.partitionBy(id_col).orderBy("freq", "shingle")

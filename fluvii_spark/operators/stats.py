@@ -199,3 +199,32 @@ def release_local_checkpoint(df: DataFrame) -> bool:
         return released
     except Exception:  # noqa: BLE001 — Connect / already-stopped session
         return False
+
+
+def fan_out_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a relation ONLY when its current partition
+    count is below the scheduler's parallelism — the adaptive guard for
+    compute-heavy pipelines (shingle/token explodes, per-row hashing)
+    whose input may arrive in too few partitions to use the machine.
+
+    Single-file / single-row-group parquet inputs plan as ONE scan task no
+    matter how large the split config is, so everything up to the first
+    exchange runs on one core; a 100 TB table, by contrast, scans as
+    thousands of splits and the guard is a no-op (``cur >= target``), so
+    no corpus-scale shuffle is ever introduced. The repartition moves the
+    COMPACT pre-explode rows, never the exploded relation.
+
+    Results are unchanged: callers apply this below row-local projections
+    and above order-insensitive aggregations/joins (every operator in this
+    package is already required to be row-order-independent — the package
+    determinism rule).
+    """
+    try:
+        sc = df.sparkSession.sparkContext
+        target = min_partitions or sc.defaultParallelism
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect — no RDD surface; leave the plan alone
+        return df
+    if cur >= target:
+        return df
+    return df.repartition(target)

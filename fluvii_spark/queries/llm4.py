@@ -185,12 +185,17 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("llm", "text", "quality"),
 )
 def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.stats import fan_out_scan
+
     t = load_tables(spark, sf_dir)
-    toks = t.documents.select(
+    # both explodes are map-side feeders of their aggregations; keep them
+    # parallel when the doc scan plans as fewer partitions than cores
+    docs = fan_out_scan(t.documents)
+    toks = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     )
     dbg = (
-        t.documents.select(
+        docs.select(
             "doc_id", "lang", F.explode(T.bigrams("text")).alias("bigram")
         )
         .groupBy("doc_id", "lang", "bigram")

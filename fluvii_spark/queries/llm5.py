@@ -76,7 +76,16 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    sh = char_shingles(t.documents, "doc_id", "text", n=_CHAR_N)
+    # checkpoint: char_shingles now dedups in-row (no exchange), so the
+    # string-heavy explode must be materialized ONCE here — pair_stats
+    # consumes it four ways (df-cut, kept join, cardinalities, both join
+    # sides) and without the checkpoint each consumer re-runs the explode
+    # (measured 6.4 s vs 2.6 s solo at sf0.1)
+    from fluvii_spark.operators.stats import fan_out_scan
+
+    sh = char_shingles(
+        fan_out_scan(t.documents), "doc_id", "text", n=_CHAR_N
+    ).localCheckpoint(eager=False)
     stats = pair_stats_from_shingles(sh, "doc_id", max_doc_freq=_CHAR_DF_CUT)
     j = stats.select(
         "id_a",
@@ -551,6 +560,9 @@ def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     buckets = S.lsh_buckets(corpus, dims=64, planes=planes)
     vecs = corpus.select("vec_id", "embedding")
+    # (r11 measured-and-rejected: localCheckpointing (id, bucket, vec) once
+    # for both join sides — 3.8 s vs 3.1 s solo at sf0.1; the double
+    # bucket-fold subtree is cheaper than the materialization barrier.)
     a = buckets.join(vecs, "vec_id").select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),

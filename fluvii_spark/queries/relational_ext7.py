@@ -386,8 +386,14 @@ def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("relational", "stats", "sampling"),
 )
 def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.stats import fan_out_scan
+
     t = load_tables(spark, sf_dir)
-    digests = t.orders.select(
+    # the 8 md5 digests/row + 32-lane explode are all MAP-side work before
+    # the 32-group partial aggregation — a single-row-group orders scan
+    # would run the whole hash chain on one task (no-op at cluster scale)
+    orders = fan_out_scan(t.orders)
+    digests = orders.select(
         "o_orderkey",
         F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
         F.explode(F.sequence(F.lit(0), F.lit(7))).alias("g"),
