@@ -198,10 +198,14 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("llm", "quality"),
 )
 def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.stats import fan_out_scan
+
     t = load_tables(spark, sf_dir)
     # materialize the token array once per row; re-splitting inside the
-    # trigram lambda is O(words²) splits per document
-    base = t.documents.select(
+    # trigram lambda is O(words²) splits per document. fan_out_scan keeps
+    # the per-row trigram folds parallel on an under-partitioned scan
+    # (0.57 s -> 0.35 s solo at sf0.1; no-op at cluster scale)
+    base = fan_out_scan(t.documents).select(
         "doc_id", F.split("text", " ").alias("toks")
     ).select(
         "doc_id",

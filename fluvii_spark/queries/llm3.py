@@ -46,9 +46,14 @@ _LEN_BAND = 32  # candidate pairs must be within 32 chars of each other
     ("llm", "dedup", "similarity"),
 )
 def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.stats import fan_out_scan
+
     t = load_tables(spark, sf_dir)
-    # shuffle only the 64-char comparison prefix, never the full document
-    docs = t.documents.select(
+    # shuffle only the 64-char comparison prefix, never the full document.
+    # fan_out_scan: the banded edit-distance comparisons are map-heavy;
+    # an under-partitioned scan serialized them (1.52 s -> 0.42 s solo at
+    # sf0.1; no-op at cluster scale)
+    docs = fan_out_scan(t.documents).select(
         "doc_id",
         "lang",
         "n_chars",
@@ -457,8 +462,16 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the (source, shingle) multiset falls out of one scan with ZERO joins
     # (a doc_id-keyed shingle frame joined back to a broadcast dim would
     # cliff at billions of docs)
+    from fluvii_spark.operators.stats import fan_out_scan
+
+    # fan_out: parallel shingling on a single-partition scan
+    # (0.80 s -> 0.67 s solo at sf0.1; no-op at cluster scale)
     sh = D.word_shingles(
-        t.documents, id_col="source", text_col="text", n=3, distinct=False
+        fan_out_scan(t.documents),
+        id_col="source",
+        text_col="text",
+        n=3,
+        distinct=False,
     )
     return sh.groupBy("source").agg(
         F.count("*").alias("n_shingles"),
@@ -665,12 +678,18 @@ _PROBE_N = 64
 def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluvii_spark.operators.similarity import dot_sql, norm_sql
 
+    from fluvii_spark.operators.stats import fan_out_scan
+
     t = load_tables(spark, sf_dir)
     # hoist both norms out of the probe x candidate pair expression: each
     # vector's norm is computed once per row / once per probe, not once per
     # pair — same association as cosine_sql (dot / (norm_a * norm_b)), so
-    # values are bit-identical, at 1/(|probes|) the sqrt-fold work
-    e = t.embeddings.withColumn("n_e", F.expr(norm_sql("embedding")))
+    # values are bit-identical, at 1/(|probes|) the sqrt-fold work.
+    # fan_out_scan: the probe x corpus cosine folds are map-side; keep
+    # them parallel on an under-partitioned scan (1.42 s -> 0.87 s solo)
+    e = fan_out_scan(t.embeddings).withColumn(
+        "n_e", F.expr(norm_sql("embedding"))
+    )
     probes = (
         e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(_PROBE_N)

@@ -312,8 +312,12 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluvii_spark.operators import similarity as S
 
+    from fluvii_spark.operators.stats import fan_out_scan
+
     t = load_tables(spark, sf_dir)
-    corpus = t.embeddings
+    # fan_out: 10-probe cosine scoring parallel on an under-partitioned
+    # scan (0.84 s -> 0.59 s solo at sf0.1; no-op at cluster scale)
+    corpus = fan_out_scan(t.embeddings)
     q = corpus.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),

@@ -72,9 +72,14 @@ def _order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = _OB_CACHE.get(key)
         if cached is not None:
             return cached
+        from fluvii_spark.operators.stats import fan_out_scan
+
         t = load_tables(spark, sf_dir)
+        # fan_out: the lineitem side of the brand join is the map side of
+        # the distinct; parallelize an under-partitioned scan (q199
+        # 1.50 s -> 1.15 s solo at sf0.1; no-op at cluster scale)
         ob = (
-            t.lineitem.join(
+            fan_out_scan(t.lineitem).join(
                 t.part, t.part.p_partkey == t.lineitem.l_partkey
             )
             .select(
