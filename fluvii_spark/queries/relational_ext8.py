@@ -45,17 +45,28 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             return cached
         t = load_tables(spark, sf_dir)
         li = t.lineitem.select("l_orderkey", "l_partkey")
+        # per-order set contraction instead of the row-level self-join:
+        # collect each order's distinct parts (bounded — order size is a
+        # schema constant at any corpus scale), emit the u<v pairs in-row
+        # from the sorted array, then one global distinct. Same edge set as
+        # the self-join (sorted-array pairs ARE the x<y pairs), one join
+        # fewer: the self-join shuffled lineitem by orderkey TWICE and
+        # SMJ'd; this shuffles it once into a bounded-size aggregation
+        # (measured r11: 3.2 s → 1.6 s solo at sf0.1 for the edge build).
+        parts = li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        )
         e = (
-            li.alias("a")
-            .join(
-                li.alias("b"),
-                (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
-                & (F.col("b.l_partkey") > F.col("a.l_partkey")),
+            parts.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ps, (x, i) ->"
+                        " transform(slice(ps, i + 2, size(ps)),"
+                        " y -> struct(x as u, y as v))))"
+                    )
+                ).alias("p")
             )
-            .select(
-                F.col("a.l_partkey").alias("u"),
-                F.col("b.l_partkey").alias("v"),
-            )
+            .select("p.u", "p.v")
             .distinct()
             .persist()
         )

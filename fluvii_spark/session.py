@@ -215,6 +215,16 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     Called at the top of every query entry point so the engine behaves the
     same whether the session was built by :func:`get_session` or handed to us
     by an external driver.
+
+    The REQUIRED RUNTIME_CONFS are forced on every entry (the documented
+    contract: even a session that pinned Arrow off gets it back at the
+    next entry point). The PERF_CONFS respect-existing pass, though, is
+    memoized per session object: its ~10 conf get/set py4j round trips
+    run per TABLE ACCESS per query and under a 16-thread bench become
+    measurable driver/gateway contention for zero new information — once
+    the stock values have been upgraded, re-checking can never change
+    anything (an external mid-session override is BY CONTRACT respected,
+    i.e. left alone, so skipping the re-check is behavior-identical).
     """
     ensure_package_on_workers(spark)
     for k, v in RUNTIME_CONFS.items():
@@ -224,12 +234,17 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             # non-settable in this deployment → keep going; queries that
             # depend on a conf guard for it explicitly.
             pass
-    for k, (v, stock_values) in PERF_CONFS.items():
+    if not getattr(spark, "_fluvii_perf_confs_applied", False):
+        for k, (v, stock_values) in PERF_CONFS.items():
+            try:
+                current = spark.conf.get(k, None)
+                if current is None or current in stock_values:
+                    spark.conf.set(k, v)
+            except Exception:
+                pass
         try:
-            current = spark.conf.get(k, None)
-            if current is None or current in stock_values:
-                spark.conf.set(k, v)
-        except Exception:
+            spark._fluvii_perf_confs_applied = True
+        except Exception:  # exotic proxy that forbids attribute writes
             pass
     return spark
 
