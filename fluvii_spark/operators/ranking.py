@@ -434,3 +434,99 @@ def grouped_exact_quantiles(
         universe["p"],
         computed["quantile"],
     )
+
+
+def grouped_hist_cum(
+    df: DataFrame, group_cols: list[str], col: str
+) -> DataFrame:
+    """Per-group value-counts histogram with cumulative ranks — the
+    §2.3 "aggregate before you shuffle" contraction for LOW-CARDINALITY
+    metrics (integer day gaps/latencies, token counts).
+
+    One map-side-combinable ``groupBy(groups..., x).count()`` shrinks the
+    relation to |groups|·|distinct x| rows BEFORE any wide shuffle, so
+    billions of input rows never enter a range repartition at all; the
+    per-group sorted histogram then answers any order-statistic lookup
+    in-row. Only correct to prefer over :func:`grouped_exact_quantiles`
+    when |distinct x| per group is bounded (the array is a per-group
+    aggregation buffer again — exactly what the ranking path avoids for
+    continuous metrics).
+
+    Output: ``group_cols...``, ``_gq_h`` (array<struct<x, c>> ascending
+    by x), ``_gq_cum`` (ascending cumulative counts: ``_gq_cum[i]`` =
+    rank of the LAST occurrence of ``_gq_h[i].x`` in the sorted values),
+    ``_gq_n`` (group row count). NULL values are excluded; all-NULL or
+    empty groups are absent (``include_empty_groups=False`` semantics).
+    """
+    counts = (
+        df.select(*group_cols, F.col(col).alias("_gq_x"))
+        .filter(F.col("_gq_x").isNotNull())
+        .groupBy(*group_cols, "_gq_x")
+        .count()
+    )
+    hist = counts.groupBy(*group_cols).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_gq_x").alias("x"), F.col("count").alias("c")
+                )
+            )
+        ).alias("_gq_h"),
+        F.sum("count").alias("_gq_n"),
+    )
+    cum = F.aggregate(
+        "_gq_h",
+        F.struct(
+            F.expr("CAST(array() AS ARRAY<BIGINT>)").alias("a"),
+            F.lit(0).cast("bigint").alias("t"),
+        ),
+        lambda acc, e: F.struct(
+            F.concat(acc["a"], F.array(acc["t"] + e["c"])).alias("a"),
+            (acc["t"] + e["c"]).alias("t"),
+        ),
+        lambda acc: acc["a"],
+    )
+    return hist.withColumn("_gq_cum", cum)
+
+
+def hist_value_at(rank: Column) -> Column:
+    """The value holding global (1-based) ``rank`` within a
+    :func:`grouped_hist_cum` row: the first histogram bin whose
+    cumulative count reaches the rank (``_gq_cum`` is ascending, so the
+    bin index is the number of bins strictly below the rank)."""
+    idx = F.size(F.filter("_gq_cum", lambda c: c < rank)) + 1
+    return F.element_at("_gq_h", idx)["x"]
+
+
+def grouped_quantiles_lowcard(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    ps: list[float],
+    round_dp: int = 6,
+) -> DataFrame:
+    """Drop-in for :func:`grouped_exact_quantiles`
+    (``include_empty_groups=False``) over LOW-CARDINALITY metrics:
+    identical ``(group_cols..., p, quantile)`` output — same
+    pos = 1 + (n−1)p order statistics, same interpolation, same
+    rounding — but from the :func:`grouped_hist_cum` contraction instead
+    of a distributed ranking, so the only shuffle is the partial-agg
+    value-counts groupBy (|groups|·|distinct x| rows) and the probe
+    lookups are in-row array reads instead of a broadcast rank join.
+    """
+    ps_arr = F.array([F.lit(float(p)) for p in ps])
+    t = grouped_hist_cum(df, group_cols, col).select(
+        *group_cols, "_gq_h", "_gq_cum", "_gq_n", F.explode(ps_arr).alias("p")
+    )
+    # identical arithmetic to grouped_exact_quantiles: bigint n, double p
+    pos = F.lit(1) + (F.col("_gq_n") - 1) * F.col("p")
+    lo = F.floor(pos).cast("bigint")
+    hi = F.ceil(pos).cast("bigint")
+    frac = pos - F.floor(pos)
+    xlo = hist_value_at(lo)
+    xhi = hist_value_at(hi)
+    return t.select(
+        *group_cols,
+        "p",
+        F.round(xlo + frac * (xhi - xlo), round_dp).alias("quantile"),
+    )

@@ -386,28 +386,29 @@ TOKEN_QS = [0.25, 0.5, 0.75]
     """,
     "whitespace-token-count quartiles per language — the sequence-length "
     "profile that sizes packing and truncation budgets. Exact interpolated "
-    "quantiles via the distributed rank-probe operator "
-    "(grouped_exact_quantiles: one composite-order ranking + broadcast "
-    "per-group offsets + 2 probe rows per quantile — no per-group value "
-    "buffers, no per-lang window task), checked against DuckDB's "
-    "quantile_cont which shares the pos = 1+(n-1)p interpolation rule",
+    "quantiles via the value-counts contraction "
+    "(grouped_quantiles_lowcard: token counts are bounded small integers, "
+    "so one map-side groupBy(lang, n).count() replaces the ranking "
+    "shuffle; order statistics are in-row cumulative lookups), checked "
+    "against DuckDB's quantile_cont which shares the pos = 1+(n-1)p "
+    "interpolation rule",
     ("llm", "quantile", "order-statistics"),
 )
 def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fluvii_spark.operators.ranking import grouped_exact_quantiles
+    from fluvii_spark.operators.ranking import grouped_quantiles_lowcard
 
     t = load_tables(spark, sf_dir)
     counts = t.documents.select(
         "lang",
         F.size(F.split(F.col("text"), " ")).cast("double").alias("n_tokens"),
     )
-    # include_empty_groups=False: n_tokens = size(split(...)) is never NULL
-    # for a scanned document row, so no lang group can be all-NULL — the
-    # universe pass (a second full scan + distinct + left join) would only
-    # re-derive groups the ranking path already emits.
-    return grouped_exact_quantiles(
-        counts, ["lang"], "n_tokens", TOKEN_QS, include_empty_groups=False
-    )
+    # whitespace-token counts are small integers bounded by document
+    # length (a schema property, not a corpus property), so the §2.3
+    # value-counts contraction applies: the scan collapses map-side to
+    # |lang|·|distinct lengths| rows before its only shuffle instead of
+    # range-repartitioning every document row. Result-identical to
+    # grouped_exact_quantiles (operator contract + test_ranking).
+    return grouped_quantiles_lowcard(counts, ["lang"], "n_tokens", TOKEN_QS)
 
 
 @register(

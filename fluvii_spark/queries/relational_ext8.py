@@ -811,15 +811,15 @@ _LATENCY_PS = [i / 10.0 for i in range(1, 10)]
     """,
     "order-to-ship latency deciles per order priority — the SLA "
     "distribution behind fulfillment dashboards. Latency is exact "
-    "integer day arithmetic; deciles come from the distributed "
-    "rank-probe operator (grouped_exact_quantiles: composite-order "
-    "range partitioning + broadcast per-group offsets, no per-priority "
-    "window task), matching DuckDB quantile_cont's 1+(n-1)p "
-    "interpolation",
+    "integer day arithmetic (bounded distinct values), so deciles come "
+    "from the value-counts contraction (grouped_quantiles_lowcard: "
+    "map-side groupBy(priority, latency).count() + in-row cumulative "
+    "rank lookups — no range shuffle of the joined rows), matching "
+    "DuckDB quantile_cont's 1+(n-1)p interpolation",
     ("relational", "quantile", "order-statistics"),
 )
 def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fluvii_spark.operators.ranking import grouped_exact_quantiles
+    from fluvii_spark.operators.ranking import grouped_quantiles_lowcard
 
     t = load_tables(spark, sf_dir)
     lat = (
@@ -836,11 +836,16 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("latency"),
         )
     )
-    # include_empty_groups=False: latency is integer day arithmetic over
-    # non-null order/ship dates — never NULL — so no priority group can be
-    # all-NULL; skipping the universe saves a second lineitem⋈orders pass.
-    return grouped_exact_quantiles(
-        lat, ["priority"], "latency", _LATENCY_PS, include_empty_groups=False
+    # latency is integer day arithmetic (bounded distinct values at ANY
+    # corpus scale — it is a calendar-window width, not a row count), so
+    # the §2.3 value-counts contraction applies: the joined relation
+    # collapses map-side to |priority|·|distinct days| rows before its
+    # only shuffle, instead of range-repartitioning every joined row
+    # through the ranking path. Result-identical to
+    # grouped_exact_quantiles (same order statistics, interpolation,
+    # rounding — operator contract + test_ranking equivalence test).
+    return grouped_quantiles_lowcard(
+        lat, ["priority"], "latency", _LATENCY_PS
     ).select("priority", "p", "quantile")
 
 

@@ -387,12 +387,13 @@ _GAP_PS = (0.5, 0.9)
     "customer, discrete p50/p90 per market segment — the repurchase-cadence "
     "statistic behind churn models. Gaps are exact integer day diffs from "
     "a per-customer lag window; the per-segment discrete percentiles come "
-    "from distributed_row_number + broadcast per-group offsets (the q158 "
-    "pattern) — 5 segments never become 5 single-task window partitions",
+    "from a per-segment value-counts histogram (grouped_hist_cum: the "
+    "gap at rank ceil(p·n) is an in-row cumulative-count lookup; integer "
+    "day gaps keep the histogram bounded at any corpus scale)",
     ("relational", "quantile", "timeseries"),
 )
 def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fluvii_spark.operators.ranking import distributed_row_number
+    from fluvii_spark.operators.ranking import grouped_hist_cum, hist_value_at
 
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -406,30 +407,27 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = seq.join(
         t.customer.select("c_custkey", "c_mktsegment"),
         seq.o_custkey == F.col("c_custkey"),
-    ).select("c_mktsegment", "gap", "o_orderkey")
-    ranked = distributed_row_number(
-        j, ["c_mktsegment", "gap", "o_orderkey"], out_col="rnk"
-    )
-    grp = ranked.groupBy("c_mktsegment").agg(
-        F.min("rnk").alias("base"), F.count("*").alias("n")
-    )
-    probes = grp.select(
-        F.col("c_mktsegment").alias("_seg"),
-        F.col("n"),
+    ).select("c_mktsegment", "gap")
+    # the oracle ranks (gap, o_orderkey) but SELECTS only the gap at rank
+    # ceil(p·n), so the orderkey tiebreak cannot change the output value —
+    # the gap holding any rank is fully determined by the per-segment gap
+    # value counts. Gaps are integer days (bounded distinct values at any
+    # corpus scale), so the §2.3 contraction replaces the distributed
+    # ranking + broadcast rank probe: one map-side-combinable
+    # groupBy(segment, gap).count(), then in-row cumulative-rank lookups.
+    probes = grouped_hist_cum(j, ["c_mktsegment"], "gap").select(
+        "c_mktsegment",
+        "_gq_h",
+        "_gq_cum",
+        "_gq_n",
         F.explode(F.array(*[F.lit(p) for p in _GAP_PS])).alias("p"),
-        (F.ceil(F.col("p") * F.col("n")) + F.col("base") - 1).alias(
-            "_target"
-        ),
     )
-    return ranked.join(
-        F.broadcast(probes),
-        (F.col("c_mktsegment") == F.col("_seg"))
-        & (F.col("rnk") == F.col("_target")),
-    ).select(
+    target = F.ceil(F.col("p") * F.col("_gq_n")).cast("bigint")
+    return probes.select(
         "c_mktsegment",
         "p",
-        F.col("gap").cast("bigint").alias("gap_days"),
-        F.col("n").cast("bigint").alias("n_gaps"),
+        hist_value_at(target).cast("bigint").alias("gap_days"),
+        F.col("_gq_n").cast("bigint").alias("n_gaps"),
     )
 
 

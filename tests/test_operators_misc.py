@@ -737,6 +737,52 @@ def test_grouped_exact_quantiles_null_group_key(spark):
     assert got2 == got
 
 
+def test_grouped_quantiles_lowcard_matches_ranking_path(spark):
+    """The value-counts contraction (grouped_quantiles_lowcard) must be a
+    bit-identical drop-in for grouped_exact_quantiles with
+    include_empty_groups=False — same order statistics, interpolation and
+    rounding — on tie-heavy integer-valued data (its target regime),
+    including single-row groups, all-ties groups, and NULL group keys."""
+    import random
+
+    from fluvii_spark.operators.ranking import (
+        grouped_exact_quantiles,
+        grouped_hist_cum,
+        grouped_quantiles_lowcard,
+        hist_value_at,
+    )
+
+    random.seed(11)
+    rows = [
+        (random.choice(["a", "b", "c", None]), float(random.randint(0, 60)))
+        for _ in range(20000)
+    ]
+    rows += [("solo", 3.0), ("ties", 5.0), ("ties", 5.0), ("ties", 5.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    ps = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    want = {
+        (r["g"], r["p"]): r["quantile"]
+        for r in grouped_exact_quantiles(
+            df, ["g"], "x", ps, include_empty_groups=False
+        ).collect()
+    }
+    got = {
+        (r["g"], r["p"]): r["quantile"]
+        for r in grouped_quantiles_lowcard(df, ["g"], "x", ps).collect()
+    }
+    assert got == want
+
+    # the discrete rank lookup (q221 shape): value at rank ceil(p·n) must
+    # match the rank-and-probe answer derived from a global sort
+    hist = grouped_hist_cum(df.filter("g = 'a'"), [], "x")
+    target = F.ceil(F.lit(0.9) * F.col("_gq_n")).cast("bigint")
+    got_x = hist.select(hist_value_at(target).alias("v")).collect()[0]["v"]
+    xs = sorted(r["x"] for r in df.filter("g = 'a'").collect())
+    import math
+
+    assert got_x == xs[math.ceil(0.9 * len(xs)) - 1]
+
+
 def test_distributed_running_sum_matches_global_window(spark, sf_dir):
     """Prefix-sum twin of distributed_row_number: running DECIMAL sum and
     rank must equal a single-task global window's, for any partition
