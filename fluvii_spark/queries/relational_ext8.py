@@ -1358,16 +1358,30 @@ def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 90
         ).alias("is_late"),
     )
-    per_order = dated.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    # contract to per-(order, supplier) late-row counts FIRST (§2.3):
+    # n_supp == countDistinct(supplier) == rows of this relation per
+    # order, n_late_supp == countDistinct(late supplier) == rows with
+    # n_late > 0, and each qualifying supplier's late line-rows are its
+    # n_late — so the countDistinct EXPAND (2x every line row through the
+    # per-order aggregation) and the line-granularity join-back of
+    # per_order both collapse into a window over the bounded-size
+    # per-(order, supplier) relation (order membership is a schema
+    # constant at any corpus scale; no skew, no corpus-level second pass).
+    ps = dated.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(F.col("is_late"), 1)).alias("n_late")
     )
+    w = Window.partitionBy("l_orderkey")
     qualifying = (
-        dated.filter(F.col("is_late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        ps.withColumn("n_supp", F.count("*").over(w))
+        .withColumn(
+            "n_late_supp",
+            F.sum((F.col("n_late") > 0).cast("int")).over(w),
+        )
+        .filter(
+            (F.col("n_late") > 0)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
     )
     return (
         qualifying.join(
@@ -1375,7 +1389,7 @@ def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
             qualifying.l_suppkey == F.col("s_suppkey"),
         )
         .groupBy("s_suppkey", "s_name")
-        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .agg(F.sum("n_late").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_suppkey")
         .limit(20)
     )
