@@ -110,6 +110,22 @@ def cosine_sql(a: str, b: str) -> str:
     )
 
 
+def cosine_hoisted_sql(a: str, b: str, na: str, nb: str) -> str:
+    """:func:`cosine_sql` with the two norm folds HOISTED: ``na``/``nb``
+    name columns holding ``norm_sql(a)`` / ``norm_sql(b)`` precomputed
+    once per VECTOR (e.g. in the projection that builds an index side),
+    so each candidate pair evaluates one O(dims) dot fold instead of
+    three. Bit-identical to :func:`cosine_sql`: sqrt/dot are
+    deterministic on the same input, and the guard/division arithmetic
+    (norm(a)·norm(b) product order included) is unchanged — the folds
+    just run once per vector instead of once per pair."""
+    na_nb = f"({na} * {nb})"
+    return (
+        f"(CASE WHEN {na_nb} = CAST(0.0 AS DOUBLE) THEN CAST(-1.0 AS DOUBLE)"
+        f" ELSE {dot_sql(a, b)} / {na_nb} END)"
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     query_id: int,
@@ -122,11 +138,21 @@ def brute_force_topk(
     The single query row broadcasts; the scan side never shuffles; top-k
     plans as TakeOrderedAndProject.
     """
-    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec"))
+    # query norm hoisted once into the 1-row broadcast (cosine_hoisted_sql:
+    # bit-identical arithmetic, one fewer O(dims) fold per corpus row)
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec"),
+        F.expr(norm_sql(vec_col)).alias("_qn"),
+    )
     return (
         df.filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
-        .select(id_col, F.expr(cosine_sql(vec_col, "qvec")).alias("cosine"))
+        .select(
+            id_col,
+            F.expr(
+                cosine_hoisted_sql(vec_col, "qvec", norm_sql(vec_col), "_qn")
+            ).alias("cosine"),
+        )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
@@ -203,6 +229,7 @@ def lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = N_PLANES,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, bucket): sign pattern of the vector against each hyperplane.
 
@@ -225,8 +252,13 @@ def lsh_buckets(
             F.expr(dot_sql(vec_col, _weights_array_sql(w))) > 0,
             F.lit(1 << p).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
+    # ``keep`` carries extra columns (e.g. the vector itself) through the
+    # projection, so consumers that need (id, bucket, vector) don't join
+    # this zero-shuffle relation back to its own source table — that
+    # "attach" join re-shuffles the corpus by id for columns that were
+    # already on the row (guide §8's re-attach trap).
     return df.where(well_formed_vec(vec_col, dims)).select(
-        id_col, bucket.alias("bucket")
+        id_col, bucket.alias("bucket"), *keep
     )
 
 
@@ -459,7 +491,8 @@ def lsh_topk_multiprobe(
         F.col("qbucket").alias("probe_bucket")
     ).unionByName(flips)
     qvec = df.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("qvec")
+        F.col(vec_col).alias("qvec"),
+        F.expr(norm_sql(vec_col)).alias("_qn"),
     )
     return (
         df.join(buckets, id_col)
@@ -470,7 +503,12 @@ def lsh_topk_multiprobe(
         )
         .filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(qvec))
-        .select(id_col, F.expr(cosine_sql(vec_col, "qvec")).alias("cosine"))
+        .select(
+            id_col,
+            F.expr(
+                cosine_hoisted_sql(vec_col, "qvec", norm_sql(vec_col), "_qn")
+            ).alias("cosine"),
+        )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
@@ -489,12 +527,19 @@ def lsh_topk(
     buckets = lsh_buckets(df, dims, id_col, vec_col, planes)
     with_bucket = df.join(buckets, id_col)
     qb = with_bucket.filter(F.col(id_col) == query_id).select(
-        F.col("bucket").alias("qbucket"), F.col(vec_col).alias("qvec")
+        F.col("bucket").alias("qbucket"),
+        F.col(vec_col).alias("qvec"),
+        F.expr(norm_sql(vec_col)).alias("_qn"),
     )
     return (
         with_bucket.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
         .filter(F.col(id_col) != query_id)
-        .select(id_col, F.expr(cosine_sql(vec_col, "qvec")).alias("cosine"))
+        .select(
+            id_col,
+            F.expr(
+                cosine_hoisted_sql(vec_col, "qvec", norm_sql(vec_col), "_qn")
+            ).alias("cosine"),
+        )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
@@ -595,13 +640,21 @@ def ivf_topk(
 
     q = (
         df.filter(F.col(id_col) == query_id)
-        .select(F.col(vec_col).alias("qvec"))
+        .select(
+            F.col(vec_col).alias("qvec"),
+            F.expr(norm_sql(vec_col)).alias("_qn"),
+        )
     )
     return (
         assigned.filter(F.col("list_id").isin(probe))
         .filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
-        .select(id_col, F.expr(cosine_sql(vec_col, "qvec")).alias("cosine"))
+        .select(
+            id_col,
+            F.expr(
+                cosine_hoisted_sql(vec_col, "qvec", norm_sql(vec_col), "_qn")
+            ).alias("cosine"),
+        )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )

@@ -78,8 +78,14 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     corpus = t.embeddings
     buckets = S.lsh_buckets(corpus, dims=64, planes=4)
+    # both norms hoisted out of the per-(row, probe) cosine (the q146
+    # pattern — bit-identical arithmetic, 1/3 the fold work): corpus rows
+    # carry their norm once, the 10-row probe set carries its own
+    corpus = corpus.withColumn("_ne", F.expr(S.norm_sql("embedding")))
     queries = corpus.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("_ne").alias("_nq"),
     )
     # rank on ROUND(cosine, 6): raw cosines can differ by ~1 ulp across
     # engines, and a rank flip at position 5 moves recall by a full 0.2 —
@@ -92,7 +98,10 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "vec_id",
             F.round(
-                F.expr(S.cosine_sql("embedding", "qvec")), 6
+                F.expr(
+                    S.cosine_hoisted_sql("embedding", "qvec", "_ne", "_nq")
+                ),
+                6,
             ).alias("cosine"),
         )
     )
@@ -113,7 +122,10 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "vec_id",
             F.round(
-                F.expr(S.cosine_sql("embedding", "qvec")), 6
+                F.expr(
+                    S.cosine_hoisted_sql("embedding", "qvec", "_ne", "_nq")
+                ),
+                6,
             ).alias("cosine"),
         )
         .withColumn("rn", F.row_number().over(w))
@@ -644,8 +656,12 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     emb = t.embeddings
+    # probe norm hoisted into the 1-row broadcast (q146 pattern): the
+    # corpus-row norm is inherent per pair (one probe), but norm(qvec)
+    # was re-folded for every corpus row. Bit-identical arithmetic.
     cq = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qvec")
+        F.col("embedding").alias("qvec"),
+        F.expr(S.norm_sql("embedding")).alias("_nq"),
     )
     cos_scored = (
         emb.filter(F.col("vec_id") != 0)
@@ -653,7 +669,12 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("id"),
             (-F.round(
-                F.expr(S.cosine_sql("embedding", "qvec")), 6
+                F.expr(
+                    S.cosine_hoisted_sql(
+                        "embedding", "qvec", S.norm_sql("embedding"), "_nq"
+                    )
+                ),
+                6,
             )).alias("neg_c"),
         )
     )

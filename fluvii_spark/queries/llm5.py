@@ -317,11 +317,16 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     # fan_out: 10-probe cosine scoring parallel on an under-partitioned
     # scan (0.84 s -> 0.59 s solo at sf0.1; no-op at cluster scale)
-    corpus = fan_out_scan(t.embeddings)
+    # both norms hoisted out of the probe x corpus cosine (q146 pattern;
+    # bit-identical arithmetic, 1/3 the fold work per pair)
+    corpus = fan_out_scan(t.embeddings).withColumn(
+        "_ne", F.expr(S.norm_sql("embedding"))
+    )
     q = corpus.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qvec"),
+        F.col("_ne").alias("_nq"),
     )
     scored = (
         corpus.crossJoin(F.broadcast(q))
@@ -331,9 +336,12 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qlabel",
             "label",
             "vec_id",
-            F.round(F.expr(S.cosine_sql("embedding", "qvec")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                F.expr(
+                    S.cosine_hoisted_sql("embedding", "qvec", "_ne", "_nq")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
@@ -562,33 +570,61 @@ def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(sf_dir, "embeddings.parquet"), fallback_df=corpus
         )
     )
-    buckets = S.lsh_buckets(corpus, dims=64, planes=planes)
-    vecs = corpus.select("vec_id", "embedding")
+    # the bucket fold is a zero-shuffle projection, so carry the vector
+    # through it (keep=) instead of joining (id, bucket) back to the
+    # corpus on vec_id — that attach join re-shuffled the corpus by id
+    # on BOTH sides of the bucket self-join for a column already on the
+    # row (guide §8 re-attach trap; 2 corpus joins removed).
     # (r11 measured-and-rejected: localCheckpointing (id, bucket, vec) once
     # for both join sides — 3.8 s vs 3.1 s solo at sf0.1; the double
     # bucket-fold subtree is cheaper than the materialization barrier.)
-    a = buckets.join(vecs, "vec_id").select(
+    bv = S.lsh_buckets(
+        corpus, dims=64, planes=planes, keep=("embedding",)
+    ).withColumn("nrm", F.expr(S.norm_sql("embedding")))
+    a = bv.select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
         "bucket",
     )
+    # norms hoisted to once-per-vector (cosine_hoisted_sql): each
+    # candidate pair runs ONE O(dims) dot fold instead of three;
+    # arithmetic bit-identical to cosine_sql
     scored = (
-        buckets.join(vecs, "vec_id")
-        .join(a, "bucket")
+        bv.join(a, "bucket")
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
             F.round(
-                F.expr(S.cosine_sql("embedding", "qvec")), 6
+                F.expr(
+                    S.cosine_hoisted_sql("embedding", "qvec", "nrm", "qnrm")
+                ),
+                6,
             ).alias("cos_r"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos_r").desc(), "vec_id")
+    # top-1 per qid as max(struct(cos_r, -vec_id)) instead of a
+    # row_number window: identical selection ((cos_r DESC, vec_id ASC)
+    # maximum — negating the id turns the ASC tie-break into a struct
+    # max), but a hash aggregation does map-side PARTIAL aggregation, so
+    # the shuffle carries one candidate per (qid, map task) instead of
+    # funneling every bucket-join candidate row through a sort window
+    # (§2.3 aggregate-before-you-shuffle).
     best = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("qid", F.col("vec_id").alias("nb"), "cos_r")
+        scored.groupBy("qid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos_r"), (-F.col("vec_id")).alias("_nv")
+                )
+            ).alias("_m")
+        )
+        .select(
+            "qid",
+            (-F.col("_m._nv")).alias("nb"),
+            F.col("_m.cos_r").alias("cos_r"),
+        )
     )
     # Mutuality via ONE symmetric-key aggregation instead of the self-join
     # on the reversed pair: `best` has exactly one row per qid, so the
