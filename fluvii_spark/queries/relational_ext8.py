@@ -370,7 +370,6 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
-        .localCheckpoint(eager=False)
     )
     # edge-iterator with out-adjacency arrays instead of materializing the
     # oriented wedge relation (sf0.1: 1.2M edges -> ~35M wedges; the
@@ -380,12 +379,19 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(sqrt(m)), so adjacency payloads stay bounded; each triangle is
     # counted exactly once at its (deg,id)-minimal edge. Edges whose head
     # has no out-neighbors contribute 0, so the inner join dropping them
-    # is exact.
-    adj = dir_e.groupBy("s").agg(F.collect_list("t").alias("nbrs"))
-    adj_s = adj.select(F.col("s").alias("s"), F.col("nbrs").alias("ns"))
+    # is exact. The (s, t, ns) relation comes from EXPLODING the
+    # adjacency rows (the exploded pairs ARE dir_e, with ns already on
+    # the row) instead of joining dir_e back to adj on s — one shuffle
+    # join and the dir_e multi-consumer checkpoint both disappear; the
+    # array payload crosses the network once either way (the t-join).
+    adj = (
+        dir_e.groupBy("s")
+        .agg(F.collect_list("t").alias("nbrs"))
+        .localCheckpoint(eager=False)  # 2 consumers (explode + t-side)
+    )
     adj_t = adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nt"))
     tri = (
-        dir_e.join(adj_s, "s")
+        adj.select("s", F.col("nbrs").alias("ns"), F.explode("nbrs").alias("t"))
         .join(adj_t, "t")
         .agg(
             F.coalesce(
