@@ -1044,8 +1044,10 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # days are distinct, so the pair count is exactly C(n_days, 2) — a
     # 1-row aggregate instead of a second enumeration of the O(days^2)
-    # slope relation just to count it.
-    n_pairs = daily.agg(
+    # slope relation just to count it. Counted on the CHECKPOINTED xy
+    # relation (same rows as daily), not on daily, whose lineage would
+    # re-run the full lineitem scan + aggregation just for this count.
+    n_pairs = xy.agg(
         F.expr("(count(*) * (count(*) - 1)) DIV 2")
         .cast("bigint")
         .alias("n_pairs")
