@@ -123,12 +123,12 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    w = Window.partitionBy("text").orderBy("doc_id")
-    return (
-        t.documents.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.md5(F.encode("text", "UTF-8")).alias("text_md5"))
-    )
+    # keep-first as min(doc_id) per content group: identical row set to
+    # the rn=1 window, but a hash aggregation with map-side partials
+    # instead of a corpus sort window
+    return t.documents.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id", F.md5(F.encode("text", "UTF-8")).alias("text_md5"))
 
 
 @register(

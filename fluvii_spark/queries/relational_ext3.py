@@ -747,11 +747,13 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("n_toks"),
         norm.alias("norm_text"),
     ).filter("n_toks >= 20")
-    keep = Window.partitionBy("norm_text").orderBy("doc_id")
+    # keep-first as min(struct) — doc_id leads the struct and is unique,
+    # so the hash aggregation selects exactly the window's rn=1 row but
+    # with map-side PARTIAL aggregation instead of a corpus sort window
     dedup = (
-        qual.withColumn("rn", F.row_number().over(keep))
-        .filter("rn = 1")
-        .drop("rn", "norm_text")
+        qual.groupBy("norm_text")
+        .agg(F.min(F.struct("doc_id", "lang", "n_toks")).alias("_m"))
+        .select("_m.doc_id", "_m.lang", "_m.n_toks")
     )
     h = _h32(F.concat(F.lit("split_"), F.col("doc_id").cast("string"))) % 10
     split = dedup.withColumn(

@@ -379,22 +379,20 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     d = c.withColumn("pk", F.lag("k").over(w))
     v = d.filter(F.col("pk").isNull() | (F.col("k") != F.col("pk")))
-    w_desc = Window.partitionBy("user_id").orderBy(
-        F.desc("ts"), F.desc("event_id")
+    # current version + count as ONE hash aggregation: max(struct) over
+    # (ts, event_id) — unique within a user, so it selects exactly the
+    # desc-window's rn=1 row — with map-side partial aggregation instead
+    # of a second sort window over the survivors (and the groupBy can
+    # reuse the lag window's user_id partitioning)
+    r = v.groupBy("user_id").agg(
+        F.count("*").alias("nv"),
+        F.max(F.struct("ts", "event_id", "k")).alias("_m"),
     )
-    w_all = Window.partitionBy("user_id")
-    r = v.select(
-        "user_id",
-        "ts",
-        "k",
-        F.row_number().over(w_desc).alias("rn"),
-        F.count("*").over(w_all).alias("nv"),
-    )
-    return r.filter(F.col("rn") == 1).select(
+    return r.select(
         "user_id",
         F.col("nv").cast("bigint").alias("n_versions"),
-        F.col("k").alias("current_k"),
-        F.col("ts").alias("current_from"),
+        F.col("_m.k").alias("current_k"),
+        F.col("_m.ts").alias("current_from"),
     )
 
 

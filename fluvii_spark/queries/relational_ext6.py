@@ -2695,13 +2695,13 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
         F.col("value").cast("decimal(18,6)").alias("v"),
     )
-    w = Window.partitionBy("user_id").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    last = (
-        log.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
+    # last op per key as max(struct) — (ts, event_id) is unique within a
+    # user, so the hash aggregation selects exactly the desc-window's
+    # rn=1 row, with map-side partial aggregation instead of funneling
+    # the whole change log through a per-user sort window
+    last = log.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "op", "v")).alias("_m")
+    ).select(F.col("_m.op").alias("op"), F.col("_m.v").alias("v"))
     return last.agg(
         F.count(F.when(F.col("op") == "upsert", 1))
         .cast("bigint")

@@ -533,16 +533,17 @@ def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # first purchase per user as min(struct(ts, event_id)) — unique key,
+    # so the hash aggregation picks exactly the window's rn=1 row with
+    # map-side partial aggregation instead of a sort window
     conv = (
         t.events.filter(F.col("event_type") == "purchase")
-        .select(
-            "user_id", "ts", "event_id", F.row_number().over(wp).alias("rn")
-        )
-        .filter(F.col("rn") == 1)
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("_m"))
         .select(
             F.col("user_id").alias("_uid"),
-            F.col("ts").alias("cts"),
-            F.col("event_id").alias("cid"),
+            F.col("_m.ts").alias("cts"),
+            F.col("_m.event_id").alias("cid"),
         )
     )
     touches = (
