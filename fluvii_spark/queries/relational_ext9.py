@@ -978,8 +978,12 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
         (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
     )
+    # outlier counting reads the RANKED relation (a 1:1 projection of v
+    # plus rnk), not v — all three consumers then share the ranking's
+    # range exchange via ReusedExchange instead of re-running the
+    # corpus lineitem⋈part join for the final pass
     return (
-        v.join(F.broadcast(f), F.col("p_brand") == F.col("_fb"))
+        ranked.join(F.broadcast(f), F.col("p_brand") == F.col("_fb"))
         .groupBy("p_brand", "n", "q1", "q3")
         .agg(
             F.count(
