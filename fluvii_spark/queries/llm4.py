@@ -807,8 +807,12 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
     # include_empty_groups=False: one constant group over never-NULL
     # 6-dp-rounded scores — the universe pass would re-run the dupc join
     # just to emit the constant the ranking path already carries.
+    # Quantile input is scored, not flagged: the dupc join is 1:1 on
+    # scored's rows (per-norm count attached many-to-one), so the s
+    # multiset is identical and the quantile branch skips re-running the
+    # dup-count groupBy + join on the checkpointed corpus.
     bounds = grouped_exact_quantiles(
-        flagged.select("s").withColumn("g", F.lit(1)),
+        scored.select("s").withColumn("g", F.lit(1)),
         ["g"],
         "s",
         _CAL_PS,

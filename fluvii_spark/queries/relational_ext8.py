@@ -225,14 +225,16 @@ def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decile")
         )
     )
-    a = dec.select("wk", "user_id", F.col("decile").alias("from_decile"))
-    b = dec.select(
-        (F.col("wk") - 1).alias("wk"),
-        "user_id",
-        F.col("decile").alias("to_decile"),
-    )
+    w = Window.partitionBy("user_id").orderBy("wk")
     return (
-        a.join(b, ["wk", "user_id"])
+        dec.select(
+            "user_id",
+            "wk",
+            F.lag("wk").over(w).alias("pwk"),
+            F.lag("decile").over(w).alias("from_decile"),
+            F.col("decile").alias("to_decile"),
+        )
+        .filter(F.col("pwk") == F.col("wk") - 1)
         .groupBy("from_decile", "to_decile")
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .select(
@@ -462,11 +464,24 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
     ob = _order_brands(spark, sf_dir)
     n = ob.agg(F.countDistinct("o").alias("n_orders"))
     s = ob.groupBy("b").agg(F.count("*").alias("c"))
-    a = ob.select("o", F.col("b").alias("brand_a"))
-    bb = ob.select("o", F.col("b").alias("brand_b"))
+    # per-order set contraction instead of the ob self-join (the q198
+    # edge-builder pattern): one shuffle by order, C(brands_per_order, 2)
+    # in-row pair expansion (order size is schema-bounded), then the pair
+    # count — the self-join shuffled the persisted ob twice by o and fed
+    # the join output through the same aggregation
+    pairs = ob.groupBy("o").agg(
+        F.sort_array(F.collect_set("b")).alias("bs")
+    ).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(bs, (x, i) -> "
+                "transform(slice(bs, i + 2, size(bs) - i - 1), "
+                "y -> struct(x AS brand_a, y AS brand_b))))"
+            )
+        ).alias("p")
+    )
     pair = (
-        a.join(bb, "o")
-        .filter(F.col("brand_b") > F.col("brand_a"))
+        pairs.select("p.brand_a", "p.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count("*").alias("c_ab"))
     )
@@ -901,12 +916,23 @@ _PR_ITER_SQL = """
 )
 def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
     ob = _order_brands(spark, sf_dir)
-    a = ob.select("o", F.col("b").alias("u"))
-    bb = ob.select("o", F.col("b").alias("v"))
+    # per-order set contraction (q198/q199 pattern) instead of the ob
+    # self-join: one shuffle by order, in-row ordered-pair expansion
+    # (brands per order are distinct and schema-bounded), then the
+    # per-(u,v) weight count
     ew = (
-        a.join(bb, "o")
-        .filter(F.col("v") != F.col("u"))
-        .groupBy("u", "v")
+        ob.groupBy("o")
+        .agg(F.collect_set("b").alias("bs"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, x -> "
+                    "transform(filter(bs, y -> y != x), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count("*").alias("w"))
         .localCheckpoint(eager=False)
     )
