@@ -1048,19 +1048,26 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
     "once Σdeg² exceeds 2^63, which the g=10 growth corpus already "
     "triggers (caught r9; q225/q202's recipe applied) — the only floats "
     "are two IEEE-correctly-rounded sqrts and one division on "
-    "bit-identical inputs. Plan: distinct + two hash-agg degree tables "
-    "joined back on the edge list — all equi-joins on graph keys, no "
-    "adjacency materialization beyond degrees",
+    "bit-identical inputs. Plan: one distinct pass + two count-windows "
+    "attach both endpoint degrees in place — one corpus scan, no joins, "
+    "no adjacency materialization beyond degrees",
     ("relational", "graph"),
 )
 def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    # the degree-table form (groupBy + join-back) gives edges THREE
+    # consumers and the distinct's exchange is not plan-reused across
+    # them — the lineitem scan + corpus-wide distinct ran three times
+    # (6 parquet scans in the uncut plan). Two count-windows over the
+    # ONE distinct relation compute the same per-edge degrees with a
+    # single scan and no join; per-key partitions are schema-bounded
+    # (suppliers-per-part / parts-per-supplier ratios), not corpus-hot
     edges = t.lineitem.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
-    dp = edges.groupBy("p").agg(F.count("*").alias("x"))
-    ds = edges.groupBy("s").agg(F.count("*").alias("y"))
-    e = edges.join(dp, "p").join(ds, "s")
+    e = edges.withColumn(
+        "x", F.count("*").over(Window.partitionBy("p"))
+    ).withColumn("y", F.count("*").over(Window.partitionBy("s")))
     # moments in DECIMAL(38,0) (duck: HUGEINT): Σdeg² over the edge list
     # passes 2^63 long before 100 TB — the g=10 growth corpus already
     # aborts the int64 form with ARITHMETIC_OVERFLOW — while the final

@@ -2082,6 +2082,11 @@ def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("re", F.lit(0.0))
         .withColumn("ce", F.lit(0.0))
+        # nation x quarter cells are schema/calendar-bounded (~700 rows);
+        # without this cut each sweep below consumes its input twice
+        # (median + join-back) and the corpus join's lineage re-executes
+        # up to 2^4 times across the four unrolled sweeps
+        .localCheckpoint(eager=False)
     )
 
     def sweep(df, key, eff_col):
@@ -2093,6 +2098,7 @@ def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("v", F.col("v") - F.col("_m"))
             .withColumn(eff_col, F.col(eff_col) + F.col("_m"))
             .drop("_m")
+            .localCheckpoint(eager=False)
         )
 
     out = cells
