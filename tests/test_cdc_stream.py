@@ -257,6 +257,14 @@ def _run_scd2(spark, src, out: str, ck: str, flush_ms=None):
     )
 
 
+def _vkey(t: tuple) -> tuple:
+    """None-safe sort key: valid_to_ep (pos 3) is NULL for open versions,
+    and an open-flush checkpoint row can share (user, k, valid_from) with
+    its later closed row — a plain tuple sort then compares None < int and
+    raises. Open rows sort before their closed duplicate."""
+    return (t[0], t[1], t[2], -1 if t[3] is None else t[3], t[4])
+
+
 def _merge_versions(rows: list[tuple]) -> list[tuple]:
     """The dimension-sink MERGE keyed (user, version): a closed row
     (valid_to set) supersedes its open-flush checkpoint (valid_to NULL)."""
@@ -265,19 +273,22 @@ def _merge_versions(rows: list[tuple]) -> list[tuple]:
         cur = best.get((u, ver))
         if cur is None or (cur[3] is None and vt is not None):
             best[(u, ver)] = (u, k, vf, vt, ver)
-    return sorted(best.values())
+    return sorted(best.values(), key=_vkey)
 
 
 def _collect_scd2(spark, out: str) -> list[tuple]:
     return sorted(
         (
-            r["user_id"],
-            r["k"],
-            r["valid_from_ep"],
-            r["valid_to_ep"],
-            r["version"],
-        )
-        for r in spark.read.parquet(out).collect()
+            (
+                r["user_id"],
+                r["k"],
+                r["valid_from_ep"],
+                r["valid_to_ep"],
+                r["version"],
+            )
+            for r in spark.read.parquet(out).collect()
+        ),
+        key=_vkey,
     )
 
 
@@ -316,7 +327,7 @@ def test_streaming_scd2_matches_sequential_and_q126(spark, sf_dir, tmp_path):
         (u, st["k"], st["from"], None, st["ver"])
         for u, st in open_state.items()
     )
-    assert got == sorted(closed_want + tails)
+    assert got == sorted(closed_want + tails, key=_vkey)
     assert len(closed_want) > 0 and len(tails) > 0
 
     # q126 parity: the open (valid_to NULL) version per key is the current
