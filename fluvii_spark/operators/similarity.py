@@ -447,7 +447,11 @@ def lsh_topk_multiprobe(
     never a bucket-0 scan. Same for :func:`lsh_topk`.
     """
     ws = plane_weights(dims, planes)
-    buckets = lsh_buckets(df, dims, id_col, vec_col, planes)
+    # keep the vector on the bucket row: the candidate side needs
+    # (id, bucket, vector) and a ``df ⋈ buckets`` attach-join would
+    # re-shuffle the corpus by id for a column already on the row
+    # (guide §8's re-attach trap; same move as the q246 bucket path)
+    buckets = lsh_buckets(df, dims, id_col, vec_col, planes, keep=(vec_col,))
     # per-plane dots ONLY for the single query row (planes rows total) —
     # the corpus side never materializes per-plane dots at all
     qdots = (
@@ -495,8 +499,7 @@ def lsh_topk_multiprobe(
         F.expr(norm_sql(vec_col)).alias("_qn"),
     )
     return (
-        df.join(buckets, id_col)
-        .join(
+        buckets.join(
             F.broadcast(probe_set),
             F.col("bucket") == F.col("probe_bucket"),
             "leftsemi",
@@ -524,8 +527,9 @@ def lsh_topk(
     planes: int = N_PLANES,
 ) -> DataFrame:
     """Approximate top-k: exact cosine, but only within the query's bucket."""
-    buckets = lsh_buckets(df, dims, id_col, vec_col, planes)
-    with_bucket = df.join(buckets, id_col)
+    # (id, bucket, vector) straight off the projection — no corpus
+    # attach-join (see lsh_topk_multiprobe)
+    with_bucket = lsh_buckets(df, dims, id_col, vec_col, planes, keep=(vec_col,))
     qb = with_bucket.filter(F.col(id_col) == query_id).select(
         F.col("bucket").alias("qbucket"),
         F.col(vec_col).alias("qvec"),

@@ -193,7 +193,17 @@ KMV_SALTS = 32
 )
 def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    pairs = t.events.select("event_type", "user_id").distinct()
+    # pairs has THREE consumers (the sketch path, the exact-intersection
+    # pass, and the type-pair relation) and a distinct's exchange is not
+    # plan-reused across differently-projected consumers — un-checkpointed,
+    # the events scan + corpus-wide distinct executed 4× (9 parquet scans
+    # in the before-plan). One materialization feeds all consumers; at any
+    # scale the removed work is three extra corpus scans + distincts.
+    pairs = (
+        t.events.select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     hashed = pairs.withColumn(
         "h",
         md5_hash64(F.col("user_id").cast("string")) / F.lit(4294967296.0),
@@ -222,11 +232,17 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= KMV_K)
         .select("event_type", "user_id", "h")
+        # ≤ |types|·K rows, consumed by est AND u_rows: a lazy checkpoint
+        # of this tiny relation keeps the two ranking windows over the
+        # corpus from executing twice
+        .localCheckpoint(eager=False)
     )
     est = sk_rows.groupBy("event_type").agg(
         F.count("*").alias("n_kept"), F.max("h").alias("h_k")
     )
-    types = t.events.select("event_type").distinct()
+    # same type set as events' distinct event_type (every event row enters
+    # pairs), read off the checkpointed relation instead of a fresh scan
+    types = pairs.select("event_type").distinct()
     tp = (
         types.alias("a")
         .join(
@@ -259,24 +275,29 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ta", "tb")
         .agg(F.count("*").alias("n_kept"), F.max("h").alias("h_k"))
     )
+    # exact intersection by per-user set contraction (the q198 edge-builder
+    # pattern) instead of the pairs⋈pairs self-join that shuffled the
+    # corpus-sized pairs relation twice and SMJ'd: collect each user's
+    # distinct types (bounded by |event types|, a schema constant), expand
+    # the sorted x<y pairs in-row, count per pair. The NULL-user filter
+    # matches the oracle's equi-join semantics (NULL = NULL never joins),
+    # so the counts are identical by construction.
     exact_i = (
-        F.broadcast(tp)
-        .join(
-            pairs.select(
-                F.col("event_type").alias("ta_t"),
-                F.col("user_id").alias("uid"),
-            ),
-            F.col("ta_t") == F.col("ta"),
+        pairs.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (x, i) ->"
+                    " transform(slice(ts, i + 2, size(ts)),"
+                    " y -> struct(x as ta, y as tb))))"
+                )
+            ).alias("p")
         )
-        .join(
-            pairs.select(
-                F.col("event_type").alias("tb_t"),
-                F.col("user_id").alias("uid2"),
-            ),
-            (F.col("tb_t") == F.col("tb")) & (F.col("uid2") == F.col("uid")),
-        )
-        .groupBy("ta", "tb")
+        .groupBy("p.ta", "p.tb")
         .agg(F.count("*").alias("exact_inter"))
+        .select(F.col("ta"), F.col("tb"), "exact_inter")
     )
 
     def kmv_est(n_kept, h_k):
