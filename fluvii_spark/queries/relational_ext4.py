@@ -110,7 +110,13 @@ KMV_K = 64
 )
 def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    pairs = t.events.select("event_type", "user_id").distinct()
+    # two consumers (sketch path + exact per-type distinct): one
+    # materialization instead of two events scans + corpus distincts
+    pairs = (
+        t.events.select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     hashed = pairs.withColumn(
         "h",
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
@@ -126,7 +132,11 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = ranked.groupBy("event_type").agg(
         F.count("*").alias("n_kept"), F.max("h").alias("h_k")
     )
-    exact = t.events.groupBy("event_type").agg(
+    # exact per-type distinct off the SAME checkpointed pairs relation —
+    # count_distinct(user_id) over the distinct (type, user) rows equals
+    # the raw-events count (NULL users excluded identically); the
+    # un-checkpointed form re-scanned events + re-ran a corpus distinct
+    exact = pairs.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
     )
     return sk.join(exact, "event_type").select(
@@ -180,7 +190,13 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    pairs = t.events.select("event_type", "user_id").distinct()
+    # three consumers (sketch path + the exact-distinct and group-count
+    # stats below): one materialization instead of three events scans
+    pairs = (
+        t.events.select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     hashed = pairs.withColumn(
         "h",
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
@@ -199,15 +215,16 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn", F.row_number().over(Window.orderBy("h", "user_id"))
     ).filter(F.col("rn") <= KMV_K)
     sk = g.agg(F.count("*").alias("n_kept"), F.max("h").alias("h_k"))
-    exact = t.events.agg(
-        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
-    )
-    ng = t.events.agg(
-        F.count_distinct("event_type").cast("bigint").alias("n_groups")
+    # both exact stats in ONE aggregation over the checkpointed pairs
+    # relation — distinct users/types over the distinct (type, user) rows
+    # equal the raw-events counts (count_distinct drops NULLs identically);
+    # the previous form ran two more full events scans + distinct aggs
+    stats = pairs.agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct"),
+        F.count_distinct("event_type").cast("bigint").alias("n_groups"),
     )
     return (
-        sk.crossJoin(F.broadcast(exact))
-        .crossJoin(F.broadcast(ng))
+        sk.crossJoin(F.broadcast(stats))
         .select(
             "n_groups",
             "exact_distinct",

@@ -2276,9 +2276,19 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = part_stats.groupBy("event_type").agg(
         F.sum("n").alias("n"), F.sum("sv").alias("sv")
     )
-    hashed = ev.select("event_type", "part", "user_id").distinct().withColumn(
-        "h",
-        md5_hash64(F.col("user_id").cast("string")) / F.lit(4294967296.0),
+    # two consumers (the per-part sketch path and the direct whole-type
+    # sketch — the latter is deliberately NOT derived from the former, or
+    # the mergeability check would be tautological), so un-checkpointed
+    # the events scan + corpus-wide distinct executed twice
+    hashed = (
+        ev.select("event_type", "part", "user_id")
+        .distinct()
+        .withColumn(
+            "h",
+            md5_hash64(F.col("user_id").cast("string"))
+            / F.lit(4294967296.0),
+        )
+        .localCheckpoint(eager=False)
     )
 
     def kmv(df, keys):

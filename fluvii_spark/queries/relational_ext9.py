@@ -477,16 +477,21 @@ def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(">90")
         .alias("bucket"),
     ).agg(F.count("*").alias("n"))
-    tot = b.groupBy(F.col("o_orderpriority").alias("_pr")).agg(
-        F.sum("n").alias("tot")
-    )
-    return b.join(
-        F.broadcast(tot), F.col("o_orderpriority") == F.col("_pr")
-    ).select(
+    # per-priority total as a window over the ~|priorities|·4-row
+    # aggregate instead of a second aggregation + join-back, which
+    # re-executed b's whole corpus-join lineage (the before-plan carries
+    # the lineitem⋈orders subtree twice). sum(n) OVER the priority
+    # partition is the same bigint total the join attached; partitions
+    # are schema-bounded (one per priority), so no skew risk.
+    return b.select(
         "o_orderpriority",
         "bucket",
         F.col("n").cast("bigint").alias("n_lines"),
-        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("share"),
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("o_orderpriority")),
+            6,
+        ).alias("share"),
     )
 
 
