@@ -799,43 +799,92 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("relational", "funnel"),
 )
 def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_tables(spark, sf_dir).events.select(
-        "user_id",
-        "event_type",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    # single-pass funnel: ONE filtered scan + ONE per-user time-ordered
+    # window instead of three filtered scans, three per-user aggregations
+    # and two join-backs (the before-plan carried six events scans).
+    # Correctness: with the default RANGE UNBOUNDED PRECEDING..CURRENT ROW
+    # frame, the running min(view t) at any row r equals the user's global
+    # first-view time tv whenever tv <= t(r) and is NULL otherwise — and a
+    # row can only satisfy the strict `t > tv` horizon test when tv <= t,
+    # so per-row running mins decide exactly the global-join conditions.
+    # The same argument chains for the qualified-click marker. Ties in t
+    # are harmless: RANGE frames include all tied rows, and equality
+    # fails the strict `>` either way. The three window expressions share
+    # one WindowSpec (one shuffle + sort); the per-user flag aggregation
+    # reuses the window's hash partitioning (no second exchange).
+    return _funnel_stages(
+        spark,
+        sf_dir,
+        click_horizon_us=86_400_000_000,  # click within 24 h
+        purchase_horizon_us=259_200_000_000,  # purchase within 72 h
+        labels=("view", "view>click", "view>click>purchase"),
     )
-    v = (
-        e.filter("event_type = 'view'")
-        .groupBy("user_id")
-        .agg(F.min("t").alias("tv"))
-    )
-    c = (
-        e.filter("event_type = 'click'")
-        .join(v, "user_id")
-        .filter("t > tv AND t - tv <= 86400000000")  # click within 24 h
-        .groupBy("user_id")
-        .agg(F.min("t").alias("tc"))
-    )
-    p = (
-        e.filter("event_type = 'purchase'")
-        .join(c, "user_id")
-        .filter("t > tc AND t - tc <= 259200000000")  # purchase within 72 h
-        .groupBy("user_id")
-        .agg(F.min("t").alias("tp"))
-    )
-    return (
-        v.agg(F.count("*").alias("n_users")).select(F.lit("view").alias("stage"), "n_users")
-        .unionByName(
-            c.agg(F.count("*").alias("n_users")).select(
-                F.lit("view>click").alias("stage"), "n_users"
-            )
+
+
+def _funnel_stages(
+    spark: SparkSession,
+    sf_dir: str,
+    click_horizon_us: int,
+    purchase_horizon_us: int,
+    labels: tuple[str, str, str],
+) -> DataFrame:
+    """Shared single-pass funnel body for q89/q119 (see q89's note)."""
+    e = (
+        load_tables(spark, sf_dir)
+        .events.select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
         )
-        .unionByName(
-            p.agg(F.count("*").alias("n_users")).select(
-                F.lit("view>click>purchase").alias("stage"), "n_users"
-            )
-        )
+        # only the three funnel stages cross the shuffle (guide §2.3)
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
     )
+    w = Window.partitionBy("user_id").orderBy("t")
+    ev = e.withColumn(
+        "tv", F.min(F.when(F.col("event_type") == "view", F.col("t"))).over(w)
+    )
+    ev = ev.withColumn(
+        "tc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("t") > F.col("tv"))
+                & (F.col("t") - F.col("tv") <= click_horizon_us),
+                F.col("t"),
+            )
+        ).over(w),
+    )
+    qp = (
+        (F.col("event_type") == "purchase")
+        & (F.col("t") > F.col("tc"))
+        & (F.col("t") - F.col("tc") <= purchase_horizon_us)
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.col("tv").isNotNull()).alias("has_v"),
+        F.max(F.col("tc").isNotNull()).alias("has_c"),
+        F.max(qp).alias("has_p"),
+    )
+    tot = per_user.agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col(c), 1)), F.lit(0))
+            .cast("bigint")
+            .alias(a)
+            for c, a in (("has_v", "nv"), ("has_c", "nc"), ("has_p", "np"))
+        ]
+    )
+    return tot.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lbl).alias("stage"),
+                        F.col(col).alias("n_users"),
+                    )
+                    for lbl, col in zip(labels, ("nv", "nc", "np"))
+                ]
+            )
+        ).alias("s")
+    ).select("s.stage", "s.n_users")
 
 
 _US_WEEK = 604_800_000_000  # 7 * 86400 * 1e6 — epoch-aligned integer weeks

@@ -623,45 +623,14 @@ FUNNEL_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7 days in microseconds
     ("relational", "funnel", "timeseries"),
 )
 def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_tables(spark, sf_dir).events.select(
-        "user_id",
-        "event_type",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    # single-pass per-user window funnel — see q89's correctness note
+    # (`t <= tv + W` is `t - tv <= W` on integral micros, same horizon)
+    from fluvii_spark.queries.relational_ext3 import _funnel_stages
+
+    return _funnel_stages(
+        spark,
+        sf_dir,
+        click_horizon_us=FUNNEL_WINDOW_US,
+        purchase_horizon_us=FUNNEL_WINDOW_US,
+        labels=("view", "view>click(7d)", "click>purchase(7d)"),
     )
-    v = (
-        e.filter("event_type = 'view'")
-        .groupBy("user_id")
-        .agg(F.min("t").alias("tv"))
-    )
-    c = (
-        e.filter("event_type = 'click'")
-        .join(v, "user_id")
-        .filter(
-            (F.col("t") > F.col("tv"))
-            & (F.col("t") <= F.col("tv") + FUNNEL_WINDOW_US)
-        )
-        .groupBy("user_id")
-        .agg(F.min("t").alias("tc"))
-    )
-    p = (
-        e.filter("event_type = 'purchase'")
-        .join(c, "user_id")
-        .filter(
-            (F.col("t") > F.col("tc"))
-            & (F.col("t") <= F.col("tc") + FUNNEL_WINDOW_US)
-        )
-        .groupBy("user_id")
-        .agg(F.min("t").alias("tp"))
-    )
-    stages = [
-        (v, "view"),
-        (c, "view>click(7d)"),
-        (p, "click>purchase(7d)"),
-    ]
-    out = None
-    for df_stage, label in stages:
-        row = df_stage.agg(F.count("*").cast("bigint").alias("n_users")).select(
-            F.lit(label).alias("stage"), "n_users"
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
