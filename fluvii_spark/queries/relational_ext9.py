@@ -176,8 +176,11 @@ def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     bal = F.col("c_acctbal").cast("double")
+    # the duplicated customer scan stays: it is a dimension-table scan and
+    # the interleaved A/B showed a checkpoint barrier buys nothing here
+    cust = t.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
     seg = (
-        t.customer.filter(bal > 0)
+        cust.filter(bal > 0)
         .groupBy("c_mktsegment")
         .agg(
             (
@@ -187,14 +190,19 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("c_mktsegment", "_seg")
     )
-    last = t.orders.groupBy("o_custkey").agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("last_d")
+    # per-customer last order date, materialized once: the global max
+    # order date is the max of the per-customer maxes (every order row
+    # belongs to exactly one o_custkey group, NULL included), so deriving
+    # it from `last` removes the second full orders scan the separate
+    # 1-row aggregate paid
+    last = (
+        t.orders.groupBy("o_custkey")
+        .agg(F.max(F.col("o_orderdate").cast("date")).alias("last_d"))
+        .localCheckpoint(eager=False)
     )
-    mx = t.orders.agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("m")
-    )
+    mx = last.agg(F.max("last_d").alias("m"))
     dormant = (
-        t.customer.join(
+        cust.join(
             F.broadcast(seg), F.col("c_mktsegment") == F.col("_seg")
         )
         .filter(bal > F.col("avg_bal"))
@@ -1539,15 +1547,18 @@ def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    tot = half.groupBy(F.col("h").alias("_h")).agg(
-        F.sum("rev").alias("trev")
-    )
-    sh = half.join(F.broadcast(tot), F.col("h") == F.col("_h")).select(
+    # per-half total as a window over the |brands|·2-row aggregate instead
+    # of a second aggregation + join-back that re-executed half's
+    # lineitem⋈part lineage (the before-plan scanned both tables twice).
+    # sum(rev) OVER the half partition is the same decimal total the join
+    # attached; two schema-bounded partitions, no skew risk.
+    sh = half.select(
         "p_brand",
         "h",
-        (F.col("rev").cast("double") / F.col("trev").cast("double")).alias(
-            "share"
-        ),
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(Window.partitionBy("h")).cast("double")
+        ).alias("share"),
     )
     h1 = F.max(F.when(F.col("h") == "H1", F.col("share")))
     h2 = F.max(F.when(F.col("h") == "H2", F.col("share")))
