@@ -531,9 +531,15 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    cells = t.events.groupBy(
-        "event_type", (F.col("value") < 0).alias("neg")
-    ).agg(F.count("*").alias("o"))
+    # |types|×2 contingency cells with FOUR consumers (grand total, row
+    # totals, column totals, the chi² join) — un-checkpointed, the events
+    # scan + corpus aggregation executed four times (4 scans in the
+    # before-plan); the materialized relation is schema-bounded
+    cells = (
+        t.events.groupBy("event_type", (F.col("value") < 0).alias("neg"))
+        .agg(F.count("*").alias("o"))
+        .localCheckpoint(eager=False)
+    )
     tot = cells.agg(F.sum("o").cast("double").alias("n"))
     rt = cells.groupBy("event_type").agg(F.sum("o").cast("double").alias("r"))
     ct = cells.groupBy("neg").agg(F.sum("o").cast("double").alias("c"))
