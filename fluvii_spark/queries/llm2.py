@@ -401,7 +401,15 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    counts = t.documents.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    # |langs| rows with four downstream reads (target, rates×2, final
+    # join) — un-checkpointed, the documents scan + corpus aggregation
+    # re-ran per read (5 scans in the before-plan; 2 after: this one and
+    # the sampling pass)
+    counts = (
+        t.documents.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .localCheckpoint(eager=False)
+    )
     target = counts.agg(F.min("n_docs").alias("target"))
     rates = counts.crossJoin(F.broadcast(target)).select(
         "lang",
@@ -764,11 +772,22 @@ BM25_B = 0.75
 )
 def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    dl = t.documents.select(
-        "doc_id", F.size(F.split("text", " ")).alias("dl")
+    # (doc_id, dl) has two consumers (corpus stats + the scoring join);
+    # checkpoint the narrow projection once instead of re-scanning +
+    # re-splitting the text per consumer
+    dl = (
+        t.documents.select(
+            "doc_id", F.size(F.split("text", " ")).alias("dl")
+        )
+        .localCheckpoint(eager=False)
     )
-    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
-    n = t.documents.agg(F.count("*").alias("n_docs"))
+    # avgdl and N in ONE aggregation over dl (N = |documents| = |dl rows|)
+    # — previously a separate full documents scan just for the count
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs")
+    )
+    # ≤ |docs|·|terms| rows, consumed by df_ and the scoring join — the
+    # un-checkpointed form re-ran the explode over the corpus twice
     tf = (
         t.documents.select(
             "doc_id", F.explode(F.split("text", " ")).alias("term")
@@ -776,6 +795,7 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term").isin(*BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -804,8 +824,7 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tf.join(F.broadcast(df_), "term")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(n))
-        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(score.alias("score"))
         .orderBy(F.col("score").desc(), "doc_id")

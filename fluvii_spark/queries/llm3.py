@@ -245,20 +245,37 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    # (lang, tok) vocabulary checkpointed once — it had three consumers
+    # (sizes + both self-join sides), each re-running the corpus explode
+    # + dedup shuffle (4 documents scans in the before-plan)
     lt = (
         t.documents.select(
             "lang", F.explode(F.split("text", " ")).alias("tok")
         )
         .dropDuplicates(["lang", "tok"])
+        .localCheckpoint(eager=False)
     )
     sz = lt.groupBy("lang").agg(F.count("*").alias("n"))
-    a = lt.withColumnRenamed("lang", "lang_a")
-    b = lt.withColumnRenamed("lang", "lang_b")
+    # shared-token pair counts by per-token set contraction (the q198
+    # edge-builder pattern) instead of the vocab self-join: collect each
+    # token's langs (bounded by |langs|, a schema constant), expand the
+    # sorted a<b pairs in-row, count per pair — one shuffle of (tok, lang)
+    # instead of two shuffles + an SMJ of the whole vocabulary
     inter = (
-        a.join(b, "tok")
-        .filter(F.col("lang_a") < F.col("lang_b"))
-        .groupBy("lang_a", "lang_b")
+        lt.groupBy("tok")
+        .agg(F.sort_array(F.collect_set("lang")).alias("ls"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ls, (x, i) ->"
+                    " transform(slice(ls, i + 2, size(ls)),"
+                    " y -> struct(x as lang_a, y as lang_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.lang_a", "p.lang_b")
         .agg(F.count("*").alias("n_common"))
+        .select(F.col("lang_a"), F.col("lang_b"), "n_common")
     )
     sa = F.broadcast(sz.withColumnRenamed("lang", "lang_a").withColumnRenamed("n", "na"))
     sb = F.broadcast(sz.withColumnRenamed("lang", "lang_b").withColumnRenamed("n", "nb"))
