@@ -367,17 +367,27 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    bounds = t.orders.select(
-        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
-        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    # ONE orders pass: the calendar bounds and the priority list both
+    # derive from the months×priorities count relation (date_trunc is
+    # monotonic, so min/max of truncated months equal the truncation of
+    # min/max dates; every priority value appears in some count row) —
+    # previously three separate full orders scans. The checkpointed
+    # relation is calendar×schema-bounded at any corpus size.
+    counts = (
+        t.orders.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            "o_orderpriority",
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = counts.select(
+        F.min("month").alias("lo"), F.max("month").alias("hi")
     )
     months = bounds.select(
         F.explode(F.expr("sequence(lo, hi, INTERVAL 1 MONTH)")).alias("month")
     )
-    prio = t.orders.select("o_orderpriority").distinct()
-    counts = t.orders.groupBy(
-        F.date_trunc("month", "o_orderdate").alias("month"), "o_orderpriority"
-    ).agg(F.count("*").alias("n"))
+    prio = counts.select("o_orderpriority").distinct()
     return (
         months.crossJoin(prio)
         .join(counts, ["month", "o_orderpriority"], "left")

@@ -278,6 +278,13 @@ def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
 
+    # MEASURED AND REJECTED (r11 opt): a single-pass form (in-row explode
+    # of each row's three (key_col, key) memberships → one grouped count)
+    # was oracle-equal but ran +0.3 s warm interleaved (old {1.26, 0.87,
+    # 1.13} vs new {1.31, 1.34, 1.42}): the three branch shuffles
+    # parallelize inside one job locally while the exploded form pushes
+    # 3× rows through one serial shuffle. Scan count (3→1) would favor it
+    # on a real multi-split fact table — revisit on a grown corpus.
     def per_key(col: str) -> DataFrame:
         return (
             t.lineitem.groupBy(F.col(col).alias("k"))

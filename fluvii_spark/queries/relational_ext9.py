@@ -119,6 +119,10 @@ def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(F.sum(price * (F.lit(1) - disc)).alias("total"))
+        # two consumers (global max + the top filter) — materialize the
+        # supplier-bounded relation once instead of re-running the
+        # filtered lineitem scan + aggregation for each
+        .localCheckpoint(eager=False)
     )
     mx = rev.agg(F.max("total").alias("mx"))
     # broadcast the CONTRACTED side (max-revenue rows: ~1), never the
@@ -1351,12 +1355,15 @@ def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    last = t.lineitem.groupBy("l_partkey").agg(
-        F.max(F.col("l_shipdate").cast("date")).alias("last_ship")
+    # global max ship date = max of the per-part maxes (every lineitem
+    # row belongs to exactly one l_partkey group, NULL included), so one
+    # fact scan feeds both; the part-bounded relation materializes once
+    last = (
+        t.lineitem.groupBy("l_partkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("last_ship"))
+        .localCheckpoint(eager=False)
     )
-    mx = t.lineitem.agg(
-        F.max(F.col("l_shipdate").cast("date")).alias("m")
-    )
+    mx = last.agg(F.max("last_ship").alias("m"))
     age = (
         t.part.join(last, F.col("l_partkey") == F.col("p_partkey"))
         .crossJoin(F.broadcast(mx))
