@@ -77,11 +77,16 @@ from fluvii_spark.queries.llm import (
 def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     corpus = t.embeddings
-    buckets = S.lsh_buckets(corpus, dims=64, planes=4)
     # both norms hoisted out of the per-(row, probe) cosine (the q146
     # pattern — bit-identical arithmetic, 1/3 the fold work): corpus rows
     # carry their norm once, the 10-row probe set carries its own
     corpus = corpus.withColumn("_ne", F.expr(S.norm_sql("embedding")))
+    # vector + norm carried through the bucket projection so the LSH
+    # candidate side never attach-joins the corpus (guide §8 re-attach
+    # trap; same move as lsh_topk)
+    buckets = S.lsh_buckets(
+        corpus, dims=64, planes=4, keep=("embedding", "_ne")
+    )
     queries = corpus.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),
@@ -112,11 +117,10 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
     )
     qb = queries.join(
-        buckets.withColumnRenamed("vec_id", "qid"), "qid"
-    )  # qid, qvec, bucket — 10 rows, broadcast
+        buckets.select(F.col("vec_id").alias("qid"), "bucket"), "qid"
+    )  # qid, qvec, _nq, bucket — 10 rows, broadcast
     lsh = (
-        corpus.join(buckets, "vec_id")
-        .join(F.broadcast(qb), "bucket")
+        buckets.join(F.broadcast(qb), "bucket")
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
