@@ -707,14 +707,26 @@ def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     docs = t.documents
-    sh = word_shingles(docs, "doc_id", "text", n=3, distinct=True)
-    src = docs.select("doc_id", "source")
+    # source rides the shingle rows in a struct id (every doc has exactly
+    # one source), so the doc_id attach-join disappears; in-row distinct
+    # gives the same (doc, shingle) rows as the dropDuplicates exchange
+    # with zero shuffle. Before: 3 documents scans + a dedup exchange + a
+    # corpus join; after: 2 scans (shingles + the n_docs pass, which must
+    # see shingle-less short docs too) and one grouped count.
+    sh = word_shingles(
+        docs.select(F.struct("doc_id", "source").alias("_ds"), "text"),
+        "_ds",
+        "text",
+        n=3,
+        distinct=True,
+        distinct_in_row=True,
+    )
     d = (
-        sh.join(src, "doc_id")
+        sh.select(F.col("_ds.source").alias("source"), "shingle")
         .groupBy("source", "shingle")
         .agg(F.count("*").alias("df"))
     )
-    nd = src.groupBy("source").agg(
+    nd = docs.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
     w = Window.partitionBy("source").orderBy(F.col("df").desc(), "shingle")

@@ -425,9 +425,29 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(F.col("s_nationkey").alias("nationkey"))
     )
-    inter = cust.intersect(supp).select(F.lit("intersect").alias("op"), "nationkey")
-    exc = cust.subtract(supp).select(F.lit("except").alias("op"), "nationkey")
-    return inter.unionByName(exc)
+    # both set-ops in ONE pass: INTERSECT = distinct left keys present in
+    # the (bounded, broadcast) right side, EXCEPT = the rest — a null-safe
+    # membership join over the one distinct replaces two set-operators
+    # that each re-scanned customer and re-ranked the supplier top-10
+    # (4 scans → 2, two dedup shuffles → one). eqNullSafe matches the
+    # set-operators' NULL-equals-NULL semantics.
+    sn = supp.distinct().select(
+        F.col("nationkey").alias("_snk"), F.lit(1).alias("_in")
+    )
+    return (
+        cust.distinct()
+        .join(
+            F.broadcast(sn),
+            F.col("nationkey").eqNullSafe(F.col("_snk")),
+            "left",
+        )
+        .select(
+            F.when(F.col("_in").isNotNull(), "intersect")
+            .otherwise("except")
+            .alias("op"),
+            "nationkey",
+        )
+    )
 
 
 @register(
