@@ -500,55 +500,82 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("llm", "dedup", "sketch", "evaluation"),
 )
 def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvii_spark.operators.stats import fan_out_scan
+
     t = load_tables(spark, sf_dir)
     docs = t.documents
-    # ONE signature aggregation serves the band join, the estimator join
-    # and (through `candidates=`) the exact verification — checkpointed so
-    # each consumer reads the same materialized relation instead of
-    # re-running the shingle→hash→16-min pipeline
-    wide = D.minhash_signatures_wide(docs).localCheckpoint(eager=False)
-    cand = D.lsh_candidate_pairs(docs, wide=wide).localCheckpoint(
+    # ONE checkpointed per-doc profile — the 16 minhash minima AND the
+    # distinct shingle SET collected from the SAME shingle explode — feeds
+    # the band join, the estimator and the exact-Jaccard verification
+    # through a single cand⋈a⋈b chain. The previous split topology
+    # (signatures checkpoint + two fresh document scans re-running the
+    # shingle pipeline for the exact pass) was r11's measured-best on the
+    # single-row-group sf0.1 files where the duplicated branches were
+    # free; re-adjudicated in r12 on the MULTI-SPLIT g=10 corpus (every
+    # scan = 32 real tasks): merged profile 12.2 s vs split 16.4 s best
+    # (−26%), and the sf0.1 A/B now also favors it (2.62 vs 3.40 best of
+    # 4 interleaved). collect_set's order doesn't matter: the exact
+    # Jaccard reads the set only through size/array_intersect.
+    n_perms = len(D.MINHASH_PERMS)
+    sh = D.word_shingles(
+        fan_out_scan(docs), "doc_id", "text", 3, distinct=False
+    )
+    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % D.MINHASH_P).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(D.MINHASH_PERMS)
+    ]
+    prof = (
+        sh.withColumn("h", h)
+        .groupBy("doc_id")
+        .agg(*aggs, F.collect_set("shingle").alias("_ss"))
+        .localCheckpoint(eager=False)
+    )
+    cand = D.lsh_candidate_pairs(docs, wide=prof).localCheckpoint(
         eager=False
     )
-    n_perms = len(D.MINHASH_PERMS)
-    wa = wide.select(
+    wa = prof.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_perms)],
+        F.col("_ss").alias("_sa"),
     )
-    wb = wide.select(
+    wb = prof.select(
         F.col("doc_id").alias("id_b"),
         *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_perms)],
+        F.col("_ss").alias("_sb"),
     )
     matches = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         for i in range(n_perms)
     )
-    est = (
+    # exact Jaccard on the profile's shingle sets — identical values to
+    # minhash_lsh_pairs' array_distinct form (same set per doc; every
+    # candidate doc has ≥1 shingle or it could not share a band), and the
+    # old est⋈exact left join always matched (threshold 0.0 passes every
+    # candidate pair), so computing both in-row changes no row
+    n_int = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    jac = F.when(
+        F.size("_sa") + F.size("_sb") == n_int, F.lit(0.0)
+    ).otherwise(n_int / (F.size("_sa") + F.size("_sb") - n_int))
+    return (
         cand.join(wa, "id_a")
         .join(wb, "id_b")
         .select(
-            "id_a", "id_b", (matches / float(n_perms)).alias("est_jaccard")
+            "id_a",
+            "id_b",
+            (matches / float(n_perms)).alias("_est"),
+            jac.alias("_jac"),
         )
-    )
-    exact = D.minhash_lsh_pairs(
-        docs, threshold=0.0, candidates=cand
-    ).select("id_a", "id_b", "jaccard")
-    return (
-        est.join(exact, ["id_a", "id_b"], "left")
         .select(
             "id_a",
             "id_b",
-            F.round("est_jaccard", 6).alias("est_jaccard"),
-            F.round(F.coalesce(F.col("jaccard"), F.lit(0.0)), 6).alias(
-                "exact_jaccard"
+            F.round("_est", 6).alias("est_jaccard"),
+            F.round("_jac", 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("_est") - F.col("_jac")), 6).alias(
+                "abs_err"
             ),
-            F.round(
-                F.abs(
-                    F.col("est_jaccard")
-                    - F.coalesce(F.col("jaccard"), F.lit(0.0))
-                ),
-                6,
-            ).alias("abs_err"),
         )
     )
 
