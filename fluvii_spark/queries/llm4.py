@@ -709,6 +709,17 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qvec"),
         F.expr(S.norm_sql("embedding")).alias("_nq"),
     )
+    # Both score relations are PERSISTED before ranking (r12):
+    # repartitionByRange's range sampling re-executes its input, so the
+    # un-persisted form ran the cosine fold (and below, the token-Jaccard
+    # fold) over the whole corpus TWICE — once for boundary sampling,
+    # once for the shuffle map. The persisted rows are the narrow
+    # (id, score) projection (~16 B/row at any scale), so the cache write
+    # is strictly cheaper than a second corpus-wide fold. Interleaved
+    # low-steal A/B on the multi-split g=10 corpus: 0.97–1.44 s vs
+    # 1.37–1.49 s committed (sf0.1 neutral). r11's localCheckpoint
+    # variant of the same idea measured WORSE — the lineage cut hides
+    # stats from the planner; plain persist keeps them.
     cos_scored = (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(cq))
@@ -723,6 +734,7 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             )).alias("neg_c"),
         )
+        .persist()
     )
     cos_r = distributed_row_number(
         cos_scored, ["neg_c", "id"], out_col="r_cos"
@@ -745,6 +757,7 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             )).alias("neg_j"),
         )
+        .persist()  # see cos_scored note — sampling re-runs the fold
     )
     tok_r = distributed_row_number(
         tok_scored, ["neg_j", "id"], out_col="r_tok"
