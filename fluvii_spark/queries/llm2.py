@@ -401,20 +401,25 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    # |langs| rows with four downstream reads (target, rates×2, final
-    # join) — un-checkpointed, the documents scan + corpus aggregation
-    # re-ran per read (5 scans in the before-plan; 2 after: this one and
-    # the sampling pass)
+    # |langs| rows, checkpointed once (two remaining reads: the kept
+    # broadcast + the final left join). The min-count target now attaches
+    # as a GLOBAL WINDOW over the |langs|-bounded relation (r12, VERDICT
+    # #2) instead of a separate aggregate branch + crossJoin — one fewer
+    # checkpoint consumer and two fewer operators; the single-task window
+    # sees ≤|langs| rows at any corpus scale. The un-checkpointed window
+    # form (3 corpus scans — the counts subtree plans twice, no
+    # ReusedExchange) measured neutral-to-better locally but re-scans the
+    # corpus at scale; ckpt kept. Low-steal A/B: sf0.1 window+ckpt
+    # 0.52–0.76 s vs committed 0.56–0.97; g10-ms best 1.53 vs 1.74.
     counts = (
         t.documents.groupBy("lang")
         .agg(F.count("*").alias("n_docs"))
         .localCheckpoint(eager=False)
     )
-    target = counts.agg(F.min("n_docs").alias("target"))
-    rates = counts.crossJoin(F.broadcast(target)).select(
-        "lang",
-        "n_docs",
-        (F.col("target").cast("double") / F.col("n_docs")).alias("rate"),
+    rates = counts.withColumn(
+        "rate",
+        F.min("n_docs").over(Window.partitionBy()).cast("double")
+        / F.col("n_docs"),
     )
     h = (
         F.conv(

@@ -240,9 +240,14 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = sk_rows.groupBy("event_type").agg(
         F.count("*").alias("n_kept"), F.max("h").alias("h_k")
     )
-    # same type set as events' distinct event_type (every event row enters
-    # pairs), read off the checkpointed relation instead of a fresh scan
-    types = pairs.select("event_type").distinct()
+    # same type set as events' distinct event_type: every non-empty type
+    # keeps at least its rn=1 row through BOTH k-min windows (NULL-user
+    # rows included — row_number ranks NULL h too), so the distinct types
+    # of sk_rows equal the distinct types of pairs. Reading them off the
+    # ≤|types|·K checkpoint instead of the corpus-sized pairs checkpoint
+    # drops pairs' third consumer (r12, VERDICT #2 — one less corpus
+    # cache pass at scale).
+    types = sk_rows.select("event_type").distinct()
     tp = (
         types.alias("a")
         .join(

@@ -558,6 +558,52 @@ def q129_window_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q103_window(spark: SparkSession, sf_dir: str, ckpt: bool) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    counts = t.documents.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    if ckpt:
+        counts = counts.localCheckpoint(eager=False)
+    rates = counts.withColumn(
+        "rate",
+        F.min("n_docs").over(Window.partitionBy()).cast("double")
+        / F.col("n_docs"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    kept = (
+        t.documents.join(F.broadcast(rates), "lang")
+        .filter(h < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        "rate",
+    )
+
+
+def q103_window_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q103_window(spark, sf_dir, ckpt=True)
+
+
+def q103_window_nockpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q103_window(spark, sf_dir, ckpt=False)
+
+
 VARIANTS: dict[str, tuple[str, object]] = {
     # short key -> (committed query name, variant fn)
     "q137": ("q137_lang_vocab_jaccard", q137_contraction),
@@ -569,6 +615,8 @@ VARIANTS: dict[str, tuple[str, object]] = {
     "q203p": ("q203_hybrid_rank_fusion", q203_persist_scores),
     "q102w": ("q102_kmv_distinct_sketch", q102_single_pipeline),
     "q129w": ("q129_chi2_contingency", q129_window_contingency),
+    "q103w": ("q103_lang_rebalance", q103_window_ckpt),
+    "q103wn": ("q103_lang_rebalance", q103_window_nockpt),
 }
 
 
