@@ -144,8 +144,7 @@ def main() -> None:
         )
         if walls[-1] > 300:  # noise-window pass: don't risk a harness timeout
             break
-    print(
-        json.dumps(
+    payload = json.dumps(
             {
                 "metric": "inventory_wall_seconds",
                 "value": min(walls),
@@ -163,8 +162,21 @@ def main() -> None:
                     sum(t for t in timings.values() if t >= 0), 3
                 ),
             }
-        )
     )
+    print(payload)
+    # Defensive duplicate of the contract line (VERDICT r11 #8): the
+    # driver captures stdout's tail and has truncated it in past rounds,
+    # voiding round-over-round comparison. The stdout contract above is
+    # unchanged; this is additions-only.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_result.json"),
+            "w",
+        ) as fh:
+            fh.write(payload + "\n")
+    except OSError as e:  # read-only checkout must not fail the bench
+        print(f"bench_result.json not written: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1074,6 +1074,18 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("xb") - F.col("xa"),
             ).alias("slope")
         )
+        # PERSISTED (r12): the median's repartitionByRange SAMPLES its
+        # input, so the un-persisted O(days²) enumeration ran twice
+        # (sampling pass + shuffle map). The cached relation is ONE
+        # double per pair and days² is calendar-bounded (~3M rows at ANY
+        # corpus scale), so the memory is fixed. Cold-pass A/B 5.63 →
+        # 2.05 s (median-only span), warm interleaved neutral
+        # (0.17–0.35 s both ways). r11's localCheckpoint attempt at this
+        # site regressed (2.66→4.00) — the lineage cut is what hurt, not
+        # the materialization; plain persist keeps stats and lineage.
+        # Value-counts contraction before the shuffle was checked and is
+        # DEAD here: 3,121,182 of 3,121,251 slopes are distinct.
+        .persist()
     )
     # days are distinct, so the pair count is exactly C(n_days, 2) — a
     # 1-row aggregate instead of a second enumeration of the O(days^2)

@@ -596,6 +596,127 @@ def _q103_window(spark: SparkSession, sf_dir: str, ckpt: bool) -> DataFrame:
     )
 
 
+def q208_no_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r12 q208 (no slopes persist) — committed is now the
+    persisted form, so 'variant' here is the OLD shape."""
+    from fluvii_spark.operators.ranking import grouped_exact_quantiles
+
+    t = load_tables(spark, sf_dir)
+    daily = t.lineitem.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) * 1000000
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    xy = (
+        daily.crossJoin(F.broadcast(d0))
+        .select(F.datediff("day", "d0").alias("x"), "y")
+        .localCheckpoint(eager=False)
+    )
+    try:
+        _n_slices = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except Exception:
+        _n_slices = 200
+    a = xy.repartition(_n_slices, F.col("x")).select(
+        F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = xy.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = a.join(F.broadcast(b), F.col("xb") > F.col("xa")).select(
+        F.try_divide(
+            (F.col("yb") - F.col("ya")).cast("double"),
+            F.col("xb") - F.col("xa"),
+        ).alias("slope")
+    )
+    n_pairs = xy.agg(
+        F.expr("(count(*) * (count(*) - 1)) DIV 2")
+        .cast("bigint")
+        .alias("n_pairs")
+    )
+    med = (
+        grouped_exact_quantiles(
+            slopes.withColumn("g", F.lit(1)),
+            ["g"],
+            "slope",
+            [0.5],
+            include_empty_groups=False,
+        )
+        .select(F.col("quantile").alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    resid = xy.crossJoin(F.broadcast(med)).select(
+        (F.col("y") - F.col("m") * F.col("x")).alias("r")
+    )
+    icpt = resid.agg(
+        F.round(F.percentile("r", F.lit(0.5)), 6).alias("b0")
+    )
+    return (
+        n_pairs.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(icpt))
+        .select(
+            "n_pairs",
+            F.col("m").alias("slope_micro_per_day"),
+            F.col("b0").alias("intercept_micro"),
+        )
+    )
+
+
+def q190_window_c1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q190 with c1 as a window over c12's (lang, w1) partition: c12
+    becomes single-consumer so ITS checkpoint and the c1 join both
+    disappear (one barrier instead of two, 3 joins -> 2). Integer sums
+    — order-free, bit-identical c1 values."""
+    from pyspark.sql import Window
+
+    from fluvii_spark.operators import text as T
+    from fluvii_spark.operators.stats import fan_out_scan
+
+    t = load_tables(spark, sf_dir)
+    docs = fan_out_scan(t.documents)
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    dbg = (
+        docs.select(
+            "doc_id", "lang", F.explode(T.bigrams("text")).alias("bigram")
+        )
+        .groupBy("doc_id", "lang", "bigram")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    c12 = dbg.groupBy("lang", "bigram").agg(F.sum("tf").alias("c12"))
+    vocab = toks.groupBy("lang").agg(F.countDistinct("tok").alias("v"))
+    sbg = (
+        c12.withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
+        .withColumn(
+            "c1", F.sum("c12").over(Window.partitionBy("lang", "w1"))
+        )
+        .join(F.broadcast(vocab), "lang")
+        .select(
+            "lang",
+            "bigram",
+            (
+                -F.log(
+                    (F.col("c12") + 1)
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+            ).alias("s"),
+        )
+    )
+    doc_nll = (
+        dbg.join(sbg, ["lang", "bigram"])
+        .groupBy("doc_id", "lang")
+        .agg((F.sum(F.col("tf") * F.col("s")) / F.sum("tf")).alias("nll"))
+    )
+    return doc_nll.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.avg("nll").alias("avg_nll"),
+        F.min("nll").alias("min_nll"),
+        F.max("nll").alias("max_nll"),
+    )
+
+
 def q103_window_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q103_window(spark, sf_dir, ckpt=True)
 
@@ -617,6 +738,8 @@ VARIANTS: dict[str, tuple[str, object]] = {
     "q129w": ("q129_chi2_contingency", q129_window_contingency),
     "q103w": ("q103_lang_rebalance", q103_window_ckpt),
     "q103wn": ("q103_lang_rebalance", q103_window_nockpt),
+    "q208np": ("q208_theil_sen_trend", q208_no_persist),
+    "q190w": ("q190_bigram_logprob", q190_window_c1),
 }
 
 
